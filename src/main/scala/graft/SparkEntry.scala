@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine's full query surface: every operator family from
+  * SURVEY.md §2/§7.1 registers here as a named query, each paired (in
+  * `oracleSql`) with ANSI SQL the driver runs in DuckDB over the same
+  * parquet tables. Queries without an oracle entry are
+  * non-SQL-expressible (typed mapPartitions / sketches) and get the
+  * weaker rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Five-way star join + aggregation (q05). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational.q05(spark, "/root/testdata/sf0.001")
+
+  /** approx_count_distinct (HLL++ sketch) — Spark-native approximate
+    * distinct; no DuckDB twin (different sketch), so rows-only. The
+    * 100 TB story: sketches shuffle O(groups × sketch), never the key
+    * space. */
+  private def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+      .orderBy("l_returnflag")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Events.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Map("q33_approx_distinct" -> (approxDistinct _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Events.oracles ++ Dedup.oracles ++
+      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

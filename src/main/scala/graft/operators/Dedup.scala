@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` (SURVEY.md §7.1 B4) —
+  * the LLM-training-pipeline surface: exact dedup, MinHash+LSH
+  * near-dup, exact n-gram Jaccard, and SimHash fingerprinting.
+  *
+  * Oracle parity trick: every hash in this file is md5 of an explicit
+  * string, and MinHash minima are taken over the 32-char lowercase hex
+  * *strings* — lexicographic min on fixed-width hex equals numeric
+  * min, and Spark's and DuckDB's md5 agree byte-for-byte, so the
+  * DuckDB oracle can recompute identical signatures (SURVEY.md §7.4.2).
+  *
+  * Scale design: MinHash+LSH (q22) is the 100 TB path — banding means
+  * candidate generation is a shuffle on (band_idx, band_val), never an
+  * all-pairs product. Exact Jaccard (q23) is the verifier run only on
+  * candidate-scale data. SimHash (q24) is one shuffle on doc_id.
+  */
+object Dedup {
+
+  private val ShingleK = 3
+  private val NumHashes = 12
+  private val BandRows = 2 // 6 bands × 2 rows
+
+  /** Distinct word-k-gram shingles per document. `transform` over an
+    * index sequence is pure Catalyst (codegen'd) — no UDF. Documents
+    * shorter than k words produce no shingles (guarded identically in
+    * the oracle). */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= ShingleK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t)-$ShingleK), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  private val shinglesSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |  WHERE len(string_split(text,' ')) >= $ShingleK
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t)-1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |    FROM toks) u
+       |)""".stripMargin
+
+  /** q21 — exact deduplication: hash-group identical texts, keep the
+    * lowest doc_id. At 100 TB: group on md5(text) (fixed 32 bytes)
+    * instead of shuffling full document bodies — exactly what this
+    * plan does: the shuffle key below is the fingerprint, text never
+    * travels. */
+  def q21(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+
+  val q21Sql: String =
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+      | count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin
+
+  /** q22 — MinHash + LSH banding: 12 md5-based min-hashes per doc,
+    * 6 bands × 2 rows; docs sharing any band signature are candidate
+    * near-duplicates. The only joins are equi-joins on band values —
+    * the canonical sub-quadratic near-dup plan for 100 TB corpora. */
+  def q22(spark: SparkSession, sfDir: String): DataFrame = {
+    val minhashes = (0 until NumHashes).map(s =>
+      min(md5(concat_ws("#", col("sh"), lit(s.toString)))).as(s"m$s"))
+    val sig = shingles(spark, sfDir).groupBy("doc_id")
+      .agg(minhashes.head, minhashes.tail: _*)
+    val bandPairs = (0 until NumHashes / BandRows)
+      .map(b => s"$b, concat(m${2 * b}, m${2 * b + 1})").mkString(", ")
+    val bands = sig.select(col("doc_id"),
+      expr(s"stack(${NumHashes / BandRows}, $bandPairs) AS (band_idx, band_val)"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q22Sql: String = {
+    val minhashes = (0 until NumHashes)
+      .map(s => s"min(md5(sh || '#$s')) AS m$s").mkString(", ")
+    val bandSelects = (0 until NumHashes / BandRows)
+      .map(b => s"SELECT doc_id, $b AS band_idx, m${2 * b} || m${2 * b + 1} AS band_val FROM mh")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $shinglesSql,
+       |mh AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       | AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q23 — exact n-gram Jaccard similarity: pairs sharing shingles,
+    * J = |∩| / |∪| ≥ 0.5. The shingle equi-join bounds the pair space
+    * to docs that share at least one shingle. At 100 TB this runs on
+    * LSH candidates (q22) only; here it doubles as the oracle-checked
+    * ground truth for them. */
+  def q23(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q23Sql: String =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b, n_inter,
+       | round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q24 — SimHash fingerprint (16-bit, over md5 nibbles of each
+    * token): per bit, +1/-1 votes weighted by token frequency; the
+    * sign vector packs into one integer. Single shuffle on doc_id;
+    * near-dup lookup at scale is then a Hamming-ball probe over the
+    * fingerprint column. */
+  def q24(spark: SparkSession, sfDir: String): DataFrame = {
+    val hexDigits = "0123456789abcdef"
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (1 to 16).map { p =>
+      sum(when(instr(lit(hexDigits), substring(col("h"), p, 1)) - 1 >= 8, 1)
+        .otherwise(-1)).as(s"s$p")
+    }
+    tok.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (1 to 16).map(p => when(col(s"s$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val q24Sql: String = {
+    val votes = (1 to 16).map(p =>
+      s"sum(CASE WHEN strpos('0123456789abcdef', substring(h,$p,1))-1 >= 8 THEN 1 ELSE -1 END) AS s$p")
+      .mkString(",\n    ")
+    val packed = (1 to 16)
+      .map(p => s"(CASE WHEN s$p > 0 THEN ${1L << (p - 1)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, md5(tok) AS h FROM tok
+       |), s AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hashed GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($packed AS BIGINT) AS simhash
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_exact_dedup" -> q21 _,
+    "q22_minhash_lsh" -> q22 _,
+    "q23_ngram_jaccard" -> q23 _,
+    "q24_simhash" -> q24 _)
+
+  val oracles: Map[String, String] = Map(
+    "q21_exact_dedup" -> q21Sql,
+    "q22_minhash_lsh" -> q22Sql,
+    "q23_ngram_jaccard" -> q23Sql,
+    "q24_simhash" -> q24Sql)
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Event-stream analytics over the `events` table (SURVEY.md §7.1 B3).
+  *
+  * blow's pipelines are push-based and stream-shaped
+  * (`/root/reference/maps/maps.go:44-47`) but its only shipped workload
+  * is finite — the batch-window formulations here are the semantic
+  * equivalent; `graft.streaming.EventStreams` carries the Structured
+  * Streaming twin (watermark + windowed agg) for the unbounded case.
+  *
+  * `ts` arrives as epoch-nanos long (see Tables.events). All bucketing
+  * is exact integer arithmetic (`DIV`), never double division — at
+  * 100 TB, double rounding near bucket edges would misassign rows.
+  */
+object Events {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val GapNs = 1800L * 1000 * 1000 * 1000 // 30 min session gap
+
+  /** q17 — tumbling 1-hour windows: count/sum/avg per (hour, type).
+    * One shuffle on the composite group key; partial aggregation
+    * makes the shuffle O(buckets), not O(events). */
+  def q17(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("hour_bucket", expr(s"ts DIV $HourNs"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("hour_bucket", "event_type")
+
+  val q17Sql: String =
+    s"""SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
+       | count(*) AS n_events,
+       | round(sum(value),2) AS sum_value,
+       | round(avg(value),4) AS avg_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+
+  /** q18 — gap-based sessionization (30-min inactivity): the classic
+    * lag → new-session flag → running-sum session id, then per-session
+    * rollup. Two window passes + one agg, all partitioned by user_id —
+    * a single shuffle lineage at any scale. Streaming twin:
+    * `session_window($"ts", "30 minutes")`. */
+  def q18(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > GapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(cum).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("start_ns"),
+        max("ts").as("end_ns"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q18Sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ns, value,
+       |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+       |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > $GapNs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+       |), sess AS (
+       |  SELECT user_id, ns, value,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       | min(ns) AS start_ns, max(ns) AS end_ns,
+       | round(sum(value),2) AS sum_value
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** q19 — semi-structured extraction: pull `k` out of the JSON props
+    * column and aggregate per event type. get_json_object is a
+    * codegen'd Catalyst expression — no UDF, stays in the
+    * WholeStageCodegen span. */
+  def q19(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k_val").as("sum_k"),
+        round(avg("k_val"), 4).as("avg_k"),
+        min("k_val").as("min_k"),
+        max("k_val").as("max_k"))
+      .orderBy("event_type")
+
+  val q19Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k,
+      | min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k,
+      | max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q20 — as-of join: for every purchase, the most recent 'view' by
+    * the same user at or before it. Implemented as a running
+    * conditional max over a single user-partitioned sort — ONE shuffle,
+    * no range-join explosion (the naive t1⋈t2 ON ts<=ts join is
+    * quadratic per user; this is the scale-safe formulation Spark
+    * lacks as a built-in operator). */
+  def q20(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("last_view_ns",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ns"),
+        col("last_view_ns"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
+  val q20Sql: String =
+    """SELECT event_id, user_id, purchase_ns, last_view_ns, value FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) AS purchase_ns,
+      |    max(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ns,
+      |    round(value,2) AS value
+      |  FROM events) t
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_hourly_windows" -> q17 _,
+    "q18_sessionization" -> q18 _,
+    "q19_json_extract" -> q19 _,
+    "q20_asof_join" -> q20 _)
+
+  val oracles: Map[String, String] = Map(
+    "q17_hourly_windows" -> q17Sql,
+    "q18_sessionization" -> q18Sql,
+    "q19_json_extract" -> q19Sql,
+    "q20_asof_join" -> q20Sql)
+}

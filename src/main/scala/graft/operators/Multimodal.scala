@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** A record carrying an opaque media payload plus typed metadata —
+  * the multimodal-column model: binary at rest, schema'd metadata
+  * alongside. */
+case class MediaBlob(doc_id: Long, payload: Array[Byte], source: String)
+
+/** Decoded / feature-extracted form of a MediaBlob. */
+case class MediaFeatures(
+    doc_id: Long, n_bytes: Long, width: Long, height: Long,
+    n_frames: Long, feat: Array[Float])
+
+/** Multimodal-column operators (SURVEY.md §7.1 B4): image/audio/video
+  * are treated as opaque `binary` columns with typed metadata. The
+  * container has no media codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (`StubCodec`) — the Spark-side
+  * plumbing (binary schema, per-partition batch decode via
+  * mapPartitions, feature arrays) is real and is what matters at
+  * 100 TB: decode cost dominates, so the plan must keep it in one
+  * narrow per-partition pass with no shuffle before it.
+  */
+object Multimodal {
+
+  /** STUB: stands in for a real image/audio decoder (libjpeg/ffmpeg
+    * are not in this container). Deterministic pure function of the
+    * bytes so results are reproducible and oracle-checkable where
+    * expressed in SQL. A real deployment swaps only this object. */
+  object StubCodec {
+    private val hex = "0123456789abcdef"
+    def md5Hex(bytes: Array[Byte]): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      d.map(b => f"$b%02x").mkString
+    }
+    private def nibble(h: String, i: Int): Int = hex.indexOf(h.charAt(i))
+    /** Fake "decode": dimensions + frame count derived from the md5 of
+      * the payload; 4 float features from leading bytes. */
+    def decode(b: MediaBlob): MediaFeatures = {
+      val h = md5Hex(b.payload)
+      val width = nibble(h, 0) * 16 + nibble(h, 1)
+      val height = nibble(h, 2) * 16 + nibble(h, 3)
+      val frames = b.payload.length % 30 + 1
+      val feat = b.payload.take(4).map(x => (x & 0xff).toFloat / 255f)
+      MediaFeatures(b.doc_id, b.payload.length.toLong, width.toLong,
+        height.toLong, frames.toLong, feat)
+    }
+  }
+
+  /** q31 — media metadata extraction, pure-SQL twin of the stub codec:
+    * byte length, content hash, fake dimensions from the hash nibbles.
+    * Runs entirely in WholeStageCodegen (binary cast + md5 + string
+    * ops are Catalyst built-ins); the DuckDB oracle recomputes the
+    * identical arithmetic. */
+  def q31(spark: SparkSession, sfDir: String): DataFrame = {
+    val hexv = (i: Int) =>
+      instr(lit("0123456789abcdef"), substring(col("h"), i, 1)) - 1
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"),
+        col("n_chars"))
+      .withColumn("h", md5(col("payload")))
+      .select(
+        col("doc_id"), col("source"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("h").as("content_md5"),
+        (hexv(1) * 16 + hexv(2)).cast("long").as("width"),
+        (hexv(3) * 16 + hexv(4)).cast("long").as("height"),
+        (col("n_chars") % 30 + 1).as("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  val q31Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source, n_chars, encode(text) AS payload,
+      |    md5(text) AS h
+      |  FROM documents)
+      |SELECT doc_id, source,
+      | CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+      | h AS content_md5,
+      | CAST((strpos('0123456789abcdef', substring(h,1,1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substring(h,2,1)) - 1) AS BIGINT) AS width,
+      | CAST((strpos('0123456789abcdef', substring(h,3,1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substring(h,4,1)) - 1) AS BIGINT) AS height,
+      | n_chars % 30 + 1 AS n_frames
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q32 — the batch-decode pipeline (no SQL oracle; driver rows-only
+    * check): binary payloads flow through `mapPartitions` so a real
+    * codec would amortize per-partition setup (model load, GPU
+    * context) across the whole batch — the shape that matters for
+    * 100 TB media corpora. Returns per-doc decoded features. */
+  def q32(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blobs: Dataset[MediaBlob] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
+      .as[MediaBlob]
+    blobs
+      .mapPartitions { it =>
+        // per-partition setup of a real decoder would happen HERE, once
+        it.map(StubCodec.decode)
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        col("n_frames"), round(element_at(col("feat"), 1).cast("double"), 6).as("f0"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_media_metadata" -> q31 _,
+    "q32_media_decode_stub" -> q32 _)
+
+  /** q32 is intentionally absent: mapPartitions over a typed Dataset is
+    * not SQL-expressible — the driver records a rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "q31_media_metadata" -> q31Sql)
+}

@@ -1,0 +1,472 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational query surface (SURVEY.md §2.6, §7.1 Layer B1/B2).
+  *
+  * The reference (wizgrao/blow) has no relational operators at all —
+  * its one transform is flatMap (`/root/reference/maps/maps.go:12-14`)
+  * — so this layer is the driver-mandated query surface expressed
+  * Spark-first: declarative DataFrame plans, Catalyst does pushdown /
+  * pruning / join selection.
+  *
+  * Conventions (oracle hash-match discipline, FIXTURES.md):
+  *  - every query ends with orderBy on a unique key combination;
+  *  - double aggregates are round()ed identically on both sides;
+  *  - computed integers are cast to long (DuckDB returns BIGINT);
+  *  - integer sums in DuckDB are CAST(... AS BIGINT) (DuckDB widens to
+  *    HUGEINT);
+  *  - dates/timestamps in output are formatted to strings so both
+  *    engines hash identical values.
+  *
+  * 100 TB notes are given per query.
+  */
+object Relational {
+
+  /** q01 — TPC-H Q1-style pricing summary. Single wide scan → partial
+    * (map-side) aggregation → 6-group final. At 100 TB this is the
+    * canonical scan-heavy query: only 8 of 11 columns read (pruning),
+    * shipdate predicate pushed to parquet row-group stats, shuffle is
+    * 6 rows × partial states — negligible. */
+  def q01(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_extendedprice),4) AS avg_price,
+      | round(avg(l_discount),6) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — scan / filter / project, no aggregation: Catalyst must push
+    * both predicates and prune to 6 columns (verify via
+    * PushedFilters/ReadSchema in explain). At 100 TB the parquet
+    * min/max stats skip whole row groups outside the date range. */
+  def q02(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+        col("l_discount") > 0.05 && col("l_quantity") < 10)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
+        col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | round(l_extendedprice*(1-l_discount),2) AS net_price, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND l_discount > 0.05 AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q03 — TPC-H Q3-style shipping-priority: 3-way join + agg + top-k.
+    * customer is the small side (15k rows at sf0.1) → broadcast; the
+    * orders⋈lineitem join shuffles on orderkey. Top-10 via
+    * orderBy+limit is a TakeOrdered physical op — no global sort
+    * materialization at scale. Rounded revenue is the sort key so both
+    * engines order identically; o_orderkey breaks ties. */
+  def q03(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        date_format(first("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderkey,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | strftime(min(o_orderdate), '%Y-%m-%d') AS orderdate
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q04 — semi join (EXISTS): orders that have at least one lineitem
+    * shipped after the order date. left_semi never duplicates or
+    * widens rows — at scale the build side streams, no row explosion.
+    * The count per priority is a 5-group agg. */
+  def q04(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q05 — TPC-H Q5-style 5-way star join: revenue by nation of the
+    * customer. region(5)/nation(25)/customer(15k) are broadcast — only
+    * the lineitem⋈orders join shuffles, on orderkey. At 100 TB the
+    * dims stay broadcastable; the fact-fact join benefits from
+    * bucketing both on orderkey (documented growth path). */
+  def q05(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(spark, sfDir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q05Sql: String =
+    """SELECT r_name, n_name,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q06 — TPC-H Q6-style forecasting revenue: single-table global
+    * aggregate. All three predicates push to parquet; result is one
+    * row. The cheapest possible shape at any scale. */
+  def q06(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 25)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q06Sql: String =
+    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 25""".stripMargin
+
+  /** q07 — broadcast hash join against the part dimension (20k rows at
+    * sf0.1, ~MBs at 100 TB fact scale — always broadcastable), then
+    * per-brand aggregation. No shuffle on the fact side until the
+    * 25-group agg. */
+  def q07(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("p_retailprice"), 4).as("avg_retail"))
+      .orderBy("p_brand")
+
+  val q07Sql: String =
+    """SELECT p_brand, count(*) AS n_items,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(avg(p_retailprice),4) AS avg_retail
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q08 — anti join (NOT EXISTS): customers who never placed a
+    * >400k order, counted per market segment. (Plain "no orders at
+    * all" is degenerate on this data — 0 rows at sf≤0.01.) left_anti
+    * never widens rows; the filtered build side is small enough to
+    * broadcast, and at 100 TB it becomes a shuffled anti join on
+    * custkey — still linear. */
+  def q08(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        min("c_custkey").as("min_custkey"),
+        max("c_custkey").as("max_custkey"))
+      .orderBy("c_mktsegment")
+
+  val q08Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      | min(c_custkey) AS min_custkey, max(c_custkey) AS max_custkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q09 — ROLLUP hierarchy totals. Spark expands rollup into a
+    * grouping-set union computed in one pass (Expand + partial agg);
+    * NULL group markers are coalesced to 'ALL' so both engines emit
+    * identical, orderable values. */
+  def q09(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_price"))
+      .orderBy("returnflag", "linestatus")
+
+  val q09Sql: String =
+    """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+      | coalesce(l_linestatus,'ALL') AS linestatus,
+      | count(*) AS n_items,
+      | round(sum(l_extendedprice),2) AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** q10 — set operations: (AUTOMOBILE ∪ high-balance customers)
+    * EXCEPT customers holding an expensive order. union/except are
+    * hash-dedup shuffles on the single key column — minimal width. */
+  def q10(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("c_custkey"))
+    auto.union(rich).distinct().except(big).orderBy("c_custkey")
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q11 — exact distinct aggregation: distinct suppliers/parts per
+    * return flag. Spark plans count(distinct x) via Expand +
+    * two-phase agg — no driver materialization. (The approximate
+    * HLL++ variant is llm_approx_distinct — not oracle-comparable.) */
+  def q11(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
+  val q11Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      | count(DISTINCT l_partkey) AS n_part, count(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q12 — top-k per group via ranking window: 3 most expensive orders
+    * per customer. One shuffle on the partition key; row_number then
+    * filter — the standard scale-safe top-k-per-group (never a global
+    * sort of the fact table). Ties broken by o_orderkey. */
+  def q12(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, rk, o_orderkey, totalprice FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    round(o_totalprice,2) AS totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  /** q13 — analytic window frame: running revenue + previous order
+    * value per customer in order-date order. Explicit ROWS frame so
+    * both engines use identical cumulative semantics. */
+  def q13(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("order_seq"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q13Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total,
+      | round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey),2) AS prev_price,
+      | count(*) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q14 — scalar function gauntlet (string/math) over part: all
+    * expressions are Catalyst built-ins inside one WholeStageCodegen
+    * span — the codegen'd analog of blow's per-record Go closures
+    * (`/root/reference/cmd/fizzbuzz/fizzbuzz.go:24-45`). */
+  def q14(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_brand"), 7, 2).cast("long").as("brand_num"),
+        substring_index(col("p_type"), " ", 1).as("type_head"),
+        (col("p_size") % 7).cast("long").as("size_mod"),
+        round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+        round(abs(col("p_retailprice") - 1000.0), 2).as("price_dist"))
+      .orderBy("p_partkey")
+
+  val q14Sql: String =
+    """SELECT p_partkey,
+      | upper(substring(p_name, 1, 8)) AS name_prefix,
+      | CAST(length(p_name) AS BIGINT) AS name_len,
+      | CAST(substring(p_brand, 7, 2) AS BIGINT) AS brand_num,
+      | split_part(p_type, ' ', 1) AS type_head,
+      | CAST(p_size % 7 AS BIGINT) AS size_mod,
+      | round(sqrt(p_retailprice), 4) AS price_sqrt,
+      | round(abs(p_retailprice - 1000.0), 2) AS price_dist
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q15 — fizzbuzz, the reference's canonical workload
+    * (`/root/reference/cmd/fizzbuzz/fizzbuzz.go:19-46`), as a pure
+    * Catalyst CaseWhen over lineitem keys — no UDF, fully codegen'd,
+    * pushdown-transparent. The typed flatMap twin lives in
+    * graft.pipeline (Layer A). */
+  def q15(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 15 === 0, "fizzbuzz")
+          .when(col("l_orderkey") % 3 === 0, "fizz")
+          .when(col("l_orderkey") % 5 === 0, "buzz")
+          .otherwise(col("l_orderkey").cast("string")).as("word"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q15Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | CASE WHEN l_orderkey % 15 = 0 THEN 'fizzbuzz'
+      |      WHEN l_orderkey % 3 = 0 THEN 'fizz'
+      |      WHEN l_orderkey % 5 = 0 THEN 'buzz'
+      |      ELSE CAST(l_orderkey AS VARCHAR) END AS word
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q16 — CUBE over two order dimensions (all four grouping sets in
+    * one Expand pass). NULL markers coalesced to 'ALL' as in q09. */
+  def q16(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("orderstatus", "orderpriority")
+
+  val q16Sql: String =
+    """SELECT coalesce(o_orderstatus,'ALL') AS orderstatus,
+      | coalesce(o_orderpriority,'ALL') AS orderpriority,
+      | count(*) AS n_orders,
+      | round(sum(o_totalprice),2) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01 _,
+    "q02_filter_project" -> q02 _,
+    "q03_top_orders" -> q03 _,
+    "q04_semi_join_priority" -> q04 _,
+    "q05_region_revenue" -> q05 _,
+    "q06_forecast_revenue" -> q06 _,
+    "q07_broadcast_brand" -> q07 _,
+    "q08_anti_join_customers" -> q08 _,
+    "q09_rollup" -> q09 _,
+    "q10_setops" -> q10 _,
+    "q11_distinct_agg" -> q11 _,
+    "q12_topk_per_group" -> q12 _,
+    "q13_window_running" -> q13 _,
+    "q14_scalar_funcs" -> q14 _,
+    "q15_fizzbuzz" -> q15 _,
+    "q16_cube" -> q16 _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_top_orders" -> q03Sql,
+    "q04_semi_join_priority" -> q04Sql,
+    "q05_region_revenue" -> q05Sql,
+    "q06_forecast_revenue" -> q06Sql,
+    "q07_broadcast_brand" -> q07Sql,
+    "q08_anti_join_customers" -> q08Sql,
+    "q09_rollup" -> q09Sql,
+    "q10_setops" -> q10Sql,
+    "q11_distinct_agg" -> q11Sql,
+    "q12_topk_per_group" -> q12Sql,
+    "q13_window_running" -> q13Sql,
+    "q14_scalar_funcs" -> q14Sql,
+    "q15_fizzbuzz" -> q15Sql,
+    "q16_cube" -> q16Sql)
+}

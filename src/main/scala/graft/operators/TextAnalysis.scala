@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (SURVEY.md §7.1 B4):
+  * token counting, quality scoring, n-gram language ID, and
+  * fingerprinting — the per-document feature extraction stage of an
+  * LLM data pipeline.
+  *
+  * All tokenization is `split(text, ' ')` (the corpus is
+  * space-separated word soup, FIXTURES.md), kept as pure Catalyst
+  * array expressions — no UDFs, everything stays codegen'd and
+  * pushdown-transparent. Each query is one narrow scan + at most one
+  * shuffle, so the shapes hold at 100 TB.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** q25 — corpus token statistics per language: the token-counting
+    * pass every training-data pipeline runs first. Shuffle payload is
+    * 5 groups of partial aggregates. */
+  def q25(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        max("n_tokens").as("max_tokens"))
+      .orderBy("lang")
+
+  val q25Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+      | round(avg(len(string_split(text,' '))),4) AS avg_tokens,
+      | round(avg(n_chars),4) AS avg_chars,
+      | CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q26 — per-document quality scoring: token count, mean token
+    * length, stopword ratio, and a rule-based quality band — the
+    * filter stage of a data-quality pipeline. Pure projection
+    * (no shuffle at all except the final presentation sort). */
+  def q26(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(t, x -> x IN ($stopList)))").cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4)
+          .as("avg_token_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        when(col("n_tokens") < 10, "short")
+          .when(col("n_stop").cast("double") / col("n_tokens") > 0.25, "boilerplate")
+          .otherwise("good").as("quality"))
+      .orderBy("doc_id")
+
+  val q26Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |      x -> x IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       | round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       | round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       | CASE WHEN n_tokens < 10 THEN 'short'
+       |      WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.25 THEN 'boilerplate'
+       |      ELSE 'good' END AS quality
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** q27 — n-gram (unigram-profile) language ID: build a top-20
+    * token profile per language from a deterministic training split
+    * (doc_id % 5 = 0), score held-out docs by profile-token hits,
+    * predict argmax, and report the confusion matrix. The profile is
+    * tiny (5 langs × 20 tokens) — at 100 TB it broadcasts; the
+    * scoring join is a broadcast hash join against every token. */
+  def q27(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val profile = tok.filter(col("doc_id") % 5 === 0)
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang").as("p_lang"), col("tok"))
+    val test = tok.filter(col("doc_id") % 5 =!= 0)
+    val scored = test.join(broadcast(profile), "tok")
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val predicted = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("hits").desc, col("p_lang"))))
+      .filter(col("rk") === 1)
+    predicted.groupBy(col("lang").as("actual"), col("p_lang").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual", "predicted")
+  }
+
+  val q27Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents
+      |), profile AS (
+      |  SELECT lang AS p_lang, tok FROM (
+      |    SELECT lang, tok, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rk
+      |    FROM tok WHERE doc_id % 5 = 0 GROUP BY lang, tok) t
+      |  WHERE rk <= 20
+      |), scored AS (
+      |  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS hits
+      |  FROM tok t JOIN profile p ON t.tok = p.tok
+      |  WHERE t.doc_id % 5 <> 0
+      |  GROUP BY t.doc_id, t.lang, p.p_lang
+      |), predicted AS (
+      |  SELECT doc_id, lang, p_lang FROM (
+      |    SELECT doc_id, lang, p_lang,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rk
+      |    FROM scored) t
+      |  WHERE rk = 1
+      |)
+      |SELECT lang AS actual, p_lang AS predicted, count(*) AS n_docs
+      |FROM predicted GROUP BY lang, p_lang
+      |ORDER BY actual, predicted""".stripMargin
+
+  /** q28 — document fingerprinting: min/max md5 over word-4-gram
+    * shingles (the winnowing/rolling-hash family collapsed to its
+    * deterministic extrema) plus a dup-group representative via a
+    * fingerprint-partitioned window. Docs sharing `fp_min` are
+    * candidate containment duplicates. */
+  def q28(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-4), i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))"))
+        .as("h"))
+      .groupBy("doc_id")
+      .agg(min("h").as("fp_min"), max("h").as("fp_max"),
+        countDistinct(col("h")).as("n_shingles"))
+    fp.withColumn("group_rep",
+        min("doc_id").over(Window.partitionBy("fp_min")))
+      .orderBy("doc_id")
+  }
+
+  val q28Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |  WHERE len(string_split(text,' ')) >= 4
+      |), sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)-2),
+      |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS h
+      |  FROM toks
+      |), fp AS (
+      |  SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+      |    count(DISTINCT h) AS n_shingles
+      |  FROM sh GROUP BY doc_id
+      |)
+      |SELECT doc_id, fp_min, fp_max, n_shingles,
+      | min(doc_id) OVER (PARTITION BY fp_min) AS group_rep
+      |FROM fp ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_token_stats" -> q25 _,
+    "q26_quality_score" -> q26 _,
+    "q27_langid" -> q27 _,
+    "q28_fingerprint" -> q28 _)
+
+  val oracles: Map[String, String] = Map(
+    "q25_token_stats" -> q25Sql,
+    "q26_quality_score" -> q26Sql,
+    "q27_langid" -> q27Sql,
+    "q28_fingerprint" -> q28Sql)
+}
