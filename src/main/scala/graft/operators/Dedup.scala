@@ -25,18 +25,31 @@ object Dedup {
   private val NumHashes = 12
   private val BandRows = 2 // 6 bands × 2 rows
 
-  /** Distinct word-k-gram shingles per document. `transform` over an
-    * index sequence is pure Catalyst (codegen'd) — no UDF. Documents
+  /** Word-k-gram shingles per document. `transform` over an index
+    * sequence is pure Catalyst (codegen'd) — no UDF. Documents
     * shorter than k words produce no shingles (guarded identically in
-    * the oracle). */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    * the oracle). `distinct = false` skips the dedup shuffle for
+    * consumers where duplicates are harmless (min() is idempotent
+    * over multisets — MinHash needs no distinct). */
+  private def shingles(spark: SparkSession, sfDir: String,
+      distinct: Boolean): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= ShingleK)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(t)-$ShingleK), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
         .as("sh"))
-      .distinct()
+    if (distinct) raw.distinct() else raw
+  }
+
+  /** All unordered (a < b) pairs from a pre-sorted id array — used to
+    * emit candidate pairs per bucket without a self-join, so the
+    * upstream (shingle/signature) subtree is evaluated ONCE instead of
+    * twice. Pure Catalyst higher-order functions. */
+  private val pairsExpr =
+    """flatten(transform(ids, (a, i) ->
+      |  transform(slice(ids, i + 2, size(ids)),
+      |    b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin
 
   private val shinglesSql: String =
     s"""toks AS (
@@ -69,23 +82,27 @@ object Dedup {
 
   /** q22 — MinHash + LSH banding: 12 md5-based min-hashes per doc,
     * 6 bands × 2 rows; docs sharing any band signature are candidate
-    * near-duplicates. The only joins are equi-joins on band values —
-    * the canonical sub-quadratic near-dup plan for 100 TB corpora. */
+    * near-duplicates. Candidates come from grouping on (band_idx,
+    * band_val) and expanding each bucket's sorted id list into pairs —
+    * sub-quadratic (never an all-pairs product) and the signature
+    * subtree is evaluated once, vs. twice for a self-join. 100 TB
+    * caveat: a pathological bucket (thousands of byte-identical docs)
+    * should be routed to exact dedup first (q21); bucket sizes here
+    * are bounded by true near-dup cluster size. */
   def q22(spark: SparkSession, sfDir: String): DataFrame = {
     val minhashes = (0 until NumHashes).map(s =>
       min(md5(concat_ws("#", col("sh"), lit(s.toString)))).as(s"m$s"))
-    val sig = shingles(spark, sfDir).groupBy("doc_id")
+    val sig = shingles(spark, sfDir, distinct = false).groupBy("doc_id")
       .agg(minhashes.head, minhashes.tail: _*)
     val bandPairs = (0 until NumHashes / BandRows)
       .map(b => s"$b, concat(m${2 * b}, m${2 * b + 1})").mkString(", ")
-    val bands = sig.select(col("doc_id"),
-      expr(s"stack(${NumHashes / BandRows}, $bandPairs) AS (band_idx, band_val)"))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    sig.select(col("doc_id"),
+        expr(s"stack(${NumHashes / BandRows}, $bandPairs) AS (band_idx, band_val)"))
+      .groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(pairsExpr)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -114,17 +131,18 @@ object Dedup {
     * LSH candidates (q22) only; here it doubles as the oracle-checked
     * ground truth for them. */
   def q23(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
+    val sh = shingles(spark, sfDir, distinct = true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = sh
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(pairsExpr)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b")), "doc_b")
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("sh_a") + col("sh_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= 0.5)

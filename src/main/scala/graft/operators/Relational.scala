@@ -277,7 +277,7 @@ object Relational {
     val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
     val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
     val big = Tables.orders(spark, sfDir)
-      .filter(col("o_totalprice") > 200000)
+      .filter(col("o_totalprice") > 450000)
       .select(col("o_custkey").as("c_custkey"))
     auto.union(rich).distinct().except(big).orderBy("c_custkey")
   }
@@ -287,7 +287,7 @@ object Relational {
       |UNION
       |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
       |EXCEPT
-      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000
       |ORDER BY c_custkey""".stripMargin
 
   /** q11 — exact distinct aggregation: distinct suppliers/parts per

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator smoke + targeted semantic checks on sf0.001. The
+  * full value-level gate is the DuckDB oracle (dev/check.py, driver
+  * t2); these tests pin schema/shape invariants and known answers
+  * that must hold regardless of the oracle. */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val sf = "/root/testdata/sf0.001"
+
+  test("every registered query runs and is non-degenerate where expected") {
+    val allowedEmpty = Set.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0 || allowedEmpty(name), s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q15 fizzbuzz words follow the 3/5/15 rule") {
+    val rows = SparkEntry.queries("q15_fizzbuzz")(spark, sf)
+      .limit(1000).collect()
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val w = r.getString(2)
+      val expected =
+        if (k % 15 == 0) "fizzbuzz"
+        else if (k % 3 == 0) "fizz"
+        else if (k % 5 == 0) "buzz"
+        else k.toString
+      assert(w === expected, s"orderkey $k")
+    }
+  }
+
+  test("q21 exact dedup: keeper ids are distinct and counts sum to corpus size") {
+    val df = SparkEntry.queries("q21_exact_dedup")(spark, sf).collect()
+    val total = df.map(_.getAs[Long]("n_copies")).sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total === docs)
+    assert(df.map(_.getAs[Long]("keeper_id")).distinct.length === df.length)
+  }
+
+  test("q22 minhash LSH candidates ⊇ high-jaccard pairs from q23") {
+    val cand = SparkEntry.queries("q22_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = SparkEntry.queries("q23_ngram_jaccard")(spark, sf)
+      .collect().filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // J≥0.9 pairs collide in ≥1 of 6 bands with prob ~1-(1-0.9^2)^6 ≈ 1
+    assert(truth.subsetOf(cand),
+      s"missed near-dups: ${truth -- cand}")
+  }
+
+  test("q29 knn: neighbor lists exclude the query itself, k=5 per query") {
+    val rows = SparkEntry.queries("q29_knn_brute")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) != r.getLong(0)))
+    val perQ = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQ === Set(5))
+  }
+
+  test("q18 sessionization: session ids are dense from 1 per user") {
+    val rows = SparkEntry.queries("q18_sessionization")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    rows.foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("session_id")).sorted
+      assert(ids.head === 1L)
+      assert(ids === (1L to ids.length).toArray.toSeq.toArray)
+    }
+  }
+
+  test("q31/q32: SQL twin and mapPartitions stub agree on decode output") {
+    val sqlSide = SparkEntry.queries("q31_media_metadata")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("width"), r.getAs[Long]("height")))).toMap
+    val typedSide = SparkEntry.queries("q32_media_decode_stub")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("width"), r.getAs[Long]("height")))).toMap
+    assert(sqlSide === typedSide)
+  }
+}
