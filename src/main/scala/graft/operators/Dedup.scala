@@ -166,7 +166,7 @@ object Dedup {
        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q24 — SimHash fingerprint (16-bit, over md5 nibbles of each
+  /** q24 — SimHash fingerprint (32-bit, over md5 hex-digit high bits of each
     * token): per bit, +1/-1 votes weighted by token frequency; the
     * sign vector packs into one integer. Single shuffle on doc_id;
     * near-dup lookup at scale is then a Hamming-ball probe over the
@@ -176,26 +176,28 @@ object Dedup {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val votes = (1 to 16).map { p =>
+    val votes = (1 to 32).map { p =>
       sum(when(instr(lit(hexDigits), substring(col("h"), p, 1)) - 1 >= 8, 1)
         .otherwise(-1)).as(s"s$p")
     }
     tok.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (1 to 16).map(p => when(col(s"s$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
+        (1 to 32).map(p => when(col(s"s$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 
-  val q24Sql: String = {
-    val votes = (1 to 16).map(p =>
+  /** Shared CTE text computing (doc_id, simhash) — q24's pipeline,
+    * reused by q35's banding oracle. */
+  private val simhashCte: String = {
+    val votes = (1 to 32).map(p =>
       s"sum(CASE WHEN strpos('0123456789abcdef', substring(h,$p,1))-1 >= 8 THEN 1 ELSE -1 END) AS s$p")
       .mkString(",\n    ")
-    val packed = (1 to 16)
+    val packed = (1 to 32)
       .map(p => s"(CASE WHEN s$p > 0 THEN ${1L << (p - 1)} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
        |), hashed AS (
        |  SELECT doc_id, md5(tok) AS h FROM tok
@@ -203,20 +205,75 @@ object Dedup {
        |  SELECT doc_id,
        |    $votes
        |  FROM hashed GROUP BY doc_id
-       |)
-       |SELECT doc_id, CAST($packed AS BIGINT) AS simhash
-       |FROM s ORDER BY doc_id""".stripMargin
+       |), sig AS (
+       |  SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM s
+       |)""".stripMargin
   }
+
+  val q24Sql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** q35 — SimHash near-duplicate pairs via multi-index (pigeonhole)
+    * banding: split the 32-bit fingerprint into 4 byte blocks; any
+    * pair with Hamming distance ≤ 3 must agree on at least one whole
+    * block, so grouping on (block_idx, block_val) finds all such pairs
+    * without an all-pairs product; the exact Hamming filter
+    * (`bit_count(a ^ b)`) then keeps true near-dups. At 100 TB this is
+    * the standard sub-quadratic Hamming search: 4 shuffles of
+    * fingerprints (8 bytes each), never documents. */
+  def q35(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = q24(spark, sfDir)
+    val blockPairs = (0 until 4)
+      .map(b => s"$b, (simhash >> ${8 * b}) & 255").mkString(", ")
+    sig.selectExpr("doc_id", "simhash",
+        s"stack(4, $blockPairs) AS (block_idx, block_val)")
+      .groupBy("block_idx", "block_val")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+          |                 'ham', bit_count(a.simhash ^ b.simhash)))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.ham").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q35Sql: String =
+    s"""WITH $simhashCte,
+       |blocks AS (
+       |  SELECT doc_id, simhash, b.b AS block_idx,
+       |    (simhash >> (8 * b.b)) & 255 AS block_val
+       |  FROM sig, (VALUES (0),(1),(2),(3)) b(b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM blocks a JOIN blocks b
+       |    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       | CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
     "q23_ngram_jaccard" -> q23 _,
-    "q24_simhash" -> q24 _)
+    "q24_simhash" -> q24 _,
+    "q35_simhash_neardup" -> q35 _)
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" -> q21Sql,
     "q22_minhash_lsh" -> q22Sql,
     "q23_ngram_jaccard" -> q23Sql,
-    "q24_simhash" -> q24Sql)
+    "q24_simhash" -> q24Sql,
+    "q35_simhash_neardup" -> q35Sql)
 }

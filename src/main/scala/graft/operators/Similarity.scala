@@ -19,13 +19,15 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Embeddings with double-cast vectors and precomputed L2 norms —
-    * norm is computed once per vector, not once per pair. */
-  private def normed(spark: SparkSession, sfDir: String): DataFrame =
+  import graft.functions.CosineSimilarity.cosine_sim
+
+  /** Embeddings with double-cast vectors (a codegen'd Cast — floats
+    * widen exactly). Cosine itself is the native graft expression
+    * `cosine_sim` (tight codegen loop; see functions/CosineSimilarity),
+    * which computes dot and both norms in one pass per pair. */
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   private val normedSql: String =
     """n AS (
@@ -35,21 +37,18 @@ object Similarity {
       |  FROM embeddings
       |)""".stripMargin
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-
   /** q29 — brute-force cosine k-NN: top-5 neighbors for each of the
     * 20 probe vectors. The probe set broadcasts (it is always small);
     * the corpus streams through one scan — O(Q×N) flops but only one
     * pass over the data and no shuffle until the per-query top-k,
     * which TakeOrdered-style windows keep at O(Q×k) rows. */
   def q29(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = normed(spark, sfDir)
-    val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("nrm").as("qn")).filter(col("q_id") < 20)
+    val n = vecs(spark, sfDir)
+    val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < 20)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     n.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nrm")))
+      .withColumn("cos", cosine_sim(col("qv"), col("v")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
@@ -77,23 +76,22 @@ object Similarity {
     * 100 TB ANN shape: the corpus is partitioned by cluster id, so a
     * probe touches 1/nlist of the data instead of all of it. */
   def q30(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = normed(spark, sfDir)
-    val cent = n.select(col("vec_id").as("c_id"), col("v").as("qv"),
-      col("nrm").as("qn")).filter(col("c_id") < 8)
+    val n = vecs(spark, sfDir)
+    val cent = n.select(col("vec_id").as("c_id"), col("v").as("qv"))
+      .filter(col("c_id") < 8)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
     val assigned = n.join(broadcast(cent), lit(true))
-      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nrm")))
+      .withColumn("cos", cosine_sim(col("qv"), col("v")))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
     val queries = assigned
       .filter(col("vec_id") >= 8 && col("vec_id") < 28)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cluster"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cluster"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(queries, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nrm")))
+      .withColumn("cos", cosine_sim(col("qv"), col("v")))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),

@@ -170,15 +170,46 @@ object TextAnalysis {
       | min(doc_id) OVER (PARTITION BY fp_min) AS group_rep
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** q34 — regex (BPE-ish) tokenization vs whitespace tokenization:
+    * subword-style alpha/digit runs via regexp_extract_all, compared
+    * with whitespace token counts per source. Regex evaluation is a
+    * codegen'd Catalyst expression; the aggregation shuffles 20
+    * groups. */
+  def q34(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_ws", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_sub",
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws").as("ws_tokens"),
+        sum("n_sub").as("subword_tokens"),
+        round(avg(col("n_sub").cast("double") / col("n_ws")), 6).as("sub_per_ws"))
+      .orderBy("source")
+
+  val q34Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_sub
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+      | CAST(sum(n_sub) AS BIGINT) AS subword_tokens,
+      | round(avg(CAST(n_sub AS DOUBLE) / n_ws), 6) AS sub_per_ws
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_token_stats" -> q25 _,
     "q26_quality_score" -> q26 _,
     "q27_langid" -> q27 _,
-    "q28_fingerprint" -> q28 _)
+    "q28_fingerprint" -> q28 _,
+    "q34_regex_tokens" -> q34 _)
 
   val oracles: Map[String, String] = Map(
     "q25_token_stats" -> q25Sql,
     "q26_quality_score" -> q26Sql,
     "q27_langid" -> q27Sql,
-    "q28_fingerprint" -> q28Sql)
+    "q28_fingerprint" -> q28Sql,
+    "q34_regex_tokens" -> q34Sql)
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twin of the batch event analytics
+  * (SURVEY.md §2.6 streaming row): blow's pipelines are push-based and
+  * conceptually unbounded (`/root/reference/maps/maps.go:44-47` — a
+  * Generator may emit forever; stages run as data arrives), but its
+  * only shipped workload is finite, so batch is the primary surface.
+  * This module is the documented growth path: the same aggregations
+  * expressed over `readStream`, with watermarks bounding state.
+  *
+  * At 100 TB/day these run as continuous jobs: watermark + windowed
+  * agg state lives in the state store partitioned by group key —
+  * identical shuffle shape to the batch plans, plus state GC.
+  */
+object EventStreams {
+
+  /** Schema of the events table with `ts` as a proper timestamp
+    * (streaming sources deliver decoded records, not raw parquet, so
+    * the NANOS workaround doesn't apply here). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded twin of q17: tumbling 1-hour windows per event type,
+    * 10-minute watermark for late data. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Unbounded twin of q18: gap-based sessions via the built-in
+    * session_window (30-minute inactivity gap) — Spark manages the
+    * merge/extend state that the batch formulation derives with
+    * lag + running sum. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("sum_value"))
+
+  /** Read a directory of JSON event files as an unbounded stream —
+    * the file-source analog of blow's Generator feeding a channel. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+
+  /** Run a streaming DataFrame to completion over currently-available
+    * data via the memory sink (test/smoke harness — mirrors the
+    * guide's processAllAvailable pattern). Returns the query; caller
+    * reads `spark.table(name)`. */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+    val started = q.start()
+    started.processAllAvailable()
+    started
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Streaming twins produce the same aggregates as the batch queries
+  * when fed the same (finite) data. Update mode is used so that with a
+  * single micro-batch every group is emitted exactly once (append mode
+  * withholds windows still ahead of the watermark; session windows
+  * support complete, not update) — the semantic-equivalence check
+  * that lets the batch oracle vouch for the streaming path. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  /** Materialize sf0.001 events as JSON files a file stream can read. */
+  lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .coalesce(1)
+      .write.mode("overwrite").json(dir + "/in")
+    dir + "/in"
+  }
+
+  test("streaming hourly counts match the batch q17 aggregation") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.hourlyCounts(stream), "hourly_out", outputMode = "update")
+    try {
+      val got = spark.table("hourly_out")
+        .select(col("window_start"), col("event_type"), col("n_events"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+        .toSet
+      val want = SparkEntry.queries("q17_hourly_windows")(spark, "/root/testdata/sf0.001")
+        .select((col("hour_bucket") * 3600L * 1000).as("ms"), col("event_type"),
+          col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("streaming session_window agrees with batch q18 on session count per user") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.sessions(stream), "sessions_out", outputMode = "complete")
+    try {
+      val got = spark.table("sessions_out")
+        .groupBy("user_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = SparkEntry.queries("q18_sessionization")(spark, "/root/testdata/sf0.001")
+        .groupBy("user_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+}
