@@ -434,7 +434,92 @@ object Relational {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY orderstatus, orderpriority""".stripMargin
 
+  /** q38 — supplier-side star join: revenue by supplier nation
+    * (completes table coverage — lineitem → supplier → nation branch
+    * of the join graph). Both dims broadcast (1k / 25 rows at sf0.1,
+    * still MB-scale against a 100 TB fact table), so the only shuffle
+    * is the 25-group aggregation. */
+  def q38(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  val q38Sql: String =
+    """SELECT n_name,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | count(DISTINCT s_suppkey) AS n_suppliers,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q39 — exact percentiles per group: Spark's `percentile` is the
+    * exact interpolated quantile (rank p·(n−1), linear interpolation)
+    * — the same definition as DuckDB's quantile_cont, so values agree
+    * after rounding. Exact percentile shuffles each group's values to
+    * one reducer; at 100 TB swap in approx_percentile (KLL-ish
+    * sketch, mergeable partials) — kept exact here for the oracle. */
+  def q39(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val q39Sql: String =
+    """SELECT o_orderpriority,
+      | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      | count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q40 — date/time function gauntlet over orders: extraction,
+    * truncation, arithmetic, calendar endpoints — all codegen'd
+    * Catalyst built-ins in one projection (no shuffle; the orderBy is
+    * presentation only). Day-of-week is avoided deliberately: Spark
+    * (1=Sunday) and DuckDB (0=Sunday) disagree by convention. */
+  def q40(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_left"))
+      .orderBy("o_orderkey")
+
+  val q40Sql: String =
+    """SELECT o_orderkey,
+      | CAST(year(o_orderdate) AS BIGINT) AS yr,
+      | CAST(month(o_orderdate) AS BIGINT) AS mo,
+      | CAST(day(o_orderdate) AS BIGINT) AS dom,
+      | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      | strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+      | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_left
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_supplier_revenue" -> q38 _,
+    "q39_percentiles" -> q39 _,
+    "q40_date_funcs" -> q40 _,
     "q01_pricing_summary" -> q01 _,
     "q02_filter_project" -> q02 _,
     "q03_top_orders" -> q03 _,
@@ -453,6 +538,9 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q38_supplier_revenue" -> q38Sql,
+    "q39_percentiles" -> q39Sql,
+    "q40_date_funcs" -> q40Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_top_orders" -> q03Sql,

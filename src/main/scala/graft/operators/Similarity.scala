@@ -124,11 +124,134 @@ object Similarity {
        |  WHERE a.vec_id <> q.q_id) t
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** Embedding-cosine near-duplicate threshold. The corpus has no
+    * planted exact duplicates (max pairwise cos ≈ 0.51 at sf0.01);
+    * 0.4 marks the measurably-correlated tail (59 pairs at sf0.01,
+    * 920 at sf0.1). */
+  private val NearDupCos = 0.4
+
+  /** q36 — embedding-cosine near-dup, exact: every unordered pair with
+    * cosine ≥ threshold. Inherently all-pairs (O(N²) flops) — the
+    * ground-truth/verifier path. One side broadcasts, the corpus
+    * streams once, and the native cosine keeps the pair loop inside
+    * WholeStageCodegen. At 100 TB this runs only on q37's LSH
+    * candidates; here it doubles as their oracle-checked truth. */
+  def q36(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = vecs(spark, sfDir)
+    val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    n.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q36Sql: String =
+    s"""WITH $normedSql
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+       |WHERE cos >= $NearDupCos
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  import graft.functions.DotProduct.dot_product
+
+  private val NumPlanes = 16
+  private val BandBits = 4 // 4 bands × 4 bits
+
+  /** Deterministic ±1 random-hyperplane matrix, derived from md5 so
+    * the DuckDB oracle recomputes the identical planes: component
+    * (p, d) is +1 iff the first hex nibble of md5("p_d") ≥ 8. */
+  private lazy val planes: IndexedSeq[Array[Double]] =
+    (0 until NumPlanes).map { p =>
+      Array.tabulate(64) { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"${p}_${d}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+      }
+    }
+
+  /** q37 — embedding near-dup via sign-random-projection LSH (the
+    * 100 TB path for q36): 16 deterministic ±1 hyperplane projections
+    * → 16 sign bits → 4 bands × 4 bits; vectors sharing any band
+    * signature are candidates; exact cosine then keeps true pairs.
+    * Candidate generation is a shuffle on (band_idx, band_val) —
+    * sub-quadratic, never an all-pairs product; the candidate→vector
+    * joins broadcast (candidates are O(near-dup pairs)). Recall is
+    * tunable via planes/bands; everything downstream of the
+    * deterministic planes is exact, so the oracle reproduces it. */
+  def q37(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = vecs(spark, sfDir)
+    val bits = (0 until NumPlanes).map(p =>
+      when(dot_product(col("v"), typedlit(planes(p).toSeq)) >= 0, "1")
+        .otherwise("0").as(s"b$p"))
+    val bandPairs = (0 until NumPlanes / BandBits)
+      .map(b => s"$b, concat(${(0 until BandBits).map(i => s"b${BandBits * b + i}").mkString(", ")})")
+      .mkString(", ")
+    val cand = n.select(col("vec_id") +: bits: _*)
+      .select(col("vec_id"),
+        expr(s"stack(${NumPlanes / BandBits}, $bandPairs) AS (band_idx, band_val)"))
+      .groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> named_struct('vec_a', a, 'vec_b', b))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
+      .distinct()
+    cand
+      .join(broadcast(n.select(col("vec_id").as("vec_a"), col("v").as("va"))), "vec_a")
+      .join(broadcast(n.select(col("vec_id").as("vec_b"), col("v").as("vb"))), "vec_b")
+      .withColumn("cos", cosine_sim(col("va"), col("vb")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q37Sql: String =
+    s"""WITH $normedSql,
+       |planes AS (
+       |  SELECT p.p AS p, d.d AS d,
+       |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1) >= '8'
+       |         THEN 1.0 ELSE -1.0 END AS s
+       |  FROM range($NumPlanes) p(p), range(64) d(d)
+       |), pl AS (
+       |  SELECT p, list(s ORDER BY d) AS sv FROM planes GROUP BY p
+       |), bits AS (
+       |  SELECT n.vec_id, pl.p,
+       |    CASE WHEN list_inner_product(n.v, pl.sv) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM n, pl
+       |), sig AS (
+       |  SELECT vec_id, p // $BandBits AS band_idx,
+       |    string_agg(bit, '' ORDER BY p) AS band_val
+       |  FROM bits GROUP BY vec_id, p // $BandBits
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+       |  SELECT vec_a, vec_b,
+       |    list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
+       |  FROM cand
+       |  JOIN n na ON na.vec_id = vec_a
+       |  JOIN n nb ON nb.vec_id = vec_b) t
+       |WHERE cos >= $NearDupCos
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_knn_brute" -> q29 _,
-    "q30_ann_ivf" -> q30 _)
+    "q30_ann_ivf" -> q30 _,
+    "q36_embed_neardup" -> q36 _,
+    "q37_srp_lsh_neardup" -> q37 _)
 
   val oracles: Map[String, String] = Map(
     "q29_knn_brute" -> q29Sql,
-    "q30_ann_ivf" -> q30Sql)
+    "q30_ann_ivf" -> q30Sql,
+    "q36_embed_neardup" -> q36Sql,
+    "q37_srp_lsh_neardup" -> q37Sql)
 }

@@ -199,7 +199,43 @@ object TextAnalysis {
       | round(avg(CAST(n_sub AS DOUBLE) / n_ws), 6) AS sub_per_ws
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** q41 — skew-safe heavy hitters: top-10 tokens per language,
+    * computed with an explicit two-stage salted aggregation — stage 1
+    * groups on (salt, lang, tok) so a pathologically hot token spreads
+    * over 16 reducers; stage 2 merges the partial counts. Semantically
+    * identical to a direct groupBy (the oracle is the plain GROUP BY),
+    * but the plan shape survives a 100 TB corpus where one token
+    * ("the") would otherwise pin a single reducer. AQE's skew handling
+    * covers joins, not aggregations — hence the manual salt. */
+  def q41(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = tok
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(16)))
+      .groupBy("salt", "lang", "tok")
+      .agg(count(lit(1)).as("pc"))
+      .groupBy("lang", "tok")
+      .agg(sum("pc").as("cnt"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("tok"), col("cnt"))
+      .orderBy("lang", "rk")
+  }
+
+  val q41Sql: String =
+    """SELECT lang, rk, tok, cnt FROM (
+      |  SELECT lang, tok, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
+      |  FROM (
+      |    SELECT lang, tok, count(*) AS cnt
+      |    FROM (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents) t
+      |    GROUP BY lang, tok) c) r
+      |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_salted_heavy_hitters" -> q41 _,
     "q25_token_stats" -> q25 _,
     "q26_quality_score" -> q26 _,
     "q27_langid" -> q27 _,
@@ -207,6 +243,7 @@ object TextAnalysis {
     "q34_regex_tokens" -> q34 _)
 
   val oracles: Map[String, String] = Map(
+    "q41_salted_heavy_hitters" -> q41Sql,
     "q25_token_stats" -> q25Sql,
     "q26_quality_score" -> q26Sql,
     "q27_langid" -> q27Sql,

@@ -80,6 +80,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q37 SRP-LSH near-dups ⊆ q36 exact near-dups (no false positives)") {
+    val exact = SparkEntry.queries("q36_embed_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q37_srp_lsh_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(lsh.nonEmpty)
+  }
+
+  test("q41 salted heavy hitters: counts match a direct (unsalted) groupBy") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("q41_salted_heavy_hitters")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(2)), r.getAs[Long]("cnt"))).toMap
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("count"))).toMap
+    salted.foreach { case (k, v) => assert(direct(k) === v, s"key $k") }
+  }
+
   test("q31/q32: SQL twin and mapPartitions stub agree on decode output") {
     val sqlSide = SparkEntry.queries("q31_media_metadata")(spark, sf)
       .collect().map(r => (r.getAs[Long]("doc_id"),
