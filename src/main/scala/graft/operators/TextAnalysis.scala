@@ -138,12 +138,19 @@ object TextAnalysis {
     * fingerprint-partitioned window. Docs sharing `fp_min` are
     * candidate containment duplicates. */
   def q28(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Typed flatMap shingle expansion (not transform(sequence(...))):
+    // higher-order Catalyst functions are CodegenFallback and measured
+    // 3-5× slower — see Dedup.shingles. md5 stays Catalyst (codegen'd).
     val fp = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-4), i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))"))
-        .as("h"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(' ')
+        if (t.length < 4) Iterator.empty
+        else (0 to t.length - 4).iterator
+          .map(i => (id, t.slice(i, i + 4).mkString(" ")))
+      }.toDF("doc_id", "sh")
+      .select(col("doc_id"), md5(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(min("h").as("fp_min"), max("h").as("fp_max"),
         countDistinct(col("h")).as("n_shingles"))
