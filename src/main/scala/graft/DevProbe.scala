@@ -3,6 +3,7 @@ package graft
 // Scratch dev profiler for hotspot queries — not part of the contract.
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 object DevProbe {
   def main(args: Array[String]): Unit = {
@@ -13,6 +14,7 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"${(System.nanoTime() - t0) / 1e9}%7.2f  $label"); r
@@ -21,33 +23,57 @@ object DevProbe {
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-    val shRaw = toks.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
-    time("shRaw.count")(shRaw.count())
-    import spark.implicits._
-    val shFlat = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    def shFlat = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = text.split(' ')
         if (t.length < 3) Iterator.empty
         else (0 to t.length - 3).iterator.map(i => (id, s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
       }.toDF("doc_id", "sh")
-    time("shFlat.count")(shFlat.count())
-    time("shFlat.count2")(shFlat.count())
-    time("shFlat.distinct")(shFlat.distinct().count())
-    time("shRaw.distinct")(shRaw.distinct().count())
-    val minhashes = (0 until 12).map(s =>
-      min(md5(concat_ws("#", col("sh"), lit(s.toString)))).as(s"m$s"))
-    time("12-md5 minhash agg")(shRaw.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*).count())
-    time("collectset by sh")(
-      shRaw.groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1).count())
-    time("q22 full")(operators.Dedup.q22(spark, sfDir).count())
-    time("q23 full")(operators.Dedup.q23(spark, sfDir).count())
-    time("q27 full")(operators.TextAnalysis.q27(spark, sfDir).count())
-    time("q37 full")(operators.Similarity.q37(spark, sfDir).count())
-    time("q37 again")(operators.Similarity.q37(spark, sfDir).count())
+
+    // --- q22 variants ---
+    time("q22 current")(operators.Dedup.q22(spark, sfDir).count())
+    locally {
+      val minhashes = (0 until 12).map(s =>
+        min(md5(concat_ws("#", col("sh"), lit(s.toString)))).as(s"m$s"))
+      val sig = shFlat.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("q22alt sig persist+count")(sig.count())
+      val bandPairs = (0 until 6).map(b => s"$b, concat(m${2 * b}, m${2 * b + 1})").mkString(", ")
+      val bands = sig.select(col("doc_id"),
+        expr(s"stack(6, $bandPairs) AS (band_idx, band_val)"))
+      val out = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b")),
+          Seq("band_idx", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b")
+      time("q22alt join+distinct")(out.count())
+      sig.unpersist()
+    }
+
+    // --- q23 stages (current persisted form) ---
+    time("q23 current")(operators.Dedup.q23(spark, sfDir).count())
+    spark.catalog.clearCache()
+    locally {
+      // alt: no persist, collect_set single-pass inter, cheap second pass for sizes
+      val sizes = shFlat.groupBy("doc_id").agg(countDistinct(col("sh")).as("n_sh"))
+      val inter = shFlat.groupBy("sh")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids)),
+            |    b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a")), "doc_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b")), "doc_b")
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+        .filter(col("jaccard") >= 0.5)
+      time("q23alt collect_set no-persist")(out.count())
+    }
+    time("q27 current")(operators.TextAnalysis.q27(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession pre-configured the way the
+  * engine expects — UTC session timezone (oracle parity), shuffle
+  * parallelism sized to cores (not the 200 default, which at small
+  * scale means mostly-empty reducers and at cluster scale should be
+  * set to ~2-3× total cores), and the graft Catalyst extensions
+  * (native vector functions + the dot-product rewrite rule,
+  * graft.plans.GraftExtensions).
+  *
+  * Users who already own a session can instead set
+  * `spark.sql.extensions=graft.plans.GraftExtensions` and call
+  * `graft.functions.CosineSimilarity.register(spark)` /
+  * `DotProduct.register(spark)`.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+}

@@ -101,17 +101,24 @@ object Dedup {
   def q22(spark: SparkSession, sfDir: String): DataFrame = {
     val minhashes = (0 until NumHashes).map(s =>
       min(md5(concat_ws("#", col("sh"), lit(s.toString)))).as(s"m$s"))
+    // Persist the signature table (N docs × 12 hex strings — tiny
+    // relative to the corpus) and self-join on the band key: the
+    // codegen'd hash join beats the collect_list + higher-order pair
+    // expansion (CodegenFallback) and the expensive shingle→minhash
+    // subtree runs exactly once.
     val sig = shingles(spark, sfDir, distinct = false).groupBy("doc_id")
       .agg(minhashes.head, minhashes.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // eager materialization — see q23
     val bandPairs = (0 until NumHashes / BandRows)
       .map(b => s"$b, concat(m${2 * b}, m${2 * b + 1})").mkString(", ")
-    sig.select(col("doc_id"),
-        expr(s"stack(${NumHashes / BandRows}, $bandPairs) AS (band_idx, band_val)"))
-      .groupBy("band_idx", "band_val")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(pairsExpr)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    val bands = sig.select(col("doc_id"),
+      expr(s"stack(${NumHashes / BandRows}, $bandPairs) AS (band_idx, band_val)"))
+    bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -140,21 +147,17 @@ object Dedup {
     * LSH candidates (q22) only; here it doubles as the oracle-checked
     * ground truth for them. */
   def q23(spark: SparkSession, sfDir: String): DataFrame = {
-    // Persist the distinct shingle set: both downstream branches
-    // (per-doc sizes, per-shingle buckets) consume it, and the
-    // shingle expansion + dedup shuffle measured ~2.5 s at sf0.1 —
-    // evaluating it twice doubled the query. At 100 TB the shingle
-    // table is O(corpus tokens); MEMORY_AND_DISK spills to local disk
-    // (the standard CDC/near-dup pipeline materializes this table
-    // anyway — usually to parquet between stages).
-    val sh = shingles(spark, sfDir, distinct = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // materialize once, eagerly: both branches below would
-    // otherwise race to populate the cache and duplicate the work
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh
+    // Two passes over the raw (cheap, typed-flatMap) shingle stream —
+    // no distinct pre-shuffle, no persist: collect_set dedups doc ids
+    // inside the per-shingle buckets and countDistinct handles the
+    // per-doc sizes, so each pass is a single shuffle. Measured faster
+    // than persisting the distinct shingle set (the persist
+    // materialization itself costs more than re-running the flatMap).
+    val shRaw = shingles(spark, sfDir, distinct = false)
+    val sizes = shRaw.groupBy("doc_id").agg(countDistinct(col("sh")).as("n_sh"))
+    val inter = shRaw
       .groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(pairsExpr)).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))

@@ -107,12 +107,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q42 — frame sampling: expand each media blob into its sampled
+    * frames (every 5th of n_frames), one output row per frame, with a
+    * deterministic per-frame content id — the 1→N generate/explode
+    * shape of video frame extraction. The expansion is a codegen'd
+    * `sequence` + explode (Generate) — no shuffle at all until the
+    * presentation sort; at 100 TB frame extraction stays embarrassingly
+    * parallel and the downstream (per-frame decode, q32-style) sees
+    * a row stream already partitioned by source file. A real decoder
+    * replaces the md5 frame id with pixel data (StubCodec note). */
+  def q42(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"),
+        (col("n_chars") % 30 + 1).as("n_frames"))
+      .select(col("doc_id"), col("content_md5"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("n_frames"),
+        md5(concat_ws("_", col("content_md5"), col("frame_idx"))).as("frame_id"))
+      .orderBy("doc_id", "frame_idx")
+
+  val q42Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, md5(text) AS content_md5, n_chars % 30 + 1 AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, n_frames,
+      | md5(content_md5 || '_' || CAST(frame_idx AS VARCHAR)) AS frame_id
+      |FROM (SELECT doc_id, content_md5, n_frames,
+      |        unnest(range(0, n_frames, 5)) AS frame_idx
+      |      FROM m) t
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_media_metadata" -> q31 _,
-    "q32_media_decode_stub" -> q32 _)
+    "q32_media_decode_stub" -> q32 _,
+    "q42_frame_sample" -> q42 _)
 
   /** q32 is intentionally absent: mapPartitions over a typed Dataset is
     * not SQL-expressible — the driver records a rows-only check. */
   val oracles: Map[String, String] = Map(
-    "q31_media_metadata" -> q31Sql)
+    "q31_media_metadata" -> q31Sql,
+    "q42_frame_sample" -> q42Sql)
 }

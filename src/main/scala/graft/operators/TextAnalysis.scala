@@ -86,8 +86,13 @@ object TextAnalysis {
     * scoring join is a broadcast hash join against every token. */
   def q27(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // Both the profile (train) and scoring (test) branches consume the
+    // token stream; persist it once (doc_id, lang, tok — O(corpus
+    // tokens), MEMORY_AND_DISK spills) instead of re-exploding.
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tok.count() // eager, so the two branches don't race the cache
     val profile = tok.filter(col("doc_id") % 5 === 0)
       .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: the dot-product rewrite rule and SQL function
+  * registration, on a dedicated session (extensions are fixed at
+  * session build time, so the shared test session can't be reused). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .getOrCreate()
+
+  private def df = {
+    import spark.implicits._
+    Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.0, 2.5), Array(1.5, 0.0, -2.0))).toDF("a", "b")
+  }
+
+  test("HOF aggregate(zip_with(...)) dot product is rewritten to native dot_product") {
+    // Assert on a parquet-backed plan: a LocalRelation would be
+    // constant-folded end-to-end and hide the rewritten expression.
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .createOrReplaceTempView("emb_plan")
+    val q = spark.sql(
+      "SELECT aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, w) -> acc + w) AS dot FROM emb_plan")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product"), s"rule did not fire:\n$optimized")
+
+    df.createOrReplaceTempView("vecs")
+    val got = spark.sql(
+      "SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS dot FROM vecs")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(1.0 * 4 + 2 * 5 + 3 * 6, 0.5 * 1.5 + 0.0 - 5.0))
+  }
+
+  test("injected SQL functions dot_product / cosine_sim evaluate correctly") {
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT dot_product(a, b) AS d, cosine_sim(a, a) AS c FROM vecs").collect()
+    assert(r.map(_.getDouble(0)).toSeq === Seq(32.0, -4.25))
+    r.foreach(row => assert(math.abs(row.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  test("rewrite preserves results vs the interpreted HOF on real embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    e.createOrReplaceTempView("emb")
+    val viaRule = spark.sql(
+      """SELECT vec_id, aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, v2) -> acc + v2) AS ss
+        |FROM emb ORDER BY vec_id""".stripMargin).collect()
+    val native = spark.sql(
+      "SELECT vec_id, dot_product(v, v) AS ss FROM emb ORDER BY vec_id").collect()
+    viaRule.zip(native).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      assert(a.getDouble(1) === b.getDouble(1)) // bitwise: same accumulation order
+    }
+  }
+}
