@@ -45,6 +45,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState user totals match the batch groupBy") {
+    import graft.streaming.{Ev, StatefulOps}
+    import graft.streaming.StatefulOps.evEnc
+    val stream = EventStreams.readEventStream(spark, streamDir).as[Ev]
+    val q = EventStreams.runToMemory(
+      StatefulOps.userTotals(stream).toDF(), "totals_out", outputMode = "update")
+    try {
+      val got = spark.table("totals_out")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100))))
+        .toMap
+      val want = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), math.round(r.getDouble(2) * 100))))
+        .toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessions = batch q18 sessions minus each user's open tail") {
+    import graft.streaming.{Ev, StatefulOps}
+    import graft.streaming.StatefulOps.evEnc
+    val stream = EventStreams.readEventStream(spark, streamDir).as[Ev]
+    val q = EventStreams.runToMemory(
+      StatefulOps.sessionsCustom(stream).toDF(), "custom_sessions", outputMode = "append")
+    try {
+      val got = spark.table("custom_sessions")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch truth: all sessions except each user's last (still open in state)
+      val batch = SparkEntry.queries("q18_sessionization")(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("start_ns") / 1000000L, r.getAs[Long]("end_ns") / 1000000L,
+          r.getAs[Long]("n_events")))
+      val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val want = batch.filter(s => s._2 != lastPerUser(s._1))
+        .map(s => (s._1, s._3, s._4, s._5)).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming session_window agrees with batch q18 on session count per user") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     val q = EventStreams.runToMemory(
