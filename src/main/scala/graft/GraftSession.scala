@@ -23,4 +23,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // also applied programmatically: the conf-string path is not
+      // re-read when the builder reuses an existing SparkContext
+      .withExtensions(new graft.plans.GraftExtensions)
 }

@@ -138,14 +138,55 @@ object Multimodal {
       |      FROM m) t
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q44 — resize planning: thumbnail dimensions (longest side → 64,
+    * aspect preserved, integer arithmetic) for every media blob, from
+    * the q31 metadata. The real pixel resample belongs in the q32
+    * mapPartitions stage (StubCodec note); this computes the target
+    * geometry the way a 100 TB thumbnailing job plans work: a pure
+    * narrow projection, so planning never shuffles and the decode
+    * stage receives (blob, target_w, target_h) rows ready to batch. */
+  def q44(spark: SparkSession, sfDir: String): DataFrame = {
+    val hexv = (i: Int) =>
+      instr(lit("0123456789abcdef"), substring(col("h"), i, 1)) - 1
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .select(col("doc_id"),
+        (hexv(1) * 16 + hexv(2)).cast("long").as("width"),
+        (hexv(3) * 16 + hexv(4)).cast("long").as("height"))
+      // zero-dimension guard: md5 nibbles can be 00
+      .filter(col("width") > 0 && col("height") > 0)
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit(64L))
+          .otherwise((col("width") * 64L) / col("height")).cast("long").as("thumb_w"),
+        when(col("width") >= col("height"), (col("height") * 64L) / col("width"))
+          .otherwise(lit(64L)).cast("long").as("thumb_h"))
+      .orderBy("doc_id")
+  }
+
+  val q44Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST((strpos('0123456789abcdef', substring(md5(text),1,1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substring(md5(text),2,1)) - 1) AS BIGINT) AS width,
+      |    CAST((strpos('0123456789abcdef', substring(md5(text),3,1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substring(md5(text),4,1)) - 1) AS BIGINT) AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      | CAST(CASE WHEN width >= height THEN 64 ELSE (width * 64) // height END AS BIGINT) AS thumb_w,
+      | CAST(CASE WHEN width >= height THEN (height * 64) // width ELSE 64 END AS BIGINT) AS thumb_h
+      |FROM m WHERE width > 0 AND height > 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_media_metadata" -> q31 _,
     "q32_media_decode_stub" -> q32 _,
-    "q42_frame_sample" -> q42 _)
+    "q42_frame_sample" -> q42 _,
+    "q44_resize_plan" -> q44 _)
 
   /** q32 is intentionally absent: mapPartitions over a typed Dataset is
     * not SQL-expressible — the driver records a rows-only check. */
   val oracles: Map[String, String] = Map(
     "q31_media_metadata" -> q31Sql,
-    "q42_frame_sample" -> q42Sql)
+    "q42_frame_sample" -> q42Sql,
+    "q44_resize_plan" -> q44Sql)
 }

@@ -516,7 +516,34 @@ object Relational {
       | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_left
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q43 — pivot (cross-tab): document counts by source × language.
+    * The value domain is declared explicitly (no values-discovery
+    * collect — at 100 TB an undeclared pivot first runs a distinct on
+    * the pivot column and materializes it on the driver); the pivot
+    * compiles to one partial-aggregated shuffle with 5 conditional
+    * counts per group, nulls zero-filled to match the oracle's
+    * FILTER counts. */
+  def q43(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val p = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+    p.select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy("source")
+  }
+
+  val q43Sql: String =
+    """SELECT source,
+      | count(*) FILTER (WHERE lang='de') AS de,
+      | count(*) FILTER (WHERE lang='en') AS en,
+      | count(*) FILTER (WHERE lang='es') AS es,
+      | count(*) FILTER (WHERE lang='fr') AS fr,
+      | count(*) FILTER (WHERE lang='zh') AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_pivot" -> q43 _,
     "q38_supplier_revenue" -> q38 _,
     "q39_percentiles" -> q39 _,
     "q40_date_funcs" -> q40 _,
@@ -538,6 +565,7 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q43_pivot" -> q43Sql,
     "q38_supplier_revenue" -> q38Sql,
     "q39_percentiles" -> q39Sql,
     "q40_date_funcs" -> q40Sql,

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch source/sink surface beyond parquet. The reference's only
+  * ingress is an in-process generator and its only egress a println
+  * side effect (`/root/reference/maps/maps.go:8-10,23-32`); a usable
+  * engine needs real formats. All of these are thin, explicit wrappers
+  * over the built-in DataSource V2 readers/writers — schemas are
+  * always supplied for text formats (schema inference is a full extra
+  * pass over the data: never acceptable at 100 TB).
+  *
+  * Sinks default to overwrite semantics; writers parallelize per
+  * partition (no driver funneling). CSV/JSON are interchange formats —
+  * at scale, land data in parquet (columnar, statistics, pushdown).
+  */
+object Formats {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Partitioned parquet sink (directory-per-value layout): the 100 TB
+    * table layout — partition pruning turns predicates on the
+    * partition column into directory skips before any I/O. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+}

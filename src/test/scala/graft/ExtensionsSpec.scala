@@ -8,14 +8,29 @@ import org.scalatest.funsuite.AnyFunSuite
   * session build time, so the shared test session can't be reused). */
 class ExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // getOrCreate() would hand back the shared (extension-less) test
+    // session when the whole suite runs; clear the active/default
+    // handles so the builder constructs a NEW session (reusing the
+    // JVM's SparkContext) with GraftExtensions applied, then restore
+    // the shared session as default for the other suites.
+    val shared = SparkTestSession.get
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // withExtensions (not the config string): when the builder reuses
+      // an existing SparkContext the conf-driven path is not re-read.
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    s
+  }
 
   private def df = {
     import spark.implicits._

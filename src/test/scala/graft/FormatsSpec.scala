@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Formats, Tables}
+
+/** Round-trip every non-parquet format through a real fixture table
+  * and assert exact value equality — the source/sink coverage the
+  * reference lacks entirely. */
+class FormatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val sf = "/root/testdata/sf0.001"
+
+  private def nationSorted = Tables.nation(spark, sf).orderBy("n_nationkey")
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy("n_nationkey").collect().toSeq.map(_.toSeq)
+
+  test("csv round-trip preserves all values (explicit schema, no inference pass)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Formats.writeCsv(nationSorted, dir)
+    val back = Formats.readCsv(spark, dir, nationSorted.schema)
+    assert(rowsOf(back) === rowsOf(nationSorted))
+  }
+
+  test("json round-trip preserves all values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Formats.writeJson(nationSorted, dir)
+    val back = Formats.readJson(spark, dir, nationSorted.schema)
+    assert(rowsOf(back) === rowsOf(nationSorted))
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Formats.writePartitioned(Tables.customer(spark, sf), dir, Seq("c_mktsegment"))
+    val pruned = Formats.readParquet(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    // partition pruning: the physical scan lists only the matching directory
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ===
+      Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING").count())
+    assert(!scan.contains("c_mktsegment=AUTOMOBILE"))
+  }
+}
