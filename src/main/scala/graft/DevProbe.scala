@@ -74,6 +74,23 @@ object DevProbe {
       time("q23alt collect_set no-persist")(out.count())
     }
     time("q27 current")(operators.TextAnalysis.q27(spark, sfDir).count())
+    locally {
+      // q23 via direct self-join on sh (DuckDB-style)
+      val sizes = shFlat.groupBy("doc_id").agg(countDistinct(col("sh")).as("n_sh"))
+      val shD = shFlat.distinct()
+      val inter = shD.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(shD.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a")), "doc_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b")), "doc_b")
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+        .filter(col("jaccard") >= 0.5)
+      time("q23 self-join variant")(out.count())
+    }
     spark.stop()
   }
 }

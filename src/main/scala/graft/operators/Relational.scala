@@ -542,7 +542,30 @@ object Relational {
       | count(*) FILTER (WHERE lang='zh') AS zh
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q45 — custom typed Aggregator (UDAF): geometric mean of order
+    * totals per priority, next to the built-in arithmetic mean. The
+    * log-sum buffer is mergeable, so the plan is the standard partial
+    * + final two-phase aggregate — custom aggregation logic, built-in
+    * scale shape. */
+  def q45(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(graft.functions.GeoMean.geo_mean(col("o_totalprice")), 4).as("geo_mean_price"),
+        round(avg("o_totalprice"), 4).as("arith_mean_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val q45Sql: String =
+    """SELECT o_orderpriority,
+      | round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price,
+      | round(avg(o_totalprice), 4) AS arith_mean_price,
+      | count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_geomean_udaf" -> q45 _,
     "q43_pivot" -> q43 _,
     "q38_supplier_revenue" -> q38 _,
     "q39_percentiles" -> q39 _,
@@ -565,6 +588,7 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q45_geomean_udaf" -> q45Sql,
     "q43_pivot" -> q43Sql,
     "q38_supplier_revenue" -> q38Sql,
     "q39_percentiles" -> q39Sql,
