@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Pipeline
+
+/** Property-based checks (SURVEY.md §5.3): algebraic invariants that
+  * must hold for arbitrary inputs, not just the fixtures. Spark-backed
+  * properties use few trials with small data (each trial is a job);
+  * pure-function properties use ScalaCheck defaults. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private def check(prop: Prop, trials: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("GeoMean: any buffer split merges to the sequential result (mergeability)") {
+    import graft.functions.GeoMean
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.choose(1e-3, 1e6))
+      k <- Gen.choose(0, xs.length)
+    } yield (xs, k)
+    check(Prop.forAll(gen) { case (xs, k) =>
+      val (l, r) = xs.splitAt(k)
+      val seqBuf = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
+      val merged = GeoMean.merge(
+        l.foldLeft(GeoMean.zero)(GeoMean.reduce),
+        r.foldLeft(GeoMean.zero)(GeoMean.reduce))
+      val a = GeoMean.finish(seqBuf)
+      val b = GeoMean.finish(merged)
+      math.abs(a - b) <= 1e-9 * math.max(math.abs(a), 1.0)
+    })
+  }
+
+  test("GeoMean: equals exp(mean(ln x)) on positive inputs") {
+    import graft.functions.GeoMean
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1e-3, 1e6))) { xs =>
+      val got = GeoMean.finish(xs.foldLeft(GeoMean.zero)(GeoMean.reduce))
+      val want = math.exp(xs.map(math.log).sum / xs.length)
+      math.abs(got - want) <= 1e-9 * math.max(want, 1.0)
+    })
+  }
+
+  test("StubCodec: decode is a pure function of the payload bytes") {
+    import graft.operators.{MediaBlob, Multimodal}
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val blob = MediaBlob(1L, bytes.toArray, "src")
+      val a = Multimodal.StubCodec.decode(blob)
+      val b = Multimodal.StubCodec.decode(MediaBlob(1L, bytes.toArray, "other"))
+      a.width == b.width && a.height == b.height && a.n_frames == b.n_frames &&
+        a.width >= 0 && a.width <= 255 && a.height >= 0 && a.height <= 255 &&
+        a.n_frames >= 1 && a.n_frames <= 30 && a.n_bytes == bytes.length
+    })
+  }
+
+  test("pipeline: mapLocalParallel output multiset is invariant to lane count (blow's lane routing)") {
+    import spark.implicits._
+    val gen = for {
+      xs <- Gen.listOfN(30, Gen.choose(-100, 100))
+      lanes <- Gen.choose(1, 6)
+    } yield (xs, lanes)
+    check(Prop.forAll(gen) { case (xs, lanes) =>
+      val base = Pipeline.generatorSource(spark, xs)
+        .mapLocal(x => Seq(x, x * 2)).ds.collect().sorted.toSeq
+      val par = Pipeline.generatorSource(spark, xs)
+        .mapLocalParallel(x => Seq(x, x * 2), lanes)(identity)
+        .ds.collect().sorted.toSeq
+      base == par
+    }, trials = 8)
+  }
+
+  test("exact dedup is idempotent: dropDuplicates ∘ dropDuplicates ≡ dropDuplicates") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(50, Gen.choose(0, 10))) { xs =>
+      val df = xs.toDF("v")
+      val once = df.dropDuplicates("v").collect().map(_.getInt(0)).sorted.toSeq
+      val twice = df.dropDuplicates("v").dropDuplicates("v")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      once == twice && once == xs.distinct.sorted
+    }, trials = 8)
+  }
+}
