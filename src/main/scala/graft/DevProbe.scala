@@ -50,6 +50,29 @@ object DevProbe {
       sig.unpersist()
     }
 
+    locally {
+      // q22 via Kirsch-Mitzenmacher double hashing: 1 md5 per shingle,
+      // 12 derived hashes h1 + s*h2 (32-bit halves, no overflow)
+      val withH = shFlat
+        .withColumn("h", md5(col("sh")))
+        .withColumn("h1", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("h2", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
+      val minhashes = (0 until 12).map(s => min(col("h1") + lit(s) * col("h2")).as(s"m$s"))
+      val sig = withH.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("q22km sig persist+count")(sig.count())
+      val bandPairs = (0 until 6).map(b => s"$b, concat_ws('_', m${2 * b}, m${2 * b + 1})").mkString(", ")
+      val bands = sig.select(col("doc_id"),
+        expr(s"stack(6, $bandPairs) AS (band_idx, band_val)"))
+      val out = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b")),
+          Seq("band_idx", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b")
+      time("q22km join+distinct")(out.count())
+      sig.unpersist()
+    }
+
     // --- q23 stages (current persisted form) ---
     time("q23 current")(operators.Dedup.q23(spark, sfDir).count())
     spark.catalog.clearCache()

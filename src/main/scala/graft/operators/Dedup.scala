@@ -99,19 +99,29 @@ object Dedup {
     * should be routed to exact dedup first (q21); bucket sizes here
     * are bounded by true near-dup cluster size. */
   def q22(spark: SparkSession, sfDir: String): DataFrame = {
+    // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, split
+    // into two 32-bit halves h1/h2; the s-th hash is h1 + s·h2 (fits
+    // in 36 bits — no overflow on either engine). Replaces 12 md5
+    // evaluations per shingle row with one — measured ~40% off the
+    // signature stage at sf0.1 — and shuffles 8-byte longs instead of
+    // 32-char hex strings. min() over the derived family is the same
+    // MinHash estimator (KM 2006 shows two independent hashes suffice).
+    val withH = shingles(spark, sfDir, distinct = false)
+      .withColumn("h", md5(col("sh")))
+      .withColumn("h1", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
     val minhashes = (0 until NumHashes).map(s =>
-      min(md5(concat_ws("#", col("sh"), lit(s.toString)))).as(s"m$s"))
-    // Persist the signature table (N docs × 12 hex strings — tiny
-    // relative to the corpus) and self-join on the band key: the
-    // codegen'd hash join beats the collect_list + higher-order pair
-    // expansion (CodegenFallback) and the expensive shingle→minhash
-    // subtree runs exactly once.
-    val sig = shingles(spark, sfDir, distinct = false).groupBy("doc_id")
+      min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s"))
+    // Persist the signature table (N docs × 12 longs — tiny relative
+    // to the corpus) and self-join on the band key: the codegen'd
+    // hash join beats the collect_list + higher-order pair expansion
+    // (CodegenFallback) and the shingle→minhash subtree runs once.
+    val sig = withH.groupBy("doc_id")
       .agg(minhashes.head, minhashes.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count() // eager materialization — see q23
     val bandPairs = (0 until NumHashes / BandRows)
-      .map(b => s"$b, concat(m${2 * b}, m${2 * b + 1})").mkString(", ")
+      .map(b => s"$b, concat_ws('_', m${2 * b}, m${2 * b + 1})").mkString(", ")
     val bands = sig.select(col("doc_id"),
       expr(s"stack(${NumHashes / BandRows}, $bandPairs) AS (band_idx, band_val)"))
     bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
@@ -125,12 +135,19 @@ object Dedup {
 
   val q22Sql: String = {
     val minhashes = (0 until NumHashes)
-      .map(s => s"min(md5(sh || '#$s')) AS m$s").mkString(", ")
+      .map(s => s"min(h1 + $s * h2) AS m$s").mkString(", ")
     val bandSelects = (0 until NumHashes / BandRows)
-      .map(b => s"SELECT doc_id, $b AS band_idx, m${2 * b} || m${2 * b + 1} AS band_val FROM mh")
+      .map(b => s"SELECT doc_id, $b AS band_idx, " +
+        s"CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR) AS band_val FROM mh")
       .mkString("\n  UNION ALL ")
     s"""WITH $shinglesSql,
-       |mh AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substring(md5(sh), 9, 8)) AS BIGINT) AS h2
+       |  FROM sh
+       |),
+       |mh AS (SELECT doc_id, $minhashes FROM hashed GROUP BY doc_id),
        |bands AS (
        |  $bandSelects
        |)
@@ -199,18 +216,29 @@ object Dedup {
     * (which adds the orderBy) and q35 (which would only waste a sort
     * before its block-key shuffle). */
   private def simhashSig(spark: SparkSession, sfDir: String): DataFrame = {
-    val hexDigits = "0123456789abcdef"
+    // Bit p of a token's md5 is the high bit of hex nibble p. Rather
+    // than 32 substring+instr chains (huge generated code, measured
+    // bimodal JIT behavior), decode the 32 nibbles as four 32-bit
+    // integer chunks once and extract bits with shift/and; the vote
+    // s_p = Σ±1 > 0 is equivalent to 2·(count of 1-bits) > n.
+    // Values are bit-identical to the strpos formulation the DuckDB
+    // oracle keeps using.
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val votes = (1 to 32).map { p =>
-      sum(when(instr(lit(hexDigits), substring(col("h"), p, 1)) - 1 >= 8, 1)
-        .otherwise(-1)).as(s"s$p")
+      .withColumn("c0", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("c1", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
+      .withColumn("c2", expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)"))
+      .withColumn("c3", expr("CAST(conv(substring(h, 25, 8), 16, 10) AS BIGINT)"))
+    val bitSums = (1 to 32).map { p =>
+      val chunk = (p - 1) / 8
+      val shift = 4 * (7 - (p - 1) % 8) + 3
+      sum(expr(s"(c$chunk >> $shift) & 1")).as(s"b$p")
     }
     tok.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
+      .agg(count(lit(1)).as("n"), bitSums: _*)
       .select(col("doc_id"),
-        (1 to 32).map(p => when(col(s"s$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
+        (1 to 32).map(p => when(col(s"b$p") * 2 > col("n"), lit(1L << (p - 1))).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
@@ -243,64 +271,115 @@ object Dedup {
     s"""WITH $simhashCte
        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
 
+  /** 64-bit SimHash signature stored as four 16-bit blocks
+    * (doc_id, s0..s3): bit p (0-based) is the majority vote of bit p
+    * of each token's 128-bit md5 (decoded as two 32-bit chunks,
+    * shift/and bit extraction — small generated code). Kept as four
+    * shorts rather than one packed long so neither engine hits signed
+    * 64-bit overflow on bit 63, and the banding blocks ARE the
+    * columns. */
+  private def simhashSig64(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .withColumn("c0", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("c1", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 64).map { p =>
+      sum(expr(s"(c${p / 32} >> ${31 - p % 32}) & 1")).as(s"b$p")
+    }
+    val withBits = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val blockCols = (0 until 4).map { blk =>
+      (0 until 16).map { i =>
+        val p = 16 * blk + i
+        when(col(s"b$p") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"s$blk")
+    }
+    withBits.select(col("doc_id") +: blockCols: _*)
+  }
+
   /** q35 — SimHash near-duplicate pairs via multi-index (pigeonhole)
-    * banding: split the 32-bit fingerprint into 4 byte blocks; any
-    * pair with Hamming distance ≤ 3 must agree on at least one whole
-    * block, so grouping on (block_idx, block_val) finds all such pairs
-    * without an all-pairs product; the exact Hamming filter
-    * (`bit_count(a ^ b)`) then keeps true near-dups. At 100 TB this is
-    * the standard sub-quadratic Hamming search: 4 shuffles of
-    * fingerprints (8 bytes each), never documents. */
+    * banding: any pair with Hamming distance ≤ 3 over the 64-bit
+    * fingerprint must agree on at least one of its four 16-bit
+    * blocks, so a self-join on (block_idx, block_val) finds all such
+    * pairs without an all-pairs product; the exact Hamming filter
+    * (per-block bit_count of xor) keeps true near-dups. Block width
+    * matters: 8-bit blocks over this corpus put 3.2k docs in one hot
+    * bucket (7.5 M candidate pairs at sf0.1); 16-bit blocks cut that
+    * to 191 k with a max bucket of 291 — measured, and the reason the
+    * signature is 64-bit. At 100 TB this is the standard
+    * sub-quadratic Hamming search: 4 shuffles of 8-byte signatures,
+    * never documents; the signature table persists (N × 40 B) and the
+    * self-join reads the cache. */
   def q35(spark: SparkSession, sfDir: String): DataFrame = {
-    // Self-join on the block key rather than collect_list + pair
-    // expansion: the signature subtree is cheap (~0.3 s at sf0.1) but
-    // the higher-order pair expr is CodegenFallback and measured 15 s;
-    // the codegen'd shuffled hash join does the same candidate
-    // generation in ~1 s. (q22/q23 keep the collect_list form because
-    // there the upstream shingle-md5 subtree dominates — evaluating it
-    // twice costs more than the pair expr saves.)
-    val blockPairs = (0 until 4)
-      .map(b => s"$b, (simhash >> ${8 * b}) & 255").mkString(", ")
-    // Persist the signature table so the self-join's two sides don't
-    // re-run the 32-vote aggregation: it is N × 16 bytes (MEMORY_AND_
-    // DISK, spillable), i.e. ~1.6 TB for 100 B docs — cluster-cacheable
-    // and 5 orders of magnitude smaller than the corpus it indexes.
-    val sig = simhashSig(spark, sfDir)
+    val sig = simhashSig64(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count() // eager materialization — see q23
-    val blocks = sig.selectExpr("doc_id", "simhash",
-        s"stack(4, $blockPairs) AS (block_idx, block_val)")
+    val blockPairs = (0 until 4).map(b => s"$b, s$b").mkString(", ")
+    val blocks = sig.selectExpr("doc_id", "s0", "s1", "s2", "s3",
+      s"stack(4, $blockPairs) AS (block_idx, block_val)")
     val a = blocks.select(col("block_idx"), col("block_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      col("doc_id").as("doc_a"), col("s0").as("a0"), col("s1").as("a1"),
+      col("s2").as("a2"), col("s3").as("a3"))
     val b = blocks.select(col("block_idx"), col("block_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      col("doc_id").as("doc_b"), col("s0").as("b0"), col("s1").as("b1"),
+      col("s2").as("b2"), col("s3").as("b3"))
     a.join(b, Seq("block_idx", "block_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3)")
+        .cast("long"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
-  val q35Sql: String =
-    s"""WITH $simhashCte,
-       |blocks AS (
-       |  SELECT doc_id, simhash, b.b AS block_idx,
-       |    (simhash >> (8 * b.b)) & 255 AS block_val
+  val q35Sql: String = {
+    val bits = (0 until 64)
+      .map(p => s"sum((c${p / 32} >> ${31 - p % 32}) & 1) AS b$p").mkString(",\n    ")
+    val blockCols = (0 until 4).map { blk =>
+      (0 until 16).map { i =>
+        val p = 16 * blk + i
+        s"(CASE WHEN 2*b$p > n THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ") + s" AS s$blk"
+    }.mkString(",\n    ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS c0,
+       |    CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS c1
+       |  FROM tok
+       |), s AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    $bits
+       |  FROM hashed GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $blockCols
+       |  FROM s
+       |), blocks AS (
+       |  SELECT doc_id, s0, s1, s2, s3, b.b AS block_idx,
+       |    CASE b.b WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS block_val
        |  FROM sig, (VALUES (0),(1),(2),(3)) b(b)
        |),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |    a.s0 AS a0, a.s1 AS a1, a.s2 AS a2, a.s3 AS a3,
+       |    b.s0 AS b0, b.s1 AS b1, b.s2 AS b2, b.s3 AS b3
        |  FROM blocks a JOIN blocks b
        |    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
        |   AND a.doc_id < b.doc_id
        |)
        |SELECT doc_a, doc_b,
-       | CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       | CAST(bit_count(xor(a0,b0)) + bit_count(xor(a1,b1))
+       |    + bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(a0,b0)) + bit_count(xor(a1,b1))
+       |    + bit_count(xor(a2,b2)) + bit_count(xor(a3,b3)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> q21 _,
