@@ -114,6 +114,31 @@ object DevProbe {
         .filter(col("jaccard") >= 0.5)
       time("q23 self-join variant")(out.count())
     }
+    locally {
+      // q23 on hashed shingles: distinct + join on (h1, h2) longs
+      val shH = shFlat
+        .withColumn("h", md5(col("sh")))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT)").as("h1"),
+          expr("CAST(conv(substring(h, 13, 12), 16, 10) AS BIGINT)").as("h2"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      shH.count()
+      val sizes = shH.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = shH.select(col("doc_id").as("doc_a"), col("h1"), col("h2"))
+        .join(shH.select(col("doc_id").as("doc_b"), col("h1"), col("h2")), Seq("h1", "h2"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a")), "doc_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b")), "doc_b")
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+        .filter(col("jaccard") >= 0.5)
+      time("q23 hashed-key variant")(out.count())
+      shH.unpersist()
+    }
     spark.stop()
   }
 }

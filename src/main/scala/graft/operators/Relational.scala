@@ -564,7 +564,65 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q46 — INTERSECT (the set op q10 doesn't cover): customers who
+    * both placed a 1997 order and hold a high balance. Spark plans
+    * intersect as a left-semi join over distinct inputs — one shuffle
+    * per side on the single key column. */
+  def q46(spark: SparkSession, sfDir: String): DataFrame = {
+    val o97 = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey"))
+    val rich = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 3000).select("c_custkey")
+    o97.intersect(rich).orderBy("c_custkey")
+  }
+
+  val q46Sql: String =
+    """SELECT o_custkey AS c_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 3000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q47 — LEFT OUTER join with unmatched rows preserved: every part
+    * vs its shipped lineitems in a narrow window; parts with no
+    * match keep NULL-derived zeros. The probe side broadcasts is
+    * wrong here — part is the LEFT side and must keep all rows, so
+    * the filtered lineitem side broadcasts and the join is
+    * BroadcastHashJoin LeftOuter BuildRight: no shuffle of part at
+    * all (and at 100 TB, shuffle on p_partkey — still linear). */
+  def q47(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_shipped"), round(sum("l_quantity"), 2).as("qty"))
+    Tables.part(spark, sfDir)
+      .join(l, col("p_partkey") === col("l_partkey"), "left_outer")
+      .select(col("p_partkey"), col("p_brand"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"),
+        coalesce(col("qty"), lit(0.0)).as("qty"))
+      .orderBy("p_partkey")
+  }
+
+  val q47Sql: String =
+    """WITH l AS (
+      |  SELECT l_partkey, count(*) AS n_shipped, round(sum(l_quantity),2) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+      |  GROUP BY l_partkey)
+      |SELECT p_partkey, p_brand,
+      | coalesce(n_shipped, 0) AS n_shipped,
+      | coalesce(qty, 0.0) AS qty
+      |FROM part LEFT JOIN l ON p_partkey = l_partkey
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_intersect" -> q46 _,
+    "q47_outer_join" -> q47 _,
     "q45_geomean_udaf" -> q45 _,
     "q43_pivot" -> q43 _,
     "q38_supplier_revenue" -> q38 _,
@@ -588,6 +646,8 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q46_intersect" -> q46Sql,
+    "q47_outer_join" -> q47Sql,
     "q45_geomean_udaf" -> q45Sql,
     "q43_pivot" -> q43Sql,
     "q38_supplier_revenue" -> q38Sql,
