@@ -58,6 +58,29 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).json(dir)
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's views in the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on both
+    * ends, so Spark can GC join state — the required shape for an
+    * unbounded⋈unbounded join (state is O(events within the
+    * interval), not O(stream)). Batch twin: the same equi+range
+    * condition on the static table. */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
+  }
+
   /** Run a streaming DataFrame to completion over currently-available
     * data via the memory sink (test/smoke harness — mirrors the
     * guide's processAllAvailable pattern). Returns the query; caller

@@ -88,6 +88,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.viewPurchaseJoin(stream), "vp_join", outputMode = "append")
+    try {
+      val got = spark.table("vp_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      val want = purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("v_ts") <= col("p_ts") && col("v_ts") >= col("p_ts") - gapNs)
+        .select("purchase_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming session_window agrees with batch q18 on session count per user") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     val q = EventStreams.runToMemory(
