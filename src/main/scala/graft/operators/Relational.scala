@@ -620,7 +620,70 @@ object Relational {
       |FROM part LEFT JOIN l ON p_partkey = l_partkey
       |ORDER BY p_partkey""".stripMargin
 
+  /** q48 — ranking/distribution window functions beyond row_number:
+    * rank, dense_rank, ntile, percent_rank, cume_dist over one
+    * customer-partitioned sort — a single shuffle evaluates all five
+    * (one Window operator, shared frame). Doubles rounded; ties
+    * broken by orderkey so both engines agree. */
+  def q48(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  val q48Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(rank()       OVER w AS BIGINT) AS rnk,
+      | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      | CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | round(cume_dist()    OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  /** q49 — RANGE-frame moving aggregate: 7-day trailing order count
+    * and revenue per day (global daily series). The frame is value-
+    * based (RANGE over epoch days), not row-based — the semantics
+    * rows frames can't express when days are missing. Daily rollup
+    * first, so the window runs over O(days) rows, not O(orders). */
+  def q49(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .withColumn("day", datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_day"), sum("o_totalprice").as("rev_day"))
+    val w = Window.orderBy("day").rangeBetween(-6, 0)
+    daily.select(col("day"),
+        col("n_day"),
+        sum("n_day").over(w).as("n_7d"),
+        round(sum("rev_day").over(w), 2).as("rev_7d"))
+      .orderBy("day")
+  }
+
+  val q49Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |    count(*) AS n_day, sum(o_totalprice) AS rev_day
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n_day,
+      | CAST(sum(n_day) OVER w AS BIGINT) AS n_7d,
+      | round(sum(rev_day) OVER w, 2) AS rev_7d
+      |FROM daily
+      |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_rank_funcs" -> q48 _,
+    "q49_range_frame" -> q49 _,
     "q46_intersect" -> q46 _,
     "q47_outer_join" -> q47 _,
     "q45_geomean_udaf" -> q45 _,
@@ -646,6 +709,8 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q48_rank_funcs" -> q48Sql,
+    "q49_range_frame" -> q49Sql,
     "q46_intersect" -> q46Sql,
     "q47_outer_join" -> q47Sql,
     "q45_geomean_udaf" -> q45Sql,
