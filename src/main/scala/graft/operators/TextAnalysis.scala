@@ -246,7 +246,36 @@ object TextAnalysis {
       |    GROUP BY lang, tok) c) r
       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  /** q50 — deterministic hash sampling: a reproducible 10% sample per
+    * source via md5(doc_id) mod 100 < 10 — the sampling method a
+    * training-data pipeline actually wants at 100 TB (no RNG state,
+    * stable across reruns/retries, pure narrow filter evaluated at
+    * the scan, and any engine — here DuckDB — reproduces the exact
+    * row set, unlike TABLESAMPLE). Reports per-source sampled counts
+    * and rates against totals. */
+  def q50(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < 10, 1L).otherwise(0L)).as("n_sampled"),
+        round(sum(when(col("bucket") < 10, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("sample_rate"))
+      .orderBy("source")
+
+  val q50Sql: String =
+    """WITH b AS (
+      |  SELECT source,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      | CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      | round(sum(CASE WHEN bucket < 10 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS sample_rate
+      |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_hash_sample" -> q50 _,
     "q41_salted_heavy_hitters" -> q41 _,
     "q25_token_stats" -> q25 _,
     "q26_quality_score" -> q26 _,
@@ -255,6 +284,7 @@ object TextAnalysis {
     "q34_regex_tokens" -> q34 _)
 
   val oracles: Map[String, String] = Map(
+    "q50_hash_sample" -> q50Sql,
     "q41_salted_heavy_hitters" -> q41Sql,
     "q25_token_stats" -> q25Sql,
     "q26_quality_score" -> q26Sql,
