@@ -8,16 +8,18 @@ import graft.sources.Tables
   * the LLM-training-pipeline surface: exact dedup, MinHash+LSH
   * near-dup, exact n-gram Jaccard, and SimHash fingerprinting.
   *
-  * Oracle parity trick: every hash in this file is md5 of an explicit
-  * string, and MinHash minima are taken over the 32-char lowercase hex
-  * *strings* — lexicographic min on fixed-width hex equals numeric
-  * min, and Spark's and DuckDB's md5 agree byte-for-byte, so the
-  * DuckDB oracle can recompute identical signatures (SURVEY.md §7.4.2).
+  * Oracle parity trick: every hash in this file derives from md5 of
+  * an explicit string — Spark's and DuckDB's md5 agree byte-for-byte,
+  * and fixed hex substrings convert to identical integers on both
+  * engines (Spark `conv(…,16,10)` ≙ DuckDB `('0x'||…)::BIGINT`) — so
+  * the oracle recomputes identical signatures (SURVEY.md §7.4.2).
   *
   * Scale design: MinHash+LSH (q22) is the 100 TB path — banding means
   * candidate generation is a shuffle on (band_idx, band_val), never an
-  * all-pairs product. Exact Jaccard (q23) is the verifier run only on
-  * candidate-scale data. SimHash (q24) is one shuffle on doc_id.
+  * all-pairs product; minhashes come from Kirsch-Mitzenmacher double
+  * hashing (one md5 per shingle). Exact Jaccard (q23) is the verifier,
+  * run at scale only on LSH candidates. SimHash (q24/q35) is one
+  * shuffle on doc_id plus a 16-bit-block pigeonhole search.
   */
 object Dedup {
 
@@ -50,15 +52,6 @@ object Dedup {
       }.toDF("doc_id", "sh")
     if (distinct) raw.distinct() else raw
   }
-
-  /** All unordered (a < b) pairs from a pre-sorted id array — used to
-    * emit candidate pairs per bucket without a self-join, so the
-    * upstream (shingle/signature) subtree is evaluated ONCE instead of
-    * twice. Pure Catalyst higher-order functions. */
-  private val pairsExpr =
-    """flatten(transform(ids, (a, i) ->
-      |  transform(slice(ids, i + 2, size(ids)),
-      |    b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin
 
   private val shinglesSql: String =
     s"""toks AS (

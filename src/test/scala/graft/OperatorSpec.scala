@@ -80,6 +80,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q35 pigeonhole Hamming search is EXACT: equals brute-force hamming<=3 over all pairs") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q35_simhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all C(N,2) signature pairs (N=500 at sf0.001)
+    val brute = {
+      // recompute the 64-bit signature the same public way q35 defines it:
+      // four 16-bit blocks from md5 bit majorities
+      val tok = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+        .withColumn("c0", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("c1", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
+      val bitSums = (0 until 64).map { p =>
+        sum(expr(s"(c${p / 32} >> ${31 - p % 32}) & 1")).as(s"b$p")
+      }
+      val withBits = tok.groupBy("doc_id").agg(count(lit(1)).as("n"), bitSums: _*)
+      val blockCols = (0 until 4).map { blk =>
+        (0 until 16).map { i =>
+          val p = 16 * blk + i
+          when(col(s"b$p") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"s$blk")
+      }
+      val s64 = withBits.select(col("doc_id") +: blockCols: _*)
+      val a = s64.select(col("doc_id").as("doc_a"), col("s0").as("a0"),
+        col("s1").as("a1"), col("s2").as("a2"), col("s3").as("a3"))
+      val b = s64.select(col("doc_id").as("doc_b"), col("s0").as("b0"),
+        col("s1").as("b1"), col("s2").as("b2"), col("s3").as("b3"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr(
+          "bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3)")
+          .cast("long"))
+        .filter(col("hamming") <= 3)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("hamming"))).toSet
+    }
+    assert(got === brute)
+  }
+
   test("q37 SRP-LSH near-dups ⊆ q36 exact near-dups (no false positives)") {
     val exact = SparkEntry.queries("q36_embed_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
