@@ -681,7 +681,33 @@ object Relational {
       |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** q51 — top-k per group via a mergeable bounded Aggregator: same
+    * answer as the window formulation (q12) but the shuffle carries
+    * ≤ k rows per group per map task instead of every row — the plan
+    * a 100 TB top-k actually wants (map-side partial top-k, like
+    * TakeOrderedAndProject but per group). Oracle: the q12 SQL. */
+  def q51(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{KeyedPrice, TopKByPrice}
+    val ds = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("group"), col("o_orderkey").as("key"),
+        col("o_totalprice").as("price"))
+      .as[KeyedPrice]
+    ds.groupByKey(_.group)
+      .agg(TopKByPrice(3).toColumn.name("top"))
+      .flatMap { case (g, top) =>
+        top.iterator.zipWithIndex.map { case (kp, i) =>
+          (g, (i + 1).toLong, kp.key, kp.price)
+        }
+      }
+      .toDF("o_custkey", "rk", "o_orderkey", "price")
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("price"), 2).as("totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_topk_aggregator" -> q51 _,
     "q48_rank_funcs" -> q48 _,
     "q49_range_frame" -> q49 _,
     "q46_intersect" -> q46 _,
@@ -709,6 +735,7 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q51_topk_aggregator" -> q12Sql, // same contract as the window top-k
     "q48_rank_funcs" -> q48Sql,
     "q49_range_frame" -> q49Sql,
     "q46_intersect" -> q46Sql,

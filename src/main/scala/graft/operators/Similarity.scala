@@ -6,8 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Similarity search over `embeddings` (SURVEY.md §7.1 B4):
-  * brute-force cosine top-k as the exact baseline, and an IVF
-  * (inverted-file) probe as the approximate scale path.
+  * brute-force cosine top-k as the exact baseline, an IVF
+  * (inverted-file) probe as the approximate search scale path, and
+  * embedding-cosine near-duplicate detection (exact q36 + sign-
+  * random-projection LSH q37) for the dedup checklist.
   *
   * Float discipline: embeddings are float32 at rest; both engines cast
   * to double FIRST and compute dot products as a sequential
