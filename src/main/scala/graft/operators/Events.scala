@@ -30,15 +30,23 @@ object Events {
       .withColumn("hour_bucket", expr(s"ts DIV $HourNs"))
       .groupBy("hour_bucket", "event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"),
-        round(avg("value"), 4).as("avg_value"))
+        // decimal sums are exact (associative), so partial-aggregation
+        // order can't perturb the value; and rounding is the explicit
+        // floor(x·10^k + 0.5)/10^k — Spark's round() goes through
+        // Java's shortest-decimal string and disagrees with DuckDB's
+        // exact-binary rounding precisely at .5·10^-k boundaries
+        // (observed at sf0.1). floor arithmetic is plain IEEE on both.
+        (floor(sum(col("value").cast("decimal(18,6)")).cast("double") * 100 + 0.5) / 100)
+          .as("sum_value"),
+        (floor(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)) * 10000 + 0.5) / 10000)
+          .as("avg_value"))
       .orderBy("hour_bucket", "event_type")
 
   val q17Sql: String =
     s"""SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
        | count(*) AS n_events,
-       | round(sum(value),2) AS sum_value,
-       | round(avg(value),4) AS avg_value
+       | floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value,
+       | floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_value
        |FROM events
        |GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
 

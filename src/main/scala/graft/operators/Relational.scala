@@ -71,13 +71,16 @@ object Relational {
         col("l_discount") > 0.05 && col("l_quantity") < 10)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
+        // raw product, NOT rounded: the IEEE multiply is bit-identical
+        // on both engines, while round-to-2 implementations disagree
+        // exactly at .005 boundaries (observed at sf0.1)
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
         col("l_returnflag"))
       .orderBy("l_orderkey", "l_linenumber")
 
   val q02Sql: String =
     """SELECT l_orderkey, l_linenumber,
-      | round(l_extendedprice*(1-l_discount),2) AS net_price, l_returnflag
+      | l_extendedprice*(1-l_discount) AS net_price, l_returnflag
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -706,7 +709,34 @@ object Relational {
       .orderBy("o_custkey", "rk")
   }
 
+  /** q52 — explicit GROUPING SETS (the arbitrary-set form rollup/cube
+    * can't express): per-returnflag totals, per-linestatus totals, and
+    * the grand total in ONE Expand pass — no union of three scans.
+    * grouping() flags disambiguate real NULLs from set markers. */
+  def q52(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q52Sql: String =
+    """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+      | coalesce(l_linestatus,'ALL') AS linestatus,
+      | count(*) AS n_items,
+      | round(sum(l_quantity),2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_grouping_sets" -> q52 _,
     "q51_topk_aggregator" -> q51 _,
     "q48_rank_funcs" -> q48 _,
     "q49_range_frame" -> q49 _,
@@ -735,6 +765,7 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q52_grouping_sets" -> q52Sql,
     "q51_topk_aggregator" -> q12Sql, // same contract as the window top-k
     "q48_rank_funcs" -> q48Sql,
     "q49_range_frame" -> q49Sql,
