@@ -183,8 +183,8 @@ object Dedup {
     inter
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a")), "doc_a")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b")), "doc_b")
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+      .withColumn("jaccard", graft.functions.OracleRound.floorRound(
+        col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -199,11 +199,11 @@ object Dedup {
        |  GROUP BY a.doc_id, b.doc_id
        |)
        |SELECT doc_a, doc_b, n_inter,
-       | round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       | floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+       |WHERE floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q24 — SimHash fingerprint (32-bit, over md5 hex-digit high bits of each

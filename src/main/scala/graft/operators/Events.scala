@@ -68,7 +68,8 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("start_ns"),
         max("ts").as("end_ns"),
-        round(sum("value"), 2).as("sum_value"))
+        graft.functions.OracleRound.floorRound(
+          graft.functions.OracleRound.exactSum(col("value")), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 
@@ -88,7 +89,7 @@ object Events {
        |)
        |SELECT user_id, session_id, count(*) AS n_events,
        | min(ns) AS start_ns, max(ns) AS end_ns,
-       | round(sum(value),2) AS sum_value
+       | floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
        |FROM sess GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
@@ -130,7 +131,7 @@ object Events {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts").as("purchase_ns"),
         col("last_view_ns"),
-        round(col("value"), 2).as("value"))
+        graft.functions.OracleRound.floorRound(col("value"), 2).as("value"))
       .orderBy("event_id")
   }
 
@@ -141,7 +142,7 @@ object Events {
       |    max(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
       |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ns,
-      |    round(value,2) AS value
+      |    floor(value * 100 + 0.5) / 100 AS value
       |  FROM events) t
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.functions.OracleRound.{exactSum, floorRound}
 
 /** Relational query surface (SURVEY.md §2.6, §7.1 Layer B1/B2).
   *
@@ -36,25 +37,25 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        floorRound(exactSum(col("l_quantity")), 2).as("sum_qty"),
+        floorRound(exactSum(col("l_extendedprice")), 2).as("sum_base_price"),
+        floorRound(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        floorRound(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        floorRound(exactSum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        floorRound(exactSum(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
+        floorRound(exactSum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      | round(sum(l_quantity),2) AS sum_qty,
-      | round(sum(l_extendedprice),2) AS sum_base_price,
-      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-      | round(avg(l_quantity),4) AS avg_qty,
-      | round(avg(l_extendedprice),4) AS avg_price,
-      | round(avg(l_discount),6) AS avg_disc,
+      | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_qty,
+      | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_base_price,
+      | floor(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_disc_price,
+      | floor(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_charge,
+      | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
+      | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_price,
+      | floor(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_disc,
       | count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
@@ -102,7 +103,7 @@ object Relational {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        floorRound(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         date_format(first("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -110,7 +111,7 @@ object Relational {
 
   val q03Sql: String =
     """SELECT o_orderkey,
-      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | floor(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
       | strftime(min(o_orderdate), '%Y-%m-%d') AS orderdate
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -163,14 +164,14 @@ object Relational {
       .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(floorRound(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
   val q05Sql: String =
     """SELECT r_name, n_name,
-      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | floor(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
       | count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -191,11 +192,11 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 25)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(floorRound(exactSum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_items"))
 
   val q06Sql: String =
-    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+    """SELECT floor(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
       | count(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -213,14 +214,14 @@ object Relational {
       .groupBy("p_brand")
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(avg("p_retailprice"), 4).as("avg_retail"))
+        floorRound(exactSum(col("l_quantity")), 2).as("sum_qty"),
+        floorRound(exactSum(col("p_retailprice")) / count(lit(1)), 4).as("avg_retail"))
       .orderBy("p_brand")
 
   val q07Sql: String =
     """SELECT p_brand, count(*) AS n_items,
-      | round(sum(l_quantity),2) AS sum_qty,
-      | round(avg(p_retailprice),4) AS avg_retail
+      | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_qty,
+      | floor(CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_retail
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
@@ -256,7 +257,7 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_items"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
+        floorRound(exactSum(col("l_extendedprice")), 2).as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -267,7 +268,7 @@ object Relational {
     """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
       | coalesce(l_linestatus,'ALL') AS linestatus,
       | count(*) AS n_items,
-      | round(sum(l_extendedprice),2) AS sum_price
+      | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_price
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -321,14 +322,14 @@ object Relational {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("rk").cast("long").as("rk"),
-        col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+        col("o_orderkey"), floorRound(col("o_totalprice"), 2).as("totalprice"))
       .orderBy("o_custkey", "rk")
   }
 
   val q12Sql: String =
     """SELECT o_custkey, rk, o_orderkey, totalprice FROM (
       |  SELECT o_custkey, o_orderkey,
-      |    round(o_totalprice,2) AS totalprice,
+      |    floor(o_totalprice * 100 + 0.5) / 100 AS totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
       |  FROM orders) t
@@ -344,9 +345,10 @@ object Relational {
       .select(
         col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-        round(sum("o_totalprice").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
-        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        floorRound(sum(col("o_totalprice").cast("decimal(18,6)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"), 2)
+          .as("running_total"),
+        floorRound(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
         count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("order_seq"))
       .orderBy("o_custkey", "o_orderkey")
@@ -355,11 +357,11 @@ object Relational {
   val q13Sql: String =
     """SELECT o_custkey, o_orderkey,
       | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey
       |   ORDER BY o_orderdate, o_orderkey
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total,
-      | round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
-      |   ORDER BY o_orderdate, o_orderkey),2) AS prev_price,
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) * 100 + 0.5) / 100 AS running_total,
+      | floor(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey) * 100 + 0.5) / 100 AS prev_price,
       | count(*) OVER (PARTITION BY o_custkey
       |   ORDER BY o_orderdate, o_orderkey
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
@@ -378,8 +380,8 @@ object Relational {
         substring(col("p_brand"), 7, 2).cast("long").as("brand_num"),
         substring_index(col("p_type"), " ", 1).as("type_head"),
         (col("p_size") % 7).cast("long").as("size_mod"),
-        round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
-        round(abs(col("p_retailprice") - 1000.0), 2).as("price_dist"))
+        floorRound(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+        floorRound(abs(col("p_retailprice") - 1000.0), 2).as("price_dist"))
       .orderBy("p_partkey")
 
   val q14Sql: String =
@@ -389,8 +391,8 @@ object Relational {
       | CAST(substring(p_brand, 7, 2) AS BIGINT) AS brand_num,
       | split_part(p_type, ' ', 1) AS type_head,
       | CAST(p_size % 7 AS BIGINT) AS size_mod,
-      | round(sqrt(p_retailprice), 4) AS price_sqrt,
-      | round(abs(p_retailprice - 1000.0), 2) AS price_dist
+      | floor(sqrt(p_retailprice) * 10000 + 0.5) / 10000 AS price_sqrt,
+      | floor(abs(p_retailprice - 1000.0) * 100 + 0.5) / 100 AS price_dist
       |FROM part ORDER BY p_partkey""".stripMargin
 
   /** q15 — fizzbuzz, the reference's canonical workload
@@ -421,7 +423,7 @@ object Relational {
     Tables.orders(spark, sfDir)
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("sum_price"))
+        floorRound(exactSum(col("o_totalprice")), 2).as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
@@ -432,7 +434,7 @@ object Relational {
     """SELECT coalesce(o_orderstatus,'ALL') AS orderstatus,
       | coalesce(o_orderpriority,'ALL') AS orderpriority,
       | count(*) AS n_orders,
-      | round(sum(o_totalprice),2) AS sum_price
+      | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_price
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY orderstatus, orderpriority""".stripMargin
@@ -447,14 +449,14 @@ object Relational {
       .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(floorRound(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         countDistinct(col("s_suppkey")).as("n_suppliers"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
 
   val q38Sql: String =
     """SELECT n_name,
-      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | floor(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
       | count(DISTINCT s_suppkey) AS n_suppliers,
       | count(*) AS n_items
       |FROM lineitem
@@ -601,7 +603,8 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
       .groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_shipped"), round(sum("l_quantity"), 2).as("qty"))
+      .agg(count(lit(1)).as("n_shipped"),
+        floorRound(exactSum(col("l_quantity")), 2).as("qty"))
     Tables.part(spark, sfDir)
       .join(l, col("p_partkey") === col("l_partkey"), "left_outer")
       .select(col("p_partkey"), col("p_brand"),
@@ -612,7 +615,8 @@ object Relational {
 
   val q47Sql: String =
     """WITH l AS (
-      |  SELECT l_partkey, count(*) AS n_shipped, round(sum(l_quantity),2) AS qty
+      |  SELECT l_partkey, count(*) AS n_shipped,
+      |    floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS qty
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |    AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
@@ -637,8 +641,8 @@ object Relational {
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
         ntile(4).over(w).cast("long").as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        floorRound(percent_rank().over(w), 6).as("pct_rank"),
+        floorRound(cume_dist().over(w), 6).as("cume"))
       .orderBy("o_custkey", "rnk")
   }
 
@@ -647,8 +651,8 @@ object Relational {
       | CAST(rank()       OVER w AS BIGINT) AS rnk,
       | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
       | CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
-      | round(percent_rank() OVER w, 6) AS pct_rank,
-      | round(cume_dist()    OVER w, 6) AS cume
+      | floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+      | floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000 AS cume
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, rnk""".stripMargin
@@ -668,7 +672,8 @@ object Relational {
     daily.select(col("day"),
         col("n_day"),
         sum("n_day").over(w).as("n_7d"),
-        round(sum("rev_day").over(w), 2).as("rev_7d"))
+        floorRound(sum(col("rev_day").cast("decimal(18,6)")).over(w).cast("double"), 2)
+          .as("rev_7d"))
       .orderBy("day")
   }
 
@@ -679,7 +684,7 @@ object Relational {
       |  FROM orders GROUP BY 1)
       |SELECT day, n_day,
       | CAST(sum(n_day) OVER w AS BIGINT) AS n_7d,
-      | round(sum(rev_day) OVER w, 2) AS rev_7d
+      | floor(CAST(sum(CAST(rev_day AS DECIMAL(18,6))) OVER w AS DOUBLE) * 100 + 0.5) / 100 AS rev_7d
       |FROM daily
       |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
@@ -705,7 +710,7 @@ object Relational {
       }
       .toDF("o_custkey", "rk", "o_orderkey", "price")
       .select(col("o_custkey"), col("rk"), col("o_orderkey"),
-        round(col("price"), 2).as("totalprice"))
+        floorRound(col("price"), 2).as("totalprice"))
       .orderBy("o_custkey", "rk")
   }
 
@@ -719,7 +724,7 @@ object Relational {
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum("l_quantity"), 2).as("sum_qty"))
+        floorRound(exactSum(col("l_quantity")), 2).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -730,7 +735,7 @@ object Relational {
     """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
       | coalesce(l_linestatus,'ALL') AS linestatus,
       | count(*) AS n_items,
-      | round(sum(l_quantity),2) AS sum_qty
+      | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_qty
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY returnflag, linestatus""".stripMargin

@@ -145,13 +145,13 @@ object Similarity {
       .join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= NearDupCos)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), graft.functions.OracleRound.floorRound(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
 
   val q36Sql: String =
     s"""WITH $normedSql
-       |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+       |SELECT vec_a, vec_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
        |  FROM n a JOIN n b ON a.vec_id < b.vec_id) t
@@ -212,7 +212,7 @@ object Similarity {
       .join(broadcast(n.select(col("vec_id").as("vec_b"), col("v").as("vb"))), "vec_b")
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= NearDupCos)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), graft.functions.OracleRound.floorRound(col("cos"), 6).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -239,7 +239,7 @@ object Similarity {
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |   AND a.vec_id < b.vec_id
        |)
-       |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+       |SELECT vec_a, vec_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos FROM (
        |  SELECT vec_a, vec_b,
        |    list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
        |  FROM cand

@@ -30,16 +30,18 @@ object TextAnalysis {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
-        round(avg("n_tokens"), 4).as("avg_tokens"),
-        round(avg("n_chars"), 4).as("avg_chars"),
+        graft.functions.OracleRound.floorRound(
+          sum("n_tokens").cast("double") / count(lit(1)), 4).as("avg_tokens"),
+        graft.functions.OracleRound.floorRound(
+          sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
         max("n_tokens").as("max_tokens"))
       .orderBy("lang")
 
   val q25Sql: String =
     """SELECT lang, count(*) AS n_docs,
       | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
-      | round(avg(len(string_split(text,' '))),4) AS avg_tokens,
-      | round(avg(n_chars),4) AS avg_chars,
+      | floor(CAST(sum(len(string_split(text,' '))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_tokens,
+      | floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_chars,
       | CAST(max(len(string_split(text,' '))) AS BIGINT) AS max_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -55,9 +57,11 @@ object TextAnalysis {
         expr(s"size(filter(t, x -> x IN ($stopList)))").cast("long"))
       .select(
         col("doc_id"), col("n_tokens"),
-        round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4)
+        graft.functions.OracleRound.floorRound(
+          (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4)
           .as("avg_token_len"),
-        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        graft.functions.OracleRound.floorRound(
+          col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
         when(col("n_tokens") < 10, "short")
           .when(col("n_stop").cast("double") / col("n_tokens") > 0.25, "boilerplate")
           .otherwise("good").as("quality"))
@@ -71,8 +75,8 @@ object TextAnalysis {
        |      x -> x IN ($stopList))) AS BIGINT) AS n_stop
        |  FROM documents)
        |SELECT doc_id, n_tokens,
-       | round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_token_len,
-       | round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       | floor(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 AS avg_token_len,
+       | floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000 AS stop_ratio,
        | CASE WHEN n_tokens < 10 THEN 'short'
        |      WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.25 THEN 'boilerplate'
        |      ELSE 'good' END AS quality
@@ -196,7 +200,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_ws").as("ws_tokens"),
         sum("n_sub").as("subword_tokens"),
-        round(avg(col("n_sub").cast("double") / col("n_ws")), 6).as("sub_per_ws"))
+        graft.functions.OracleRound.floorRound(
+          sum("n_sub").cast("double") / sum("n_ws"), 6).as("sub_per_ws"))
       .orderBy("source")
 
   val q34Sql: String =
@@ -208,7 +213,7 @@ object TextAnalysis {
       |SELECT source, count(*) AS n_docs,
       | CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
       | CAST(sum(n_sub) AS BIGINT) AS subword_tokens,
-      | round(avg(CAST(n_sub AS DOUBLE) / n_ws), 6) AS sub_per_ws
+      | floor(CAST(sum(n_sub) AS DOUBLE) / sum(n_ws) * 1000000 + 0.5) / 1000000 AS sub_per_ws
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   /** q41 — skew-safe heavy hitters: top-10 tokens per language,
@@ -260,7 +265,8 @@ object TextAnalysis {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("bucket") < 10, 1L).otherwise(0L)).as("n_sampled"),
-        round(sum(when(col("bucket") < 10, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+        graft.functions.OracleRound.floorRound(
+          sum(when(col("bucket") < 10, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
           .as("sample_rate"))
       .orderBy("source")
 
@@ -271,7 +277,7 @@ object TextAnalysis {
       |  FROM documents)
       |SELECT source, count(*) AS n_docs,
       | CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-      | round(sum(CASE WHEN bucket < 10 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS sample_rate
+      | floor(CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS sample_rate
       |FROM b GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
