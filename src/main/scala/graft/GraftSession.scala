@@ -26,4 +26,13 @@ object GraftSession {
       // also applied programmatically: the conf-string path is not
       // re-read when the builder reuses an existing SparkContext
       .withExtensions(new graft.plans.GraftExtensions)
+      // Cluster-scale posture (all defaults-compatible locally):
+      // AQE re-plans from runtime statistics — coalesces empty post-
+      // shuffle partitions and splits skewed join partitions, the two
+      // failure modes a static plan hits first at 100 TB.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 128 MiB scan splits: large enough to amortize task overhead,
+      // small enough that a task's working set fits executor memory.
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
 }
