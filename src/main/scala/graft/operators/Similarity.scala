@@ -248,13 +248,68 @@ object Similarity {
        |WHERE cos >= $NearDupCos
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q54 — the composed embedding pipeline: near-dup removal (drop the
+    * higher id of every cosine-≥-threshold pair, q36's criterion) →
+    * IVF coarse assignment of the survivors (q30's shape, centroids =
+    * surviving ids < 8) → per-cluster inventory. One lineage: the
+    * dedup pair join and the centroid argmax reuse the same scan, and
+    * the output is the partition histogram an ANN index build needs
+    * (skewed clusters ⇒ re-train centroids). At 100 TB each stage is
+    * the LSH/IVF variant (q37/q30); exact forms keep the oracle
+    * checkable here. */
+  def q54(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = vecs(spark, sfDir)
+    val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val dupIds = n.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .join(broadcast(b), col("vec_a") < col("vec_b"))
+      .filter(cosine_sim(col("va"), col("vb")) >= NearDupCos)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val survivors = n.join(dupIds, Seq("vec_id"), "left_anti")
+    val cent = survivors.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
+    survivors.join(broadcast(cent), lit(true))
+      .withColumn("cos", cosine_sim(col("cv"), col("v")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .groupBy(col("c_id").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+      .orderBy("cluster")
+  }
+
+  val q54Sql: String =
+    s"""WITH $normedSql,
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id FROM n a JOIN n b
+       |    ON a.vec_id < b.vec_id
+       |   AND list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= $NearDupCos
+       |), survivors AS (
+       |  SELECT * FROM n WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM survivors WHERE vec_id < 8
+       |), assigned AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT s.vec_id, cent.c_id,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY list_inner_product(cent.cv, s.v) / (cent.cn * s.nrm) DESC,
+       |                 cent.c_id) AS rk
+       |    FROM survivors s, cent) t
+       |  WHERE rk = 1
+       |)
+       |SELECT CAST(c_id AS BIGINT) AS cluster, count(*) AS n_vectors,
+       | min(vec_id) AS min_vec, max(vec_id) AS max_vec
+       |FROM assigned GROUP BY c_id ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_embed_pipeline" -> q54 _,
     "q29_knn_brute" -> q29 _,
     "q30_ann_ivf" -> q30 _,
     "q36_embed_neardup" -> q36 _,
     "q37_srp_lsh_neardup" -> q37 _)
 
   val oracles: Map[String, String] = Map(
+    "q54_embed_pipeline" -> q54Sql,
     "q29_knn_brute" -> q29Sql,
     "q30_ann_ivf" -> q30Sql,
     "q36_embed_neardup" -> q36Sql,

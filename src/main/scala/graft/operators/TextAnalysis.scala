@@ -280,7 +280,60 @@ object TextAnalysis {
       | floor(CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS sample_rate
       |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  /** q53 — the composed LLM training-data pipeline, end to end in one
+    * plan: exact dedup (keep lowest doc_id per md5 fingerprint) →
+    * quality filter (q26's rules) → deterministic 50% hash sample →
+    * per-language token accounting of what survives. Each stage is the
+    * operator proven individually (q21/q26/q50/q25); composing them
+    * keeps everything in one lineage so Catalyst pipelines the narrow
+    * stages and the only shuffles are the dedup group-by and the final
+    * 5-group rollup — the whole corpus is read ONCE. This is the query
+    * shape a 100 TB preprocessing run executes nightly. */
+  def q53(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("fingerprint", md5(col("text")))
+    val keepers = docs
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = docs.join(keepers, "doc_id")
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(t, x -> x IN ($stopList)))").cast("long"))
+      .filter(col("n_tokens") >= 10 &&
+        col("n_stop").cast("double") / col("n_tokens") <= 0.25)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .filter(col("bucket") < 50)
+    deduped.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        graft.functions.OracleRound.floorRound(
+          sum("n_tokens").cast("double") / count(lit(1)), 4).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
+  val q53Sql: String =
+    s"""WITH keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |), survivors AS (
+       |  SELECT d.lang,
+       |    CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(d.text,' '),
+       |      x -> x IN ($stopList))) AS BIGINT) AS n_stop,
+       |    CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+       |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       | floor(CAST(sum(n_tokens) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_tokens
+       |FROM survivors
+       |WHERE n_tokens >= 10 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.25
+       |  AND bucket < 50
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_llm_pipeline" -> q53 _,
     "q50_hash_sample" -> q50 _,
     "q41_salted_heavy_hitters" -> q41 _,
     "q25_token_stats" -> q25 _,
@@ -290,6 +343,7 @@ object TextAnalysis {
     "q34_regex_tokens" -> q34 _)
 
   val oracles: Map[String, String] = Map(
+    "q53_llm_pipeline" -> q53Sql,
     "q50_hash_sample" -> q50Sql,
     "q41_salted_heavy_hitters" -> q41Sql,
     "q25_token_stats" -> q25Sql,
