@@ -146,13 +146,49 @@ object Events {
       |  FROM events) t
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** q55 — range (interval) join: every purchase matched to ALL of the
+    * same user's views in the preceding 30 minutes. The naive
+    * formulation is an equi-join on user plus a range predicate —
+    * quadratic per user at scale. This plan bands time into gap-width
+    * buckets and joins on (user, bucket) with each purchase probing
+    * its own and the previous bucket — any view within the interval
+    * is in one of the two (interval length = band width), so the
+    * equi-join prunes candidates to O(events per 2 buckets) and the
+    * exact range filter finishes. The standard distributed range-join
+    * rewrite; streaming twin is EventStreams.viewPurchaseJoin. */
+  def q55(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withColumn("bucket", expr(s"v_ts DIV $GapNs"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .select(col("*"), explode(expr(s"array(p_ts DIV $GapNs, p_ts DIV $GapNs - 1)")).as("bucket"))
+    purchases.join(views, Seq("user_id", "bucket"))
+      .filter(col("v_ts") <= col("p_ts") && col("v_ts") >= col("p_ts") - GapNs)
+      .select("purchase_id", "view_id", "user_id")
+      .distinct()
+      .orderBy("purchase_id", "view_id")
+  }
+
+  val q55Sql: String =
+    s"""SELECT DISTINCT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+       |FROM events p JOIN events v
+       |  ON p.user_id = v.user_id
+       | AND p.event_type = 'purchase' AND v.event_type = 'view'
+       | AND epoch_ns(v.ts) <= epoch_ns(p.ts)
+       | AND epoch_ns(v.ts) >= epoch_ns(p.ts) - $GapNs
+       |ORDER BY purchase_id, view_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_range_join" -> q55 _,
     "q17_hourly_windows" -> q17 _,
     "q18_sessionization" -> q18 _,
     "q19_json_extract" -> q19 _,
     "q20_asof_join" -> q20 _)
 
   val oracles: Map[String, String] = Map(
+    "q55_range_join" -> q55Sql,
     "q17_hourly_windows" -> q17Sql,
     "q18_sessionization" -> q18Sql,
     "q19_json_extract" -> q19Sql,
