@@ -301,7 +301,35 @@ object Similarity {
        | min(vec_id) AS min_vec, max(vec_id) AS max_vec
        |FROM assigned GROUP BY c_id ORDER BY cluster""".stripMargin
 
+  /** q56 — array-function gauntlet over the embedding column: size,
+    * element access, extrema, and the L2 norm via the native
+    * dot_product expression — the per-vector feature stage (all
+    * codegen'd, one narrow projection; the orderBy is presentation
+    * only). */
+  def q56(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    vecs(spark, sfDir)
+      .select(col("vec_id"),
+        size(col("v")).cast("long").as("dim"),
+        floorRound(element_at(col("v"), 1), 6).as("first_val"),
+        floorRound(array_min(col("v")), 6).as("vmin"),
+        floorRound(array_max(col("v")), 6).as("vmax"),
+        floorRound(sqrt(dot_product(col("v"), col("v"))), 6).as("l2_norm"))
+      .orderBy("vec_id")
+  }
+
+  val q56Sql: String =
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT vec_id,
+      | CAST(len(v) AS BIGINT) AS dim,
+      | floor(v[1] * 1000000 + 0.5) / 1000000 AS first_val,
+      | floor(list_aggregate(v, 'min') * 1000000 + 0.5) / 1000000 AS vmin,
+      | floor(list_aggregate(v, 'max') * 1000000 + 0.5) / 1000000 AS vmax,
+      | floor(sqrt(list_inner_product(v, v)) * 1000000 + 0.5) / 1000000 AS l2_norm
+      |FROM n ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_array_funcs" -> q56 _,
     "q54_embed_pipeline" -> q54 _,
     "q29_knn_brute" -> q29 _,
     "q30_ann_ivf" -> q30 _,
@@ -309,6 +337,7 @@ object Similarity {
     "q37_srp_lsh_neardup" -> q37 _)
 
   val oracles: Map[String, String] = Map(
+    "q56_array_funcs" -> q56Sql,
     "q54_embed_pipeline" -> q54Sql,
     "q29_knn_brute" -> q29Sql,
     "q30_ann_ivf" -> q30Sql,
