@@ -740,7 +740,37 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q57 — correlated-aggregate filter: orders costing more than 1.5×
+    * their customer's average order. The correlated scalar subquery is
+    * planned as a per-customer aggregate joined back — at scale the
+    * aggregate side is orders-of-magnitude smaller than the fact and
+    * the join shuffles on the same custkey both sides (co-partition). */
+  def q57(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val custAvg = o.groupBy("o_custkey")
+      .agg((exactSum(col("o_totalprice")) / count(lit(1))).as("cust_avg"))
+    o.join(custAvg, "o_custkey")
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floorRound(col("o_totalprice"), 2).as("totalprice"),
+        floorRound(col("cust_avg"), 2).as("cust_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q57Sql: String =
+    """WITH ca AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS cust_avg
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o.o_custkey, o.o_orderkey,
+      | floor(o.o_totalprice * 100 + 0.5) / 100 AS totalprice,
+      | floor(ca.cust_avg * 100 + 0.5) / 100 AS cust_avg
+      |FROM orders o JOIN ca ON o.o_custkey = ca.o_custkey
+      |WHERE o.o_totalprice > ca.cust_avg * 1.5
+      |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_correlated_avg" -> q57 _,
     "q52_grouping_sets" -> q52 _,
     "q51_topk_aggregator" -> q51 _,
     "q48_rank_funcs" -> q48 _,
@@ -770,6 +800,7 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q57_correlated_avg" -> q57Sql,
     "q52_grouping_sets" -> q52Sql,
     "q51_topk_aggregator" -> q12Sql, // same contract as the window top-k
     "q48_rank_funcs" -> q48Sql,

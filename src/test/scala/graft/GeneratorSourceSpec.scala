@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSource V2 generator (blow's `Generator` as a real Spark
+  * source): correct contents, requested partitioning, and the
+  * fizzbuzz pipeline running on top of it end-to-end. */
+class GeneratorSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private def gen(n: Long, parts: Int) =
+    spark.read.format("graft.sources.GeneratorSource")
+      .option("n", n).option("partitions", parts).load()
+
+  test("emits exactly [0, n) with the requested partition count") {
+    val df = gen(10000, 8)
+    assert(df.rdd.getNumPartitions === 8)
+    assert(df.count() === 10000)
+    val agg = df.agg(min("val"), max("val"), countDistinct("val")).collect()(0)
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) === (0L, 9999L, 10000L))
+  }
+
+  test("partition boundaries cover n not divisible by partitions") {
+    val df = gen(1003, 4)
+    assert(df.count() === 1003)
+    assert(df.agg(sum("val")).collect()(0).getLong(0) === 1003L * 1002 / 2)
+  }
+
+  test("the reference's fizzbuzz workload runs on the custom source") {
+    val words = gen(15, 1)
+      .select(when(col("val") % 15 === 0, "fizzbuzz")
+        .when(col("val") % 3 === 0, "fizz")
+        .when(col("val") % 5 === 0, "buzz")
+        .otherwise(col("val").cast("string")).as("word"))
+      .collect().map(_.getString(0))
+    assert(words(0) === "fizzbuzz") // 0 % 15 == 0
+    assert(words(3) === "fizz")
+    assert(words(5) === "buzz")
+    assert(words(7) === "7")
+  }
+}
