@@ -13,11 +13,12 @@ import graft.sources.Tables
   *
   * Float discipline: embeddings are float32 at rest; both engines cast
   * to double FIRST and compute dot products as a sequential
-  * left-to-right double sum (Spark `aggregate`/`zip_with` ≙ DuckDB
-  * `list_inner_product`), so cosine values agree bitwise. Scores are
-  * still kept OUT of the oracle-compared output — ranks (with vec_id
-  * tie-breaks) are compared instead, so a last-bit divergence can
-  * only matter on exact ties, which the tie-break resolves.
+  * left-to-right double sum (the native `cosine_sim`/`dot_product`
+  * expressions ≙ DuckDB `list_inner_product`), so scores agree
+  * bitwise. Ranking queries (q29/q30) still compare only ranks with
+  * vec_id tie-breaks; where scores ARE emitted (q36/q37/q56) they go
+  * through OracleRound.floorRound — deterministic cross-engine
+  * rounding of bitwise-equal inputs.
   */
 object Similarity {
 

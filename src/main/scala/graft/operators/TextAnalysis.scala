@@ -10,11 +10,12 @@ import graft.sources.Tables
   * fingerprinting — the per-document feature extraction stage of an
   * LLM data pipeline.
   *
-  * All tokenization is `split(text, ' ')` (the corpus is
-  * space-separated word soup, FIXTURES.md), kept as pure Catalyst
-  * array expressions — no UDFs, everything stays codegen'd and
-  * pushdown-transparent. Each query is one narrow scan + at most one
-  * shuffle, so the shapes hold at 100 TB.
+  * Tokenization is `split(text, ' ')` (the corpus is space-separated
+  * word soup, FIXTURES.md) as codegen'd Catalyst expressions, except
+  * shingle expansion (q28) which uses a typed flatMap — measured 3-5×
+  * faster than the CodegenFallback higher-order-function form (see
+  * Dedup.shingles). Each query is one narrow scan + at most one or
+  * two shuffles, so the shapes hold at 100 TB.
   */
 object TextAnalysis {
 
