@@ -81,6 +81,26 @@ object EventStreams {
       .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
   }
 
+  /** Durable sink: append the stream to parquet with a checkpoint —
+    * the production egress. The checkpoint (WAL + source offsets)
+    * makes the sink exactly-once across restarts: re-starting the
+    * same (query, checkpoint) pair resumes from the recorded offsets
+    * and never re-writes delivered batches. At 100 TB/day this is the
+    * bronze-layer landing job; partition the output by event date for
+    * downstream pruning. Blocks until currently-available input is
+    * drained (AvailableNow). */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Run a streaming DataFrame to completion over currently-available
     * data via the memory sink (test/smoke harness — mirrors the
     * guide's processAllAvailable pattern). Returns the query; caller
