@@ -131,6 +131,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch banded range join (q55) equals the streaming interval join") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.viewPurchaseJoin(stream), "vp_join_q55", outputMode = "append")
+    try {
+      val streaming = spark.table("vp_join_q55")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = SparkEntry.queries("q55_range_join")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === streaming)
+    } finally q.stop()
+  }
+
   test("streaming session_window agrees with batch q18 on session count per user") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     val q = EventStreams.runToMemory(
