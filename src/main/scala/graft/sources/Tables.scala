@@ -48,4 +48,15 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("(ts DIV 1000) * 1000"))
   }
+
+  /** Register every fixture table as a temp view (events with the
+    * ns-workaround applied), so the full ANSI surface is available via
+    * `spark.sql("SELECT ... FROM lineitem JOIN orders ...")` — temp
+    * views are metadata only; plans still prune and push down into the
+    * parquet scans exactly like the DataFrame API. */
+  def registerAll(s: SparkSession, d: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(s, d) else load(s, d, name)
+      df.createOrReplaceTempView(name)
+    }
 }

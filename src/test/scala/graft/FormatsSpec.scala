@@ -32,6 +32,30 @@ class FormatsSpec extends AnyFunSuite {
     assert(rowsOf(back) === rowsOf(nationSorted))
   }
 
+  test("registerAll exposes the full SQL surface over the fixture tables") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT r_name, count(*) AS n
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaDf = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").count().orderBy("r_name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql === viaDf)
+    // events view carries the ns-workaround
+    assert(spark.sql("SELECT count(*) FROM events WHERE event_type = 'view'")
+      .collect()(0).getLong(0) > 0)
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Formats.writePartitioned(Tables.customer(spark, sf), dir, Seq("c_mktsegment"))
