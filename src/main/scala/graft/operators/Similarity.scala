@@ -329,7 +329,40 @@ object Similarity {
       | floor(sqrt(list_inner_product(v, v)) * 1000000 + 0.5) / 1000000 AS l2_norm
       |FROM n ORDER BY vec_id""".stripMargin
 
+  /** q58 — k-NN under the Euclidean metric (native l2_distance
+    * expression): top-5 nearest for each of the 20 probe vectors —
+    * the L2 twin of the cosine search (q29), same broadcast-probe /
+    * single-corpus-scan / per-query-top-k shape. Ranks compared
+    * (distance ties broken by vec_id), distances not emitted. */
+  def q58(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.EuclideanDistance.l2_distance
+    val n = vecs(spark, sfDir)
+    val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(col("q_id") < 20)
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dist", l2_distance(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q58Sql: String =
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM n WHERE vec_id < 20),
+      |pairs AS (
+      |  SELECT q_id, vec_id, list_distance(qv, v) AS dist
+      |  FROM q, n WHERE vec_id <> q_id
+      |)
+      |SELECT q_id, rank, neighbor_id FROM (
+      |  SELECT q_id, vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+      |  FROM pairs) t
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_knn_l2" -> q58 _,
     "q56_array_funcs" -> q56 _,
     "q54_embed_pipeline" -> q54 _,
     "q29_knn_brute" -> q29 _,
@@ -338,6 +371,7 @@ object Similarity {
     "q37_srp_lsh_neardup" -> q37 _)
 
   val oracles: Map[String, String] = Map(
+    "q58_knn_l2" -> q58Sql,
     "q56_array_funcs" -> q56Sql,
     "q54_embed_pipeline" -> q54Sql,
     "q29_knn_brute" -> q29Sql,

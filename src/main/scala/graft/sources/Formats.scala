@@ -42,6 +42,15 @@ object Formats {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC: the other columnar-with-statistics format — same pushdown/
+    * pruning properties as parquet, relevant when interoperating with
+    * Hive-era estates. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partitioned parquet sink (directory-per-value layout): the 100 TB
     * table layout — partition pruning turns predicates on the
     * partition column into directory skips before any I/O. */

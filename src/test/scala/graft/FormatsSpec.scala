@@ -25,6 +25,16 @@ class FormatsSpec extends AnyFunSuite {
     assert(rowsOf(back) === rowsOf(nationSorted))
   }
 
+  test("orc round-trip preserves all values and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Formats.writeOrc(nationSorted, dir)
+    val back = Formats.readOrc(spark, dir)
+    assert(rowsOf(back) === rowsOf(nationSorted))
+    val filtered = back.filter(col("n_nationkey") > 20)
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(filtered.count() === 4)
+  }
+
   test("json round-trip preserves all values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     Formats.writeJson(nationSorted, dir)

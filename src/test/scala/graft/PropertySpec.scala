@@ -46,6 +46,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("OracleRound.floorRound: within half-step of x, idempotent, and monotone") {
+    import graft.functions.OracleRound
+    import org.apache.spark.sql.functions.lit
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.choose(0.0, 1e6))
+      k <- Gen.choose(0, 6)
+    } yield (xs, k)
+    check(Prop.forAll(gen) { case (xs, k) =>
+      import spark.implicits._
+      val rounded = xs.toDF("x")
+        .select(OracleRound.floorRound($"x", k).as("r"), $"x")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      val step = math.pow(10.0, -k)
+      rounded.forall { case (r, x) =>
+        math.abs(r - x) <= step / 2 + step * 1e-9 && // within half step
+          (math.floor(r * math.pow(10.0, k) + 0.5) / math.pow(10.0, k)) == r // idempotent
+      }
+    }, trials = 8)
+  }
+
   test("StubCodec: decode is a pure function of the payload bytes") {
     import graft.operators.{MediaBlob, Multimodal}
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
