@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance}
 
 /** Optimizer rule: rewrite the interpreted higher-order-function
   * formulation of a vector dot product,
@@ -85,5 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("l2_distance"),
+        new ExpressionInfo(classOf[EuclideanDistance].getName, "l2_distance"),
+        (exprs: Seq[Expression]) => EuclideanDistance(exprs(0), exprs(1))))
   }
 }

@@ -57,12 +57,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got === Seq(1.0 * 4 + 2 * 5 + 3 * 6, 0.5 * 1.5 + 0.0 - 5.0))
   }
 
-  test("injected SQL functions dot_product / cosine_sim evaluate correctly") {
+  test("injected SQL functions dot_product / cosine_sim / l2_distance evaluate correctly") {
     df.createOrReplaceTempView("vecs")
     val r = spark.sql(
-      "SELECT dot_product(a, b) AS d, cosine_sim(a, a) AS c FROM vecs").collect()
+      "SELECT dot_product(a, b) AS d, cosine_sim(a, a) AS c, l2_distance(a, a) AS l FROM vecs")
+      .collect()
     assert(r.map(_.getDouble(0)).toSeq === Seq(32.0, -4.25))
-    r.foreach(row => assert(math.abs(row.getDouble(1) - 1.0) < 1e-12))
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+      assert(row.getDouble(2) === 0.0)
+    }
   }
 
   test("rewrite preserves results vs the interpreted HOF on real embeddings") {
