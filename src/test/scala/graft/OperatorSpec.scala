@@ -20,6 +20,14 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("every query is deterministic: re-execution returns identical rows in order") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sf).collect().map(_.toString).toSeq
+      val b = fn(spark, sf).collect().map(_.toString).toSeq
+      assert(a === b, s"$name is nondeterministic across runs")
+    }
+  }
+
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
