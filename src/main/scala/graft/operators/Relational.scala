@@ -769,7 +769,29 @@ object Relational {
       |WHERE o.o_totalprice > ca.cust_avg * 1.5
       |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin
 
+  /** q59 — string aggregation: the market segments each nation's
+    * customers span, as a deterministic sorted comma list (sort_array
+    * before concat — collect_set order is otherwise partition-
+    * dependent). The list domain is tiny (5 segments), so the payload
+    * stays bounded regardless of customer count — the safe shape for
+    * string aggregation at scale (unbounded string_agg of raw rows is
+    * not). */
+  def q59(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"))
+      .orderBy("n_name")
+
+  val q59Sql: String =
+    """SELECT n_name, count(*) AS n_customers,
+      | string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_string_agg" -> q59 _,
     "q57_correlated_avg" -> q57 _,
     "q52_grouping_sets" -> q52 _,
     "q51_topk_aggregator" -> q51 _,
@@ -800,6 +822,7 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q59_string_agg" -> q59Sql,
     "q57_correlated_avg" -> q57Sql,
     "q52_grouping_sets" -> q52Sql,
     "q51_topk_aggregator" -> q12Sql, // same contract as the window top-k

@@ -66,6 +66,23 @@ class PropertySpec extends AnyFunSuite {
     }, trials = 8)
   }
 
+  test("TopKByPrice: any merge tree equals the top-k of the full list") {
+    import graft.functions.{KeyedPrice, TopKByPrice}
+    val agg = TopKByPrice(3)
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0.0, 1e5)))
+      k <- Gen.choose(0, xs.length)
+    } yield (xs.map { case (id, p) => KeyedPrice(1L, id, p) }, k)
+    check(Prop.forAll(gen) { case (xs, k) =>
+      val (l, r) = xs.splitAt(k)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val direct = xs.sortBy(x => (-x.price, x.key)).take(3)
+      agg.finish(merged) == direct
+    })
+  }
+
   test("StubCodec: decode is a pure function of the payload bytes") {
     import graft.operators.{MediaBlob, Multimodal}
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
