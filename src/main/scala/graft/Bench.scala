@@ -11,6 +11,12 @@ object Bench {
       // default 100-entry codegen cache evicts across 57 queries —
       // keep every generated class compiled exactly once
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Note on AQE small-partition coalescing: forcing
+      // parallelismFirst=false + an 8 MiB advisory target was A/B
+      // benched at local[32]/sf0.1 and LOST (~+2 s total, +0.2 s
+      // spread across most queries — the extra replan outweighs the
+      // saved empty-reducer scheduling at these stage sizes), so the
+      // AQE defaults stand.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: run EVERY query once at the smallest scale factor.
@@ -20,14 +26,30 @@ object Bench {
     // not one-time compilation (which dominated small queries).
     // Standard bench hygiene: measure steady-state, not cold-start.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // Smallest sibling scale factor of sfDir if present (generated
+    // code is scale-factor-independent), else warm on sfDir itself —
+    // a hardcoded path would silently no-op on other data layouts and
+    // the first timed runs would absorb codegen/JIT cost.
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) sib.getPath else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).count() catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] warm-up failed for $name: $t")
+      }
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A failed query must be LOUD: it still records -1 (so the JSON
+      // shape is stable) but never silently lowers the total.
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] QUERY FAILED $name: $t")
+          -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries may persist() intermediates (q23/q35/q37); drop them so
       // later queries aren't measured under another query's cache.

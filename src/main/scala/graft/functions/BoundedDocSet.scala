@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded distinct-set collector for document-frequency cutoffs
+  * (operators/Dedup q23): per group, keep the set of distinct ids —
+  * but only up to `maxKeep + 1` of them (the smallest, kept sorted).
+  *
+  * The point is the bound, not the order: a df-cutoff needs "all ids
+  * if there are ≤ T of them, else PROOF there are more than T".
+  * Collecting `collect_set` first and filtering after would
+  * materialize an unbounded buffer for exactly the hot keys the
+  * cutoff exists to drop (a stop-phrase shingle at 100 TB has df in
+  * the 10⁸ range — that's an OOM, not a bucket). This buffer never
+  * exceeds T+1 longs, the merge is a bounded sorted-union, and Spark
+  * runs it as a partial (map-side) aggregate — so the shuffle carries
+  * at most T+1 ids per (key, map task) no matter how hot the key.
+  *
+  * Contract: groups whose result has size ≤ maxKeep are COMPLETE
+  * distinct-id sets (sorted ascending); size == maxKeep + 1 means
+  * "df > maxKeep" and the caller drops the group. Results for kept
+  * groups are deterministic (set semantics + sort); overflow groups
+  * retain the smallest ids seen, also deterministic.
+  */
+class BoundedDocSet(maxKeep: Int) extends Aggregator[Long, Seq[Long], Seq[Long]]
+    with Serializable {
+  private val cap = maxKeep + 1
+
+  override def zero: Seq[Long] = Nil
+
+  override def reduce(b: Seq[Long], x: Long): Seq[Long] =
+    if (b.contains(x)) b
+    else ((b :+ x).sorted).take(cap)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(cap)
+
+  override def finish(b: Seq[Long]): Seq[Long] = b
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
+object BoundedDocSet {
+  /** Untyped-column entry point usable inside `groupBy(...).agg(...)`. */
+  def bounded_doc_set(maxKeep: Int)(c: Column): Column =
+    udaf(new BoundedDocSet(maxKeep)).apply(c)
+}

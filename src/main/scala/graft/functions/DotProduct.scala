@@ -19,7 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * loop, accumulating left-to-right in double precision — the order
   * DuckDB's `list_inner_product` uses, so projections agree bitwise
   * with the oracle.
-  */
+  *
+  * Null contract — exact `aggregate(zip_with(a, b, (x,y) -> x*y),
+  * 0D, (acc,v) -> acc+v)` parity on EVERY input: zip_with null-pads
+  * the shorter array and a null element poisons the sum, so this
+  * expression returns NULL when the lengths differ or any element is
+  * null (making [[graft.plans.DotProductRewrite]] semantics-
+  * preserving without a guard). The per-element null check is emitted
+  * only when the array type admits nulls ([[VectorNulls]]). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
@@ -36,13 +43,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Length mismatch / null elements yield null even for non-null inputs.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -54,13 +66,22 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
+      val nullCheck =
+        if (VectorNulls.mayContainNull(left, right))
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $dot += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -30,13 +30,19 @@ case class EuclideanDistance(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Same null contract as [[DotProduct]]: length mismatch or a null
+  // element yields null rather than a distance over garbage slots.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       acc += d * d
       i += 1
@@ -50,14 +56,23 @@ case class EuclideanDistance(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
+      val nullCheck =
+        if (VectorNulls.mayContainNull(left, right))
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $x.getDouble($i) - $y.getDouble($i);
-         |  $acc += $d * $d;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $d = $x.getDouble($i) - $y.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($acc);
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin
     })
 

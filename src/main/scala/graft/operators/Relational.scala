@@ -474,20 +474,29 @@ object Relational {
     Tables.orders(spark, sfDir)
       .groupBy("o_orderpriority")
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        // floorRound, not round(): interpolated quantiles are
+        // arbitrary doubles, exactly the case where the two engines'
+        // round() algorithms can split at .5·10⁻⁵ boundaries
+        // (functions/OracleRound).
+        graft.functions.OracleRound.floorRound(
+          expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        graft.functions.OracleRound.floorRound(
+          expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        graft.functions.OracleRound.floorRound(
+          expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
-  val q39Sql: String =
-    """SELECT o_orderpriority,
-      | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-      | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-      | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
-      | count(*) AS n_orders
-      |FROM orders GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
+  val q39Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""SELECT o_orderpriority,
+       | ${floorRoundSql("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+       | ${floorRoundSql("quantile_cont(o_totalprice, 0.9)", 4)} AS p90,
+       | ${floorRoundSql("quantile_cont(o_totalprice, 0.99)", 4)} AS p99,
+       | count(*) AS n_orders
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
 
   /** q40 — date/time function gauntlet over orders: extraction,
     * truncation, arithmetic, calendar endpoints — all codegen'd
@@ -556,18 +565,24 @@ object Relational {
     Tables.orders(spark, sfDir)
       .groupBy("o_orderpriority")
       .agg(
-        round(graft.functions.GeoMean.geo_mean(col("o_totalprice")), 4).as("geo_mean_price"),
-        round(avg("o_totalprice"), 4).as("arith_mean_price"),
+        // floorRound (not round()): geo/arith means are arbitrary
+        // doubles — same cross-engine .5-boundary hazard as q39.
+        graft.functions.OracleRound.floorRound(
+          graft.functions.GeoMean.geo_mean(col("o_totalprice")), 4).as("geo_mean_price"),
+        graft.functions.OracleRound.floorRound(
+          avg("o_totalprice"), 4).as("arith_mean_price"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
-  val q45Sql: String =
-    """SELECT o_orderpriority,
-      | round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price,
-      | round(avg(o_totalprice), 4) AS arith_mean_price,
-      | count(*) AS n_orders
-      |FROM orders GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
+  val q45Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""SELECT o_orderpriority,
+       | ${floorRoundSql("exp(avg(ln(o_totalprice)))", 4)} AS geo_mean_price,
+       | ${floorRoundSql("avg(o_totalprice)", 4)} AS arith_mean_price,
+       | count(*) AS n_orders
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
 
   /** q46 — INTERSECT (the set op q10 doesn't cover): customers who
     * both placed a 1997 order and hold a high balance. Spark plans

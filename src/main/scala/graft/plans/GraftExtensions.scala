@@ -17,8 +17,14 @@ import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance}
   * Spark's HigherOrderFunctions are CodegenFallback — on a k-NN hot
   * path every pair pays interpreted-lambda overhead and the
   * WholeStageCodegen span splits. The rewrite preserves semantics
-  * bit-for-bit: both sides accumulate left-to-right in double
-  * precision over min(len(a), len(b)) elements.
+  * bit-for-bit on EVERY input, including the degenerate ones: both
+  * sides accumulate left-to-right in double precision when lengths
+  * match and no element is null, and both return NULL otherwise
+  * (zip_with null-pads ragged arrays and a null element poisons the
+  * aggregate; DotProduct reproduces exactly that — see its null
+  * contract). The rule is injected into every GraftSession and may
+  * rewrite arbitrary user SQL, so this equivalence is load-bearing
+  * and pinned by ExtensionsSpec.
   *
   * This is the (c)-tier extension point of the build plan (SURVEY.md
   * §7.3): a `Rule[LogicalPlan]` registered through

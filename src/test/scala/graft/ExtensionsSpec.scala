@@ -69,6 +69,38 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite parity on degenerate inputs: ragged lengths and null elements → NULL both ways") {
+    // zip_with null-pads ragged arrays and a null element poisons the
+    // HOF aggregate; DotProduct must reproduce that NULL, not a number
+    // over min(len) — the rewrite fires on arbitrary user SQL, so this
+    // is the semantics-preservation proof for the ugly inputs.
+    import spark.implicits._
+    val weird = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0))), // ragged
+      (2L, Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))), // null elem
+      (3L, Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0), Some(4.0))) // clean
+    ).toDF("id", "a", "b")
+    // Force a non-local plan so neither side constant-folds away.
+    val path = java.nio.file.Files.createTempDirectory("graft_ragged").toString
+    weird.write.mode("overwrite").parquet(path)
+    // The TRUE HOF baseline must come from the extension-less shared
+    // session — in `spark` the rule would rewrite it to dot_product
+    // and the comparison would be circular.
+    val vanilla = SparkTestSession.get
+    vanilla.read.parquet(path).createOrReplaceTempView("ragged_v")
+    val hof = vanilla.sql(
+      """SELECT id, aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS d
+        |FROM ragged_v ORDER BY id""".stripMargin).collect()
+    spark.read.parquet(path).createOrReplaceTempView("ragged")
+    val native = spark.sql(
+      "SELECT id, dot_product(a, b) AS d FROM ragged ORDER BY id").collect()
+    hof.zip(native).foreach { case (h, n) =>
+      assert(h.isNullAt(1) === n.isNullAt(1), s"null parity broke at id ${h.getLong(0)}")
+      if (!h.isNullAt(1)) assert(h.getDouble(1) === n.getDouble(1))
+    }
+    assert(hof(0).isNullAt(1) && hof(1).isNullAt(1) && hof(2).getDouble(1) === 11.0)
+  }
+
   test("rewrite preserves results vs the interpreted HOF on real embeddings") {
     val sf = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

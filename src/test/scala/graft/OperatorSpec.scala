@@ -136,6 +136,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("q37 SRP-LSH recall vs q36 truth ≥ 0.8 at sf0.01 (tuned: 0.85)") {
+    // The recall pin the 48-plane/12-band geometry was tuned for
+    // (Similarity.NumPlanes): a user running q37 as "q36 at scale"
+    // must know — and this test freezes — what fraction of true
+    // cos≥0.4 pairs the banded candidate stage retains. sf0.01 is the
+    // smallest factor with a meaningful truth set (59 pairs).
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q36_embed_neardup")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q37_srp_lsh_neardup")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, f"recall $recall%.2f < 0.8 (${lsh.size}/${exact.size})")
+  }
+
   test("q41 salted heavy hitters: counts match a direct (unsalted) groupBy") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q41_salted_heavy_hitters")(spark, sf)
