@@ -180,17 +180,61 @@ object Events {
        | AND epoch_ns(v.ts) >= epoch_ns(p.ts) - $GapNs
        |ORDER BY purchase_id, view_id""".stripMargin
 
+  /** q60 — sessionization via the BUILT-IN `session_window`, batch
+    * path (q18 is the hand-rolled lag/running-sum twin; the streaming
+    * variant lives in streaming/EventStreams). Exercises the operator
+    * Spark actually ships for this: one shuffle on user_id, sessions
+    * merged by the 30-min gap. Boundary semantics differ from q18 by
+    * design: `session_window` starts a NEW session when the gap is ≥
+    * the duration (windows are half-open [ts, ts+gap)), while q18's
+    * flag uses strictly >; the oracle mirrors the built-in exactly,
+    * so the two queries stay independently verifiable. ts is µs-
+    * truncated at load (Tables.events), so the long↔timestamp round
+    * trip is exact. */
+  def q60(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.OracleRound.floorRound(
+          graft.functions.OracleRound.exactSum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        (unix_micros(col("sw.start")) * 1000).as("start_ns"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_ns")
+
+  val q60Sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ns, value,
+       |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+       |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w >= $GapNs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+       |), sess AS (
+       |  SELECT user_id, ns, value,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, min(ns) AS start_ns, count(*) AS n_events,
+       | floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_value
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, start_ns""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_range_join" -> q55 _,
     "q17_hourly_windows" -> q17 _,
     "q18_sessionization" -> q18 _,
     "q19_json_extract" -> q19 _,
-    "q20_asof_join" -> q20 _)
+    "q20_asof_join" -> q20 _,
+    "q60_session_window" -> q60 _)
 
   val oracles: Map[String, String] = Map(
     "q55_range_join" -> q55Sql,
     "q17_hourly_windows" -> q17Sql,
     "q18_sessionization" -> q18Sql,
     "q19_json_extract" -> q19Sql,
-    "q20_asof_join" -> q20Sql)
+    "q20_asof_join" -> q20Sql,
+    "q60_session_window" -> q60Sql)
 }

@@ -805,7 +805,53 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q61 — bucketed co-located fact⋈fact join: lineitem and orders
+    * are written ONCE per (session, sfDir) as catalog tables bucketed
+    * 8-ways on the order key, and the join then reads co-located
+    * buckets — `.hint("merge")` pins the sort-merge path and the plan
+    * has NO shuffle exchange under the join (BucketingSpec asserts
+    * this shape; at 100 TB neither fact side broadcasts, so bucketing
+    * is what deletes the per-query shuffle of both). First call pays
+    * the bucketed write — the real-world trade: one layout write
+    * amortized over every subsequent co-located join. Bucket count 8
+    * is corpus-sized; at cluster scale pick ~(total cores × small
+    * factor) and the same code holds. The oracle is the plain join —
+    * bucketing is physical layout, not semantics. */
+  def q61(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))
+        .getMostSignificantBits & Long.MaxValue)
+    val liT = s"graft_li_bkt_$tag"
+    val ordT = s"graft_ord_bkt_$tag"
+    if (!spark.catalog.tableExists(liT)) {
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+    }
+    if (!spark.catalog.tableExists(ordT)) {
+      Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordT)
+    }
+    spark.table(liT).hint("merge")
+      .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        floorRound(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q61Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      | floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_bucketed_join" -> q61 _,
     "q59_string_agg" -> q59 _,
     "q57_correlated_avg" -> q57 _,
     "q52_grouping_sets" -> q52 _,
@@ -837,6 +883,7 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q61_bucketed_join" -> q61Sql,
     "q59_string_agg" -> q59Sql,
     "q57_correlated_avg" -> q57Sql,
     "q52_grouping_sets" -> q52Sql,

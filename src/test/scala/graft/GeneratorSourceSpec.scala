@@ -29,6 +29,25 @@ class GeneratorSourceSpec extends AnyFunSuite {
     assert(df.agg(sum("val")).collect()(0).getLong(0) === 1003L * 1002 / 2)
   }
 
+  test("MICRO_BATCH_READ: streaming the generator ≡ the batch range, exactly once") {
+    // The reference's Generator may emit forever (maps/maps.go:44-47);
+    // the micro-batch capability is its unbounded twin. Stream n=500
+    // in 100-value triggers into a memory sink and require the result
+    // to equal the batch projection — every value once, none lost.
+    val q = spark.readStream.format("graft.sources.GeneratorSource")
+      .option("n", 500).option("partitions", 3).option("rowsPerBatch", 100)
+      .load()
+      .writeStream.format("memory").queryName("gen_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_gen_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gen_stream").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 500L))
+  }
+
   test("the reference's fizzbuzz workload runs on the custom source") {
     val words = gen(15, 1)
       .select(when(col("val") % 15 === 0, "fizzbuzz")

@@ -136,6 +136,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("q33 HLL++ approx distinct within 2·rsd of the exact count at sf0.01") {
+    // q33 has no DuckDB oracle (different sketch) — this bounds its
+    // rows-only gap with a real correctness signal: HLL++ at
+    // rsd = 0.01 must land within 2 standard errors of the exact
+    // distinct count for every group and both measures.
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q33_approx_distinct")(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    val tol = 2 * 0.01
+    exact.foreach { case (flag, (ep, es)) =>
+      val (ap, as_) = approx(flag)
+      assert(math.abs(ap - ep).toDouble / ep <= tol, s"$flag parts: approx $ap exact $ep")
+      assert(math.abs(as_ - es).toDouble / es <= tol, s"$flag supps: approx $as_ exact $es")
+    }
+  }
+
   test("q37 SRP-LSH recall vs q36 truth ≥ 0.8 at sf0.01 (tuned: 0.85)") {
     // The recall pin the 48-plane/12-band geometry was tuned for
     // (Similarity.NumPlanes): a user running q37 as "q36 at scale"

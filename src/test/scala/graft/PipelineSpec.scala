@@ -41,6 +41,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("mapDispatch is exactly-once under task failure + retry") {
+    // The reference's defining distributed behavior is per-record
+    // retry on worker failure (/root/reference/maps/dispatch.go:80-93);
+    // Pipeline.mapDispatch claims Spark task retry subsumes it. This
+    // test DEMONSTRATES the claim instead of asserting it: every
+    // partition's first task attempt is killed mid-stage (session runs
+    // local[4,2] → maxFailures = 2), and the output must contain every
+    // record exactly once — at-least-once execution (proven by the
+    // probe counting more calls than records), exactly-once results
+    // (failed attempts' output discarded by the scheduler).
+    RetryProbe.calls.set(0)
+    RetryProbe.failures.set(0)
+    val in = (0 until 1000).map(FizzyInput)
+    val out = Pipeline.generatorSource(spark, in)
+      .mapDispatch { x: FizzyInput =>
+        RetryProbe.calls.incrementAndGet()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0) {
+          RetryProbe.failures.incrementAndGet()
+          throw new RuntimeException(
+            s"injected fault: partition ${tc.partitionId()} attempt 0")
+        }
+        FizzMapper(x)
+      }
+      .ds.collect()
+    assert(RetryProbe.failures.get() >= 1, "fault was never injected")
+    assert(RetryProbe.calls.get() > 1000, "no record was ever re-executed")
+    assert(out.length === 1000, "output is not exactly-once")
+    assert(out.map(_.number).toSet === (0 until 1000).toSet)
+  }
+
   test("flatMap stages fuse: mapLocal∘mapLocal ≡ composed mapper") {
     val in = (0 until 200).map(FizzyInput)
     val dup = (f: FizzBuzz) => Seq(f, f.copy(word = f.word + "!"))
@@ -64,4 +95,13 @@ class PipelineSpec extends AnyFunSuite {
       .sinkParquet(s"$dir/out")
     assert(spark.read.parquet(s"$dir/out").count() === 50L)
   }
+}
+
+/** JVM-wide probe for the fault-injection test: in local mode the
+  * executor shares the test JVM, so static atomics see every task
+  * attempt — including failed ones, which accumulators deliberately
+  * exclude. */
+object RetryProbe {
+  val calls = new java.util.concurrent.atomic.AtomicLong(0)
+  val failures = new java.util.concurrent.atomic.AtomicLong(0)
 }
