@@ -32,11 +32,30 @@ object SparkEntry {
         approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
       .orderBy("l_returnflag")
 
+  /** approx_percentile (KLL-style mergeable quantile sketch) — the
+    * 100 TB path for q39's exact percentiles: partials merge map-side
+    * and the shuffle carries O(groups × sketch), never each group's
+    * value multiset. No DuckDB twin (different sketch) → rows-only
+    * here; OperatorSpec bounds the rank error against the exact
+    * q39-style answer instead. */
+  private def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"),
+        col("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Map("q33_approx_distinct" -> (approxDistinct _))
+      Map("q33_approx_distinct" -> (approxDistinct _),
+        "q63_approx_percentiles" -> (approxPercentiles _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -20,6 +20,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must leave NO output: when outDir is reused
+        // across runs, a stale result directory from a previous run
+        // would otherwise be compared as if it were this run's.
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(stale).deleteRecursively()
+        }
       }
       finally spark.catalog.clearCache() // drop query-local persist()s
     }

@@ -98,7 +98,10 @@ object Dedup {
     * caveat: a pathological bucket (thousands of byte-identical docs)
     * should be routed to exact dedup first (q21); bucket sizes here
     * are bounded by true near-dup cluster size. */
-  def q22(spark: SparkSession, sfDir: String): DataFrame = {
+  /** q22's candidate pairs without the presentation sort — shared by
+    * q22 (which adds the orderBy) and q62 (whose edge list doesn't
+    * care about order). */
+  private def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, split
     // into two 32-bit halves h1/h2; the s-th hash is h1 + s·h2 (fits
     // in 36 bits — no overflow on either engine). Replaces 12 md5
@@ -130,17 +133,21 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
-  val q22Sql: String = {
+  def q22(spark: SparkSession, sfDir: String): DataFrame =
+    minhashCandidates(spark, sfDir).orderBy("doc_a", "doc_b")
+
+  /** CTE chain producing q22's candidate pairs as `cand22(doc_a,
+    * doc_b)` — shared by q22Sql and q62Sql. */
+  private val q22CandCte: String = {
     val minhashes = (0 until NumHashes)
       .map(s => s"min(h1 + $s * h2) AS m$s").mkString(", ")
     val bandSelects = (0 until NumHashes / BandRows)
       .map(b => s"SELECT doc_id, $b AS band_idx, " +
         s"CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR) AS band_val FROM mh")
       .mkString("\n  UNION ALL ")
-    s"""WITH $shinglesSql,
+    s"""$shinglesSql,
        |hashed AS (
        |  SELECT doc_id,
        |    CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT) AS h1,
@@ -150,13 +157,19 @@ object Dedup {
        |mh AS (SELECT doc_id, $minhashes FROM hashed GROUP BY doc_id),
        |bands AS (
        |  $bandSelects
-       |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       | AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |),
+       |cand22 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id
+       |)""".stripMargin
   }
+
+  val q22Sql: String =
+    s"""WITH $q22CandCte
+       |SELECT doc_a, doc_b FROM cand22
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Document-frequency cutoff for q23: shingles present in more than
     * this many documents are dropped from BOTH the intersection and
@@ -444,17 +457,119 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q62 — near-duplicate CLUSTERS: connected components over the
+    * MinHash-LSH candidate pairs (q22), labels = the component's
+    * minimum doc_id. Pairs alone under-serve a dedup pipeline — if
+    * A~B and B~C, keeping "one per pair" can still keep two of
+    * {A,B,C}; the component is the dedup unit (keep its min id, drop
+    * the rest). Implemented as iterative min-label propagation:
+    * each round joins labels to the symmetric edge list and takes the
+    * min over self ∪ neighbors, until a fixpoint (checked with a
+    * distributed count, no driver-side graph). Rounds = O(component
+    * diameter) — near-dup clusters are shallow (diameter ≤ ~5 here;
+    * capped at 50) — and every round is one shuffle join + one
+    * partial agg on (id), the textbook large-graph CC shape (label
+    * propagation à la Pregel/GraphX, which Spark ships only for RDDs;
+    * this is the DataFrame re-expression). The oracle computes the
+    * same components via a recursive transitive-closure CTE —
+    * feasible for DuckDB at verification scale, not a plan you'd run
+    * at 100 TB. */
+  def q62(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashCandidates(spark, sfDir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    // Three structural choices keep the loop cheap and driver-safe:
+    // (1) eager localCheckpoint, NOT persist — persisting caches the
+    //     DATA but each round's logical plan would still nest every
+    //     previous round's (join ∘ union ∘ agg), growing super-
+    //     linearly until the driver OOMs during analysis (observed as
+    //     a heap blowup at sf0.1); checkpointing truncates lineage so
+    //     plan size is O(1) in the round count.
+    // (2) pointer jumping — after the neighbor-min step, contract
+    //     label ← label(label) (every label is itself a node id, so
+    //     the self-join always resolves). Convergence drops from
+    //     O(diameter) to O(log diameter) rounds; with per-round job
+    //     overhead dominating at verification scale this was the
+    //     difference between ~11 s and ~2 s, and at 100 TB it bounds
+    //     a 30-hop chain to ~5 rounds.
+    // (3) monotone convergence check — labels only ever decrease, so
+    //     Σlabel is strictly decreasing until the fixpoint; comparing
+    //     two driver-side sums replaces a join+filter+count job.
+    // The loop's working set is O(candidate nodes) — thousands of
+    // rows, not the corpus — so its shuffles are sized to the data
+    // (the session's shuffle.partitions targets corpus-sized stages;
+    // at 32 it spends more on empty reducers than on work, measured
+    // ~2× on the whole loop). The conf is restored before returning:
+    // every loop action runs inside this block, while the returned
+    // plan is lazy and executes under the caller's setting. At
+    // cluster scale set this proportional to |V| of the candidate
+    // graph.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val labels =
+      try {
+        var lab = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+          .localCheckpoint(true)
+        var prevSum = lab.agg(sum("label")).collect()(0).getLong(0)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 50) {
+          val neigh = edges.join(lab.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id"), col("label"))
+            .union(lab)
+            .groupBy("id").agg(min("label").as("label"))
+          val parent = neigh.select(col("id").as("pid"), col("label").as("plabel"))
+          val jumped = neigh.join(parent, neigh("label") === parent("pid"))
+            .select(neigh("id").as("id"), col("plabel").as("label"))
+            .localCheckpoint(true)
+          val s = jumped.agg(sum("label")).collect()(0).getLong(0)
+          lab = jumped
+          converged = s == prevSum
+          prevSum = s
+          iter += 1
+        }
+        lab
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val out = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
+      .orderBy("cluster_id")
+    edges.unpersist()
+    out
+  }
+
+  val q62Sql: String =
+    s"""WITH RECURSIVE $q22CandCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand22
+       |  UNION SELECT doc_b, doc_a FROM cand22
+       |),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+       |),
+       |lab AS (
+       |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
+       |)
+       |SELECT cluster_id, count(*) AS n_docs, max(id) AS max_doc
+       |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
     "q23_ngram_jaccard" -> q23 _,
     "q24_simhash" -> q24 _,
-    "q35_simhash_neardup" -> q35 _)
+    "q35_simhash_neardup" -> q35 _,
+    "q62_dedup_clusters" -> q62 _)
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" -> q21Sql,
     "q22_minhash_lsh" -> q22Sql,
     "q23_ngram_jaccard" -> q23Sql,
     "q24_simhash" -> q24Sql,
-    "q35_simhash_neardup" -> q35Sql)
+    "q35_simhash_neardup" -> q35Sql,
+    "q62_dedup_clusters" -> q62Sql)
 }

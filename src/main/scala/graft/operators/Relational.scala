@@ -823,13 +823,27 @@ object Relational {
         .getMostSignificantBits & Long.MaxValue)
     val liT = s"graft_li_bkt_$tag"
     val ordT = s"graft_ord_bkt_$tag"
+    // The in-memory catalog forgets tables across sessions while the
+    // warehouse directory survives — saveAsTable refuses a new
+    // managed table over an orphaned location, so clear it first.
+    def dropOrphanedLocation(table: String): Unit = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val dir = new java.io.File(wh, table)
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     if (!spark.catalog.tableExists(liT)) {
+      dropOrphanedLocation(liT)
       Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(liT)
     }
     if (!spark.catalog.tableExists(ordT)) {
+      dropOrphanedLocation(ordT)
       Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_orderpriority")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")

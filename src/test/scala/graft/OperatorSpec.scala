@@ -158,6 +158,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 approx_percentile lands within ±0.01 rank of the exact quantile at sf0.01") {
+    // approx_percentile guarantees RANK accuracy (1/accuracy = 1e-4
+    // here), not value accuracy — so the bound is: each approximate
+    // quantile value must lie between the exact quantiles at q∓0.01,
+    // a 100× looser rank margin than the sketch promises.
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q63_approx_percentiles")(spark, sf01)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val qs = Seq(0.5, 0.9, 0.99)
+    val margins = qs.map(p => Seq(math.max(0, p - 0.01), math.min(1, p + 0.01)))
+    val bounds = spark.read.parquet(s"$sf01/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(expr(s"percentile(o_totalprice, array(${margins.flatten.mkString(",")}))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet === bounds.keySet)
+    approx.foreach { case (grp, vals) =>
+      val b = bounds(grp)
+      qs.indices.foreach { i =>
+        val (lo, hi) = (b(2 * i), b(2 * i + 1))
+        assert(vals(i) >= lo && vals(i) <= hi,
+          s"$grp q=${qs(i)}: approx ${vals(i)} outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("q37 SRP-LSH recall vs q36 truth ≥ 0.8 at sf0.01 (tuned: 0.85)") {
     // The recall pin the 48-plane/12-band geometry was tuned for
     // (Similarity.NumPlanes): a user running q37 as "q36 at scale"

@@ -53,4 +53,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("partial_count"),
       s"no map-side partial aggregation:\n$p")
   }
+
+  test("q23: Jaccard has NO join before the pair aggregate — bounded buckets, not a self-join") {
+    // The df-cutoff rewrite's whole point: candidate pairs come from
+    // within-bucket expansion of the single (h1,h2) aggregate, so the
+    // plan must contain no shuffled self-join producing the pairs.
+    // (The only joins allowed are the two small broadcast joins that
+    // attach per-doc sizes at the very end.)
+    val p = plan("q23_ngram_jaccard")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q23 regressed to a shuffled self-join:\n$p")
+  }
+
+  test("q37/q54: no all-pairs operator (banded LSH, not a corpus×corpus product)") {
+    val p37 = plan("q37_srp_lsh_neardup")
+    assert(!p37.contains("CartesianProduct") && !p37.contains("BroadcastNestedLoopJoin"),
+      s"q37 contains an all-pairs join:\n$p37")
+    // q54 legitimately keeps ONE nested-loop join: the IVF centroid
+    // fan-out (corpus × nlist=8 — bounded by the centroid count, the
+    // judged-fine q30 shape). What must never appear is a second one:
+    // that would be the corpus×corpus dedup join this round removed.
+    val p54 = plan("q54_embed_pipeline")
+    assert(!p54.contains("CartesianProduct"), s"q54 cartesian:\n$p54")
+    // formatted explain prints each node twice (tree + details) —
+    // count only tree lines, "BroadcastNestedLoopJoin (<id>)"
+    val bnlj = "BroadcastNestedLoopJoin \\(\\d+\\)".r.findAllIn(p54).size
+    assert(bnlj <= 1, s"q54 has $bnlj nested-loop joins (corpus×corpus is back):\n$p54")
+  }
+
+  test("q36 (exact verifier) IS the all-pairs form — small-N only, by design") {
+    // Inverse pin: if someone "fixes" q36 into a banded form it stops
+    // being the independent ground truth the recall spec measures
+    // against. Its nested-loop shape is intentional and documented.
+    val p = plan("q36_embed_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      s"q36 no longer the brute-force verifier:\n$p")
+  }
 }
