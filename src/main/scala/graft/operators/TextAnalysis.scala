@@ -281,6 +281,42 @@ object TextAnalysis {
       | floor(CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS sample_rate
       |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  /** q65 — stratified sampling with EXACT per-stratum quotas: exactly
+    * ⌈10%⌉ of each language's documents, chosen deterministically by
+    * md5(doc_id) rank within the stratum. q50's bucket filter gives a
+    * ~10% Bernoulli sample (rate varies per stratum); a data-mixture
+    * spec ("this corpus is 12% de, 30% en, ...") needs exact counts —
+    * the operator training-data curation actually runs. One shuffle
+    * on lang; the rank is a window over md5, so ties are impossible
+    * (md5 of distinct ids) and any engine reproduces the same rows.
+    * 100 TB note: a full per-stratum sort is O(n log n) per stratum —
+    * at extreme sizes swap the window for a two-pass hash-threshold
+    * (count, then binary-search the md5 cut) — same determinism, no
+    * sort; the window form is exact and is what the oracle checks. */
+  def q65(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    val ranked = Tables.documents(spark, sfDir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("quota",
+        ceil(count(lit(1)).over(Window.partitionBy("lang")) * 0.1).cast("long"))
+    ranked.filter(col("rn") <= col("quota"))
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  val q65Sql: String =
+    """WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+      |    CAST(ceil(count(*) OVER (PARTITION BY lang) * 0.1) AS BIGINT) AS quota
+      |  FROM documents
+      |)
+      |SELECT lang, doc_id, rn FROM ranked WHERE rn <= quota
+      |ORDER BY lang, rn""".stripMargin
+
   /** q53 — the composed LLM training-data pipeline, end to end in one
     * plan: exact dedup (keep lowest doc_id per md5 fingerprint) →
     * quality filter (q26's rules) → deterministic 50% hash sample →
@@ -336,6 +372,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_llm_pipeline" -> q53 _,
     "q50_hash_sample" -> q50 _,
+    "q65_stratified_sample" -> q65 _,
     "q41_salted_heavy_hitters" -> q41 _,
     "q25_token_stats" -> q25 _,
     "q26_quality_score" -> q26 _,
@@ -346,6 +383,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q53_llm_pipeline" -> q53Sql,
     "q50_hash_sample" -> q50Sql,
+    "q65_stratified_sample" -> q65Sql,
     "q41_salted_heavy_hitters" -> q41Sql,
     "q25_token_stats" -> q25Sql,
     "q26_quality_score" -> q26Sql,

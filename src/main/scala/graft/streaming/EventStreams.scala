@@ -58,6 +58,19 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).json(dir)
 
+  /** Streaming exactly-once dedup on a key: `dropDuplicates` with a
+    * watermark so the dedup state is GC-able — without the watermark
+    * the state grows with every key ever seen, the classic unbounded-
+    * state bug; with it, Spark drops state older than the watermark
+    * and a duplicate arriving later than 10 minutes is admitted (the
+    * documented at-most-window guarantee a 100 TB ingest dedup
+    * actually provides). Batch twin: `dropDuplicates("event_id")`. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's views in the preceding 30 minutes. Both sides carry
     * watermarks and the join condition bounds event time on both

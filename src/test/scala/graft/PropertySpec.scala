@@ -83,6 +83,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BoundedDocSet: any merge tree gives the complete sorted set iff df ≤ cap, else overflow proof") {
+    import graft.functions.BoundedDocSet
+    val cap = 5
+    val agg = new BoundedDocSet(cap)
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.choose(0L, 12L)) // small domain → frequent dups + overflows
+      k <- Gen.choose(0, xs.length)
+    } yield (xs, k)
+    check(Prop.forAll(gen) { case (xs, k) =>
+      val (l, r) = xs.splitAt(k)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)))
+      val distinct = xs.distinct.sorted
+      if (distinct.length <= cap)
+        merged == distinct // complete + sorted: the df-cutoff keep case
+      else
+        merged.length == cap + 1 && // overflow proof: caller drops the bucket
+          merged == distinct.take(cap + 1) // deterministic (smallest ids)
+    })
+  }
+
   test("StubCodec: decode is a pure function of the payload bytes") {
     import graft.operators.{MediaBlob, Multimodal}
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>

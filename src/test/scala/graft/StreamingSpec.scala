@@ -88,6 +88,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming watermarked dropDuplicates collapses duplicated input to the batch distinct") {
+    // Land every event TWICE (two JSON files), then dedup on event_id
+    // with a watermark (EventStreams.dedupStream — GC-able state).
+    // The streamed result must equal the batch table exactly: one row
+    // per event_id, none lost.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString + "/in"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    ev.coalesce(1).write.mode("overwrite").json(dir)
+    ev.coalesce(1).write.mode("append").json(dir)
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.runToMemory(
+      EventStreams.dedupStream(stream), "dedup_out", outputMode = "append")
+    try {
+      val got = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = ev.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("checkpointed parquet sink is exactly-once across restarts") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val out = base + "/out"
