@@ -29,11 +29,35 @@ class BoundedDocSet(maxKeep: Int) extends Aggregator[Long, Seq[Long], Seq[Long]]
     with Serializable {
   private val cap = maxKeep + 1
 
-  override def zero: Seq[Long] = Nil
+  override def zero: Seq[Long] = Vector.empty
 
-  override def reduce(b: Seq[Long], x: Long): Seq[Long] =
-    if (b.contains(x)) b
-    else ((b :+ x).sorted).take(cap)
+  // reduce runs once per input ROW of the suite's hottest aggregate
+  // (every shingle occurrence in the corpus feeds it), so it exploits
+  // the buffer invariant — sorted ascending, distinct, length ≤ cap —
+  // for a binary-search membership test and a single-array positional
+  // insert instead of contains + sort (O(log cap + cap), one
+  // allocation). merge runs once per partition pair; the simple form
+  // is fine there.
+  override def reduce(b: Seq[Long], x: Long): Seq[Long] = {
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b(mid) < x) lo = mid + 1 else hi = mid
+    }
+    if (lo < b.length && b(lo) == x) b // present
+    else if (lo >= cap) b // would sort beyond the cap — dropped anyway
+    else {
+      val n = math.min(b.length + 1, cap)
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < lo) { out(i) = b(i); i += 1 }
+      out(lo) = x
+      var j = lo + 1
+      while (j < n) { out(j) = b(j - 1); j += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
     (a ++ b).distinct.sorted.take(cap)

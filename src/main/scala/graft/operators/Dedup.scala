@@ -334,9 +334,14 @@ object Dedup {
     * replaces the earlier 64-column aggregate — the per-token
     * shift/and work is identical, but the aggregation buffer and
     * partial-agg hash rows shrink 4×, which was the #2 bench cost
-    * (6.6 s at sf0.1). Capacity bound: documents up to 65,535 tokens;
-    * longer docs need a two-level (chunked) aggregation — assert
-    * cheaply via the count that rides along anyway. */
+    * (6.6 s at sf0.1). Capacity bound: documents up to 32,767 tokens
+    * — lanes 0-2 tolerate 65,535 before inter-lane carry, but lane 3
+    * sits in bits 48-63 of a SIGNED long, so a count ≥ 2¹⁵ there
+    * overflows into the sign bit (and Spark's non-ANSI sum would wrap
+    * SILENTLY where DuckDB errors loudly — the worst kind of
+    * divergence). Guarded by raise_error on the token count that
+    * rides along anyway; longer docs need a two-level (chunked)
+    * aggregation. */
   private def simhashSig64(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -352,6 +357,12 @@ object Dedup {
     }
     val withLanes = tok.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), laneSums: _*)
+      // overflow guard (see scaladoc): every downstream bit test reads
+      // n, so routing n through the check makes it unprunable.
+      .withColumn("n", expr(
+        "CASE WHEN n < 32768 THEN n ELSE CAST(raise_error(concat(" +
+          "'q35 lane-packed SimHash overflow: doc ', CAST(doc_id AS STRING), " +
+          "' has ', CAST(n AS STRING), ' tokens (max 32767); use chunked aggregation')) AS BIGINT) END"))
     val blockCols = (0 until 4).map { blk =>
       (0 until 16).map { i =>
         val p = 16 * blk + i
@@ -513,8 +524,15 @@ object Dedup {
         var lab = edges.select(col("src").as("id")).distinct()
           .withColumn("label", col("id"))
           .localCheckpoint(true)
-        var prevSum = lab.agg(sum("label")).collect()(0).getLong(0)
-        var converged = false
+        // sum() over zero rows is NULL — a candidate-free corpus (no
+        // near-dup pairs at all) must yield an empty cluster table,
+        // not an NPE out of getLong.
+        def labelSum(df: DataFrame): Long = {
+          val row = df.agg(sum("label")).collect()(0)
+          if (row.isNullAt(0)) 0L else row.getLong(0)
+        }
+        var prevSum = labelSum(lab)
+        var converged = lab.isEmpty
         var iter = 0
         while (!converged && iter < 50) {
           val neigh = edges.join(lab.withColumnRenamed("id", "src"), "src")
@@ -525,7 +543,7 @@ object Dedup {
           val jumped = neigh.join(parent, neigh("label") === parent("pid"))
             .select(neigh("id").as("id"), col("plabel").as("label"))
             .localCheckpoint(true)
-          val s = jumped.agg(sum("label")).collect()(0).getLong(0)
+          val s = labelSum(jumped)
           lab = jumped
           converged = s == prevSum
           prevSum = s
