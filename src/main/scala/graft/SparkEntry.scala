@@ -50,12 +50,30 @@ object SparkEntry {
         col("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** freqItems (single-pass frequent-item sketch, Karp-Shenker-
+    * Papadimitriou) — the approximate twin of q41's exact salted
+    * heavy hitters: one narrow pass, O(1/support) state per
+    * partition, mergeable — the vocabulary-pruning shape at 100 TB
+    * where an exact token count is its own full job. Guarantee: every
+    * token with frequency > support·N is present (false positives
+    * possible, false negatives not) — OperatorSpec pins exactly that
+    * superset property against the exact counts. Rows-only here (the
+    * sketch's false-positive set is engine-specific). */
+  private def freqTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val items = toks.stat.freqItems(Seq("tok"), 0.01)
+      .select(explode(col("tok_freqItems")).as("tok"))
+    items.select(col("tok")).orderBy("tok")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
       Map("q33_approx_distinct" -> (approxDistinct _),
-        "q63_approx_percentiles" -> (approxPercentiles _))
+        "q63_approx_percentiles" -> (approxPercentiles _),
+        "q66_freq_items" -> (freqTokens _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -201,6 +201,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"recall $recall%.2f < 0.8 (${lsh.size}/${exact.size})")
   }
 
+  test("q62 clusters are consistent: every q22 pair co-clustered, labels are component minima") {
+    val pairs = SparkEntry.queries("q22_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("q62_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rebuild node→cluster from the driver side independently
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.groupBy(find)
+      .map { case (root, members) => (root, members.size.toLong, members.max) }
+      .toSet
+    assert(clusters.toSet === expected)
+    // cluster_id must be its component's minimum member
+    val total = clusters.map(_._2).sum
+    assert(total === parent.keys.size.toLong)
+  }
+
+  test("q66 freqItems contains EVERY token above the support threshold (no false negatives)") {
+    // The sketch's contract: items with frequency > support·N always
+    // surface; false positives may. Pin the half that's guaranteed.
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q66_freq_items")(spark, sf01)
+      .collect().map(_.getString(0)).toSet
+    val toks = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val mustHave = toks.groupBy("tok").count()
+      .filter(col("count") > n * 0.01)
+      .collect().map(_.getString(0)).toSet
+    assert(mustHave.subsetOf(approx),
+      s"missing guaranteed-frequent tokens: ${mustHave -- approx}")
+    assert(approx.nonEmpty)
+  }
+
   test("q41 salted heavy hitters: counts match a direct (unsalted) groupBy") {
     import org.apache.spark.sql.functions._
     val salted = SparkEntry.queries("q41_salted_heavy_hitters")(spark, sf)
