@@ -521,8 +521,13 @@ object Dedup {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val labels =
       try {
-        var lab = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id"))
+        // Init already IS the first propagation round, join-free: from
+        // identity labels, round 1 would compute min(self ∪ neighbor
+        // ids) — and neighbor ids are just the symmetric edge list, so
+        // a union + agg produces the same state one join cheaper.
+        var lab = edges.select(col("dst").as("id"), col("src").as("label"))
+          .union(edges.select(col("src").as("id"), col("src").as("label")))
+          .groupBy("id").agg(min("label").as("label"))
           .localCheckpoint(true)
         // sum() over zero rows is NULL — a candidate-free corpus (no
         // near-dup pairs at all) must yield an empty cluster table,

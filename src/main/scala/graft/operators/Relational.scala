@@ -864,7 +864,62 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q67 — MERGE/upsert semantics on plain parquet tables: apply a
+    * deterministic change set (1997 order revenue per customer; every
+    * third key re-mapped to a fresh id to exercise inserts) to the
+    * customer base — WHEN MATCHED THEN UPDATE (balance += delta),
+    * WHEN NOT MATCHED THEN INSERT, unmatched base rows kept. Spark
+    * without a lakehouse format has no MERGE INTO; the composable
+    * re-expression is a full outer join + coalesce projection — one
+    * shuffle on the key each side, the same plan a MERGE executor
+    * runs under the hood. At 100 TB: broadcast the delta if small,
+    * else pre-bucket both sides on the key (q61's layout) so the
+    * merge joins co-located buckets. */
+  def q67(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("key"), col("c_name"), col("c_acctbal"))
+    val updates = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy("o_custkey")
+      .agg(exactSum(col("o_totalprice")).as("delta"))
+      .select(
+        when(col("o_custkey") % 3 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("key"),
+        col("delta"))
+    base.join(updates, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        when(col("c_acctbal").isNotNull && col("delta").isNotNull, "updated")
+          .when(col("c_acctbal").isNull, "inserted")
+          .otherwise("kept").as("status"),
+        coalesce(col("c_name"), lit("(new)")).as("name"),
+        floorRound(coalesce(col("c_acctbal"), lit(0.0)) + coalesce(col("delta"), lit(0.0)), 2)
+          .as("balance"))
+      .orderBy("key")
+  }
+
+  val q67Sql: String = {
+    import graft.functions.OracleRound.{exactSumSql, floorRoundSql}
+    s"""WITH updates AS (
+       |  SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 10000000 ELSE o_custkey END AS key,
+       |    ${exactSumSql("o_totalprice")} AS delta
+       |  FROM orders WHERE year(o_orderdate) = 1997
+       |  GROUP BY 1
+       |), base AS (
+       |  SELECT c_custkey AS key, c_name, c_acctbal FROM customer
+       |)
+       |SELECT COALESCE(b.key, u.key) AS key,
+       | CASE WHEN b.c_acctbal IS NOT NULL AND u.delta IS NOT NULL THEN 'updated'
+       |      WHEN b.c_acctbal IS NULL THEN 'inserted'
+       |      ELSE 'kept' END AS status,
+       | COALESCE(b.c_name, '(new)') AS name,
+       | ${floorRoundSql("COALESCE(b.c_acctbal, 0.0) + COALESCE(u.delta, 0.0)", 2)} AS balance
+       |FROM base b FULL OUTER JOIN updates u ON b.key = u.key
+       |ORDER BY key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_merge_upsert" -> q67 _,
     "q61_bucketed_join" -> q61 _,
     "q59_string_agg" -> q59 _,
     "q57_correlated_avg" -> q57 _,
@@ -897,6 +952,7 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q67_merge_upsert" -> q67Sql,
     "q61_bucketed_join" -> q61Sql,
     "q59_string_agg" -> q59Sql,
     "q57_correlated_avg" -> q57Sql,
