@@ -317,6 +317,66 @@ object TextAnalysis {
       |SELECT lang, doc_id, rn FROM ranked WHERE rn <= quota
       |ORDER BY lang, rn""".stripMargin
 
+  /** q68 — benchmark decontamination: flag training documents whose
+    * 3-gram shingle overlap with a held-out benchmark set (source =
+    * 'src0' stands in for the eval suite) is ≥ 10% — the named
+    * pipeline stage every LLM training corpus runs before training,
+    * because leaked eval shingles inflate benchmark scores. Shape:
+    * the benchmark's distinct shingle set is SMALL (evals are
+    * thousands of documents, not billions) so it broadcasts, and
+    * contamination counting is a broadcast LEFT SEMI join + count per
+    * training doc — one pass over the training shingles, no shuffle
+    * of the corpus. If the benchmark set ever outgrows broadcast,
+    * the same plan shuffle-joins on the shingle key. */
+  def q68(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        val t = text.split(' ')
+        if (t.length < 3) Iterator.empty
+        else (0 to t.length - 3).iterator
+          .map(i => (id, src, t.slice(i, i + 3).mkString(" ")))
+      }.toDF("doc_id", "source", "sh")
+      .distinct()
+    val bench = sh.filter(col("source") === "src0").select("sh").distinct()
+    val train = sh.filter(col("source") =!= "src0")
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = train.join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("doc_id"))
+      .withColumn("ratio", graft.functions.OracleRound.floorRound(
+        col("n_hit").cast("double") / col("n_sh"), 6))
+      .filter(col("ratio") >= 0.1)
+      .select("doc_id", "n_sh", "n_hit", "ratio")
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text,' ') AS t FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, source, sh FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_transform(range(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |    FROM toks) u
+      |), bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+      |train AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+      |stats AS (
+      |  SELECT t.doc_id, count(*) AS n_sh,
+      |    CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |  FROM train t LEFT JOIN bench b ON t.sh = b.sh
+      |  GROUP BY t.doc_id
+      |)
+      |SELECT doc_id, n_sh, n_hit,
+      | floor(CAST(n_hit AS DOUBLE) / n_sh * 1000000 + 0.5) / 1000000 AS ratio
+      |FROM stats
+      |WHERE floor(CAST(n_hit AS DOUBLE) / n_sh * 1000000 + 0.5) / 1000000 >= 0.1
+      |ORDER BY doc_id""".stripMargin
+
   /** q53 — the composed LLM training-data pipeline, end to end in one
     * plan: exact dedup (keep lowest doc_id per md5 fingerprint) →
     * quality filter (q26's rules) → deterministic 50% hash sample →
@@ -373,6 +433,7 @@ object TextAnalysis {
     "q53_llm_pipeline" -> q53 _,
     "q50_hash_sample" -> q50 _,
     "q65_stratified_sample" -> q65 _,
+    "q68_decontamination" -> q68 _,
     "q41_salted_heavy_hitters" -> q41 _,
     "q25_token_stats" -> q25 _,
     "q26_quality_score" -> q26 _,
@@ -384,6 +445,7 @@ object TextAnalysis {
     "q53_llm_pipeline" -> q53Sql,
     "q50_hash_sample" -> q50Sql,
     "q65_stratified_sample" -> q65Sql,
+    "q68_decontamination" -> q68Sql,
     "q41_salted_heavy_hitters" -> q41Sql,
     "q25_token_stats" -> q25Sql,
     "q26_quality_score" -> q26Sql,
