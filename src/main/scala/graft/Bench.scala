@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Shared by Bench and DevProbe: warm codegen/JIT on the smallest
+  * sibling scale factor of sfDir if present (generated code is
+  * scale-factor-independent), else on sfDir itself — one place for
+  * the convention so the two tools can't silently warm differently. */
+object WarmDir {
+  def of(sfDir: String): String = {
+    val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (sib.isDirectory) sib.getPath else sfDir
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,14 +38,9 @@ object Bench {
     // not one-time compilation (which dominated small queries).
     // Standard bench hygiene: measure steady-state, not cold-start.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    // Smallest sibling scale factor of sfDir if present (generated
-    // code is scale-factor-independent), else warm on sfDir itself —
-    // a hardcoded path would silently no-op on other data layouts and
-    // the first timed runs would absorb codegen/JIT cost.
-    val warmDir = {
-      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sib.isDirectory) sib.getPath else sfDir
-    }
+    // A hardcoded warm path would silently no-op on other data
+    // layouts and the first timed runs would absorb codegen/JIT cost.
+    val warmDir = WarmDir.of(sfDir)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, warmDir).count() catch {
         case t: Throwable =>

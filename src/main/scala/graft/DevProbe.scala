@@ -20,14 +20,8 @@ object DevProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"${(System.nanoTime() - t0) / 1e9}%7.2f  $label"); r
     }
-    // warm codegen/JIT on the smallest sibling sf (fall back to sfDir
-    // — same hazard Bench guards against: a hardcoded path silently
-    // breaks on other data layouts)
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val warmDir = {
-      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sib.isDirectory) sib.getPath else sfDir
-    }
+    val warmDir = WarmDir.of(sfDir)
     try operators.Dedup.q23(spark, warmDir).count() catch {
       case t: Throwable => System.err.println(s"[probe] warm-up failed: $t")
     }

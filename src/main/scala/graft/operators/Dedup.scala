@@ -60,6 +60,26 @@ object Dedup {
     if (distinct) raw.distinct() else raw
   }
 
+  /** Distinct (doc_id, source, sh) shingles — the [[shingles]] shape
+    * widened with the source column for consumers that split the
+    * corpus by provenance (TextAnalysis q68 decontamination). Lives
+    * here so the Scala `split(' ')` ↔ DuckDB `string_split` pairing
+    * stays single-sourced. */
+  private[operators] def shinglesWithSource(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        val t = text.split(' ')
+        if (t.length < ShingleK) Iterator.empty
+        else (0 to t.length - ShingleK).iterator
+          .map(i => (id, src, t.slice(i, i + ShingleK).mkString(" ")))
+      }.toDF("doc_id", "source", "sh")
+      .distinct()
+  }
+
   private val shinglesSql: String =
     s"""toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents

@@ -883,7 +883,11 @@ object Relational {
       .groupBy("o_custkey")
       .agg(exactSum(col("o_totalprice")).as("delta"))
       .select(
-        when(col("o_custkey") % 3 === 0, col("o_custkey") + 10000000L)
+        // inserts use NEGATED keys: custkeys are positive at every
+        // scale factor, so -k is provably outside the base key domain
+        // (a fixed additive offset would collide once custkeys reach
+        // it and silently turn inserts into updates of strangers).
+        when(col("o_custkey") % 3 === 0, -col("o_custkey"))
           .otherwise(col("o_custkey")).as("key"),
         col("delta"))
     base.join(updates, Seq("key"), "full_outer")
@@ -901,7 +905,7 @@ object Relational {
   val q67Sql: String = {
     import graft.functions.OracleRound.{exactSumSql, floorRoundSql}
     s"""WITH updates AS (
-       |  SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 10000000 ELSE o_custkey END AS key,
+       |  SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey ELSE o_custkey END AS key,
        |    ${exactSumSql("o_totalprice")} AS delta
        |  FROM orders WHERE year(o_orderdate) = 1997
        |  GROUP BY 1

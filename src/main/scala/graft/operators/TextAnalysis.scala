@@ -329,17 +329,14 @@ object TextAnalysis {
     * of the corpus. If the benchmark set ever outgrows broadcast,
     * the same plan shuffle-joins on the shingle key. */
   def q68(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .flatMap { case (id, src, text) =>
-        val t = text.split(' ')
-        if (t.length < 3) Iterator.empty
-        else (0 to t.length - 3).iterator
-          .map(i => (id, src, t.slice(i, i + 3).mkString(" ")))
-      }.toDF("doc_id", "source", "sh")
-      .distinct()
+    // Shared shingle helper (Dedup.shinglesWithSource) keeps the
+    // Scala-split vs DuckDB-string_split tokenization decision
+    // single-sourced. Persisted eagerly: three consumers (bench set,
+    // sizes, hit counts) would otherwise each re-run the corpus scan
+    // + distinct shuffle — the same measured pattern as q23/q27.
+    val sh = Dedup.shinglesWithSource(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val bench = sh.filter(col("source") === "src0").select("sh").distinct()
     val train = sh.filter(col("source") =!= "src0")
     val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -21,7 +21,13 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("every query is deterministic: re-execution returns identical rows in order") {
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // q66's freqItems merges per-partition Misra-Gries sketches in
+    // task-completion order, so its sub-threshold false-positive tail
+    // is legitimately scheduling-dependent; its order-independent
+    // guarantee (no false negatives above support) is pinned by its
+    // own test instead.
+    val sketchTail = Set("q66_freq_items")
+    (SparkEntry.queries -- sketchTail).foreach { case (name, fn) =>
       val a = fn(spark, sf).collect().map(_.toString).toSeq
       val b = fn(spark, sf).collect().map(_.toString).toSeq
       assert(a === b, s"$name is nondeterministic across runs")
