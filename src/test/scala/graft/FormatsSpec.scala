@@ -66,6 +66,26 @@ class FormatsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) > 0)
   }
 
+  test("schema evolution: mergeSchema read unions v1 and v2 parquet layouts") {
+    // The layout-change reality of a long-lived 100 TB table: files
+    // written before a column existed must stay readable next to
+    // files written after. mergeSchema=true reconciles footers; old
+    // rows surface NULL for the new column, and pruning/pushdown are
+    // unaffected (still one parquet scan).
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "name", "score")
+      .write.mode("append").parquet(s"$dir/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.schema.fieldNames.toSet === Set("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length === 4)
+    assert(rows.take(2).forall(_.isNullAt(2)), "v1 rows must read NULL for the new column")
+    assert(rows.drop(2).map(_.getDouble(2)).toSeq === Seq(0.5, 0.7))
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Formats.writePartitioned(Tables.customer(spark, sf), dir, Seq("c_mktsegment"))
