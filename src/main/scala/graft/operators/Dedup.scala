@@ -507,8 +507,13 @@ object Dedup {
     * at 100 TB. */
   def q62(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashCandidates(spark, sfDir)
+    // Hash-partitioned on src BEFORE the persist: every loop round
+    // joins edges on src, and a cached HashPartitioning(src) layout
+    // satisfies the join's distribution requirement — so only the
+    // (smaller) label side shuffles each round, not the edge list.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(8, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
     // Three structural choices keep the loop cheap and driver-safe:
