@@ -33,6 +33,7 @@ object Dedup {
   private val ShingleK = 3
   private val NumHashes = 12
   private val BandRows = 2 // 6 bands × 2 rows
+  private val MaxCcRounds = 50 // q62 pointer jumping: covers diameter ~2^50
 
   /** Word-k-gram shingles per document, expanded with a typed flatMap
     * — the reference's own operator shape (`Mapper.Do`, one record in,
@@ -535,52 +536,69 @@ object Dedup {
     //     two driver-side sums replaces a join+filter+count job.
     // The loop's working set is O(candidate nodes) — thousands of
     // rows, not the corpus — so its shuffles are sized to the data
-    // (the session's shuffle.partitions targets corpus-sized stages;
-    // at 32 it spends more on empty reducers than on work, measured
-    // ~2× on the whole loop). The conf is restored before returning:
-    // every loop action runs inside this block, while the returned
-    // plan is lazy and executes under the caller's setting. At
-    // cluster scale set this proportional to |V| of the candidate
-    // graph.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val labels =
-      try {
-        // Init already IS the first propagation round, join-free: from
-        // identity labels, round 1 would compute min(self ∪ neighbor
-        // ids) — and neighbor ids are just the symmetric edge list, so
-        // a union + agg produces the same state one join cheaper.
-        var lab = edges.select(col("dst").as("id"), col("src").as("label"))
-          .union(edges.select(col("src").as("id"), col("src").as("label")))
+    // with EXPLICIT per-plan repartition(8, key) calls, never by
+    // mutating the session's shuffle.partitions: the session is
+    // library-shared, and a global conf flip would silently shrink
+    // every concurrently-built query on it. A pre-aggregation
+    // repartition(8, k) leaves HashPartitioning(8, k) on the child,
+    // which satisfies the group-by's distribution requirement, so the
+    // aggregate runs at 8 partitions without a second exchange (the
+    // session's 32 would mostly schedule empty reducers here —
+    // measured ~2× on the whole loop). At cluster scale set this
+    // proportional to |V| of the candidate graph.
+    val LoopParts = 8
+    val labels = {
+      // Init already IS the first propagation round, join-free: from
+      // identity labels, round 1 would compute min(self ∪ neighbor
+      // ids) — and neighbor ids are just the symmetric edge list, so
+      // a union + agg produces the same state one join cheaper.
+      var lab = edges.select(col("dst").as("id"), col("src").as("label"))
+        .union(edges.select(col("src").as("id"), col("src").as("label")))
+        .repartition(LoopParts, col("id"))
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      // sum() over zero rows is NULL — a candidate-free corpus (no
+      // near-dup pairs at all) must yield an empty cluster table,
+      // not an NPE out of getLong.
+      def labelSum(df: DataFrame): Long = {
+        val row = df.agg(sum("label")).collect()(0)
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      }
+      var prevSum = labelSum(lab)
+      var converged = lab.isEmpty
+      var iter = 0
+      while (!converged && iter < MaxCcRounds) {
+        // lab is repartitioned to match the cached edge layout
+        // (HashPartitioning(8, src)) so the join shuffles only the
+        // small label side — and at 8 partitions, not 32.
+        val neigh = edges.join(
+            lab.withColumnRenamed("id", "src").repartition(LoopParts, col("src")), "src")
+          .select(col("dst").as("id"), col("label"))
+          .union(lab)
+          .repartition(LoopParts, col("id"))
           .groupBy("id").agg(min("label").as("label"))
+        val parent = neigh.select(col("id").as("pid"), col("label").as("plabel"))
+        val jumped = neigh.repartition(LoopParts, col("label"))
+          .join(parent.repartition(LoopParts, col("pid")), col("label") === col("pid"))
+          .select(col("id"), col("plabel").as("label"))
           .localCheckpoint(true)
-        // sum() over zero rows is NULL — a candidate-free corpus (no
-        // near-dup pairs at all) must yield an empty cluster table,
-        // not an NPE out of getLong.
-        def labelSum(df: DataFrame): Long = {
-          val row = df.agg(sum("label")).collect()(0)
-          if (row.isNullAt(0)) 0L else row.getLong(0)
-        }
-        var prevSum = labelSum(lab)
-        var converged = lab.isEmpty
-        var iter = 0
-        while (!converged && iter < 50) {
-          val neigh = edges.join(lab.withColumnRenamed("id", "src"), "src")
-            .select(col("dst").as("id"), col("label"))
-            .union(lab)
-            .groupBy("id").agg(min("label").as("label"))
-          val parent = neigh.select(col("id").as("pid"), col("label").as("plabel"))
-          val jumped = neigh.join(parent, neigh("label") === parent("pid"))
-            .select(neigh("id").as("id"), col("plabel").as("label"))
-            .localCheckpoint(true)
-          val s = labelSum(jumped)
-          lab = jumped
-          converged = s == prevSum
-          prevSum = s
-          iter += 1
-        }
-        lab
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val s = labelSum(jumped)
+        lab = jumped
+        converged = s == prevSum
+        prevSum = s
+        iter += 1
+      }
+      // An iteration-cap exit would return labels that are NOT
+      // component minima — downstream dedup would silently keep
+      // extra near-duplicates. With pointer jumping the cap covers
+      // diameter ~2^50, so reaching it means a logic bug, and the
+      // convention here is loud failure (q35's overflow guard,
+      // Bench's QUERY FAILED), never a plausible-looking wrong answer.
+      if (!converged) throw new IllegalStateException(
+        s"q62 label propagation did not converge within $MaxCcRounds rounds — " +
+          "labels are not component minima; refusing to return them")
+      lab
+    }
     val out = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
       .orderBy("cluster_id")

@@ -818,14 +818,26 @@ object Relational {
     * factor) and the same code holds. The oracle is the plain join —
     * bucketing is physical layout, not semantics. */
   def q61(spark: SparkSession, sfDir: String): DataFrame = {
+    // The tag folds in the Spark application id as well as sfDir: the
+    // warehouse DIRECTORY outlives the in-memory catalog, so if two
+    // JVMs (tests + Verify, say) shared a name, one deleting its
+    // "orphan" would yank files the other is actively scanning.
+    // App-unique names make cross-process collision impossible;
+    // the leftover directories are bounded (one per app × sfDir,
+    // test-scale data) and deliberately NOT reaped — another live
+    // session may still be scanning its own. A production deployment
+    // uses a persistent metastore, where none of this arises.
     val tag = java.lang.Long.toHexString(
-      java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))
+      java.util.UUID.nameUUIDFromBytes(
+        (sfDir + "#" + spark.sparkContext.applicationId).getBytes("UTF-8"))
         .getMostSignificantBits & Long.MaxValue)
     val liT = s"graft_li_bkt_$tag"
     val ordT = s"graft_ord_bkt_$tag"
     // The in-memory catalog forgets tables across sessions while the
     // warehouse directory survives — saveAsTable refuses a new
-    // managed table over an orphaned location, so clear it first.
+    // managed table over an orphaned location, so clear it first
+    // (with session-unique names this only ever matches a dir this
+    // same session wrote).
     def dropOrphanedLocation(table: String): Unit = {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")

@@ -58,17 +58,22 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).json(dir)
 
-  /** Streaming exactly-once dedup on a key: `dropDuplicates` with a
-    * watermark so the dedup state is GC-able — without the watermark
-    * the state grows with every key ever seen, the classic unbounded-
-    * state bug; with it, Spark drops state older than the watermark
-    * and a duplicate arriving later than 10 minutes is admitted (the
-    * documented at-most-window guarantee a 100 TB ingest dedup
-    * actually provides). Batch twin: `dropDuplicates("event_id")`. */
+  /** Streaming dedup on a key with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only
+    * until the watermark passes its event time + delay, so state is
+    * O(keys per 10-minute window), not O(keys ever seen). Plain
+    * `dropDuplicates("event_id")` would NOT get that: when the
+    * event-time column is not among the dedup keys the watermark is
+    * ignored for state cleanup and state grows forever — the classic
+    * unbounded-state bug. The guarantee here is the one a 100 TB
+    * ingest dedup actually provides: duplicates arriving within the
+    * watermark delay of first sight are dropped; a duplicate arriving
+    * later than 10 minutes may be admitted. Batch twin:
+    * `dropDuplicates("event_id")` (exact, bounded input). */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
   /** Stream-stream interval join: each purchase joined to the same
