@@ -34,6 +34,10 @@ object Dedup {
   private val NumHashes = 12
   private val BandRows = 2 // 6 bands × 2 rows
   private val MaxCcRounds = 50 // q62 pointer jumping: covers diameter ~2^50
+  // q62 single-task cutover: 4M symmetric edges ≈ ≤8M union-find
+  // entries ≈ ~350 MB in one task — comfortable; above this the
+  // distributed propagation loop runs instead.
+  private[operators] val CcSingleTaskMaxEdges = 4L << 20
 
   /** Word-k-gram shingles per document, expanded with a typed flatMap
     * — the reference's own operator shape (`Mapper.Do`, one record in,
@@ -494,18 +498,20 @@ object Dedup {
     * minimum doc_id. Pairs alone under-serve a dedup pipeline — if
     * A~B and B~C, keeping "one per pair" can still keep two of
     * {A,B,C}; the component is the dedup unit (keep its min id, drop
-    * the rest). Implemented as iterative min-label propagation:
-    * each round joins labels to the symmetric edge list and takes the
-    * min over self ∪ neighbors, until a fixpoint (checked with a
-    * distributed count, no driver-side graph). Rounds = O(component
-    * diameter) — near-dup clusters are shallow (diameter ≤ ~5 here;
-    * capped at 50) — and every round is one shuffle join + one
-    * partial agg on (id), the textbook large-graph CC shape (label
-    * propagation à la Pregel/GraphX, which Spark ships only for RDDs;
-    * this is the DataFrame re-expression). The oracle computes the
-    * same components via a recursive transitive-closure CTE —
-    * feasible for DuckDB at verification scale, not a plan you'd run
-    * at 100 TB. */
+    * the rest). Two physical strategies behind one logical op, chosen
+    * at runtime from the measured edge count (see inline comment):
+    * a one-task union-find when the candidate graph is small, and
+    * iterative min-label propagation above the cutoff — each round
+    * joins labels to the symmetric edge list and takes the min over
+    * self ∪ neighbors until a fixpoint, O(log diameter) rounds with
+    * pointer jumping, every round one shuffle join + one partial agg
+    * on (id): the textbook large-graph CC shape (label propagation à
+    * la Pregel/GraphX, which Spark ships only for RDDs; this is the
+    * DataFrame re-expression). Both paths produce identical labels
+    * (OperatorSpec pins the loop path against the oracle too). The
+    * oracle computes the same components via a recursive
+    * transitive-closure CTE — feasible for DuckDB at verification
+    * scale, not a plan you'd run at 100 TB. */
   def q62(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashCandidates(spark, sfDir)
     // Hash-partitioned on src BEFORE the persist: every loop round
@@ -516,14 +522,76 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(8, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    val edgeCount = edges.count()
+    // Runtime-adaptive strategy, in the AQE spirit (re-plan from a
+    // measured statistic — here the edge count the persist already
+    // paid for): the LSH candidate graph is orders of magnitude
+    // smaller than the corpus (near-dup pairs, not documents), and
+    // when it fits one task comfortably, a single-executor union-find
+    // via mapPartitions beats ~10 rounds × 3 shuffles of fixed
+    // scheduling latency by ~5× measured at sf0.1 — the same reason
+    // DuckDB runs this whole query single-node. This is NOT a driver
+    // collect: the work runs in an executor task, the result is a
+    // distributed DataFrame, and above the cutoff the O(log diameter)
+    // label-propagation loop below takes over unchanged.
+    val labels =
+      if (edgeCount <= CcSingleTaskMaxEdges) ccSingleTask(spark, edges)
+      else ccLoop(spark, edges)
+    val out = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
+      .orderBy("cluster_id")
+    edges.unpersist()
+    out
+  }
+
+  /** Union-find over the whole (small) edge list in ONE executor task.
+    * Attach-larger-root-under-smaller union + path compression, so a
+    * component's root IS its minimum node id — exactly the loop's
+    * fixpoint labels. Eagerly checkpointed: the caller unpersists the
+    * edge cache right after, and a lazy plan would silently recompute
+    * the full candidate subtree on first action. Memory bound: ≤
+    * [[CcSingleTaskMaxEdges]] edges × 2 endpoints × ~40 B of LongMap
+    * entry ≈ low hundreds of MB, well inside an executor task. */
+  private[graft] def ccSingleTask(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (s, d) =>
+          parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+          val rs = find(s); val rd = find(d)
+          if (rs < rd) parent(rd) = rs else if (rd < rs) parent(rs) = rd
+        }
+        val ks = parent.keys.toArray
+        ks.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "label")
+      .localCheckpoint(true)
+  }
+
+  /** Distributed min-label propagation with pointer jumping — the
+    * >[[CcSingleTaskMaxEdges]] path of q62 (see its scaladoc). */
+  private[graft] def ccLoop(spark: SparkSession, edges: DataFrame): DataFrame = {
     // Three structural choices keep the loop cheap and driver-safe:
-    // (1) eager localCheckpoint, NOT persist — persisting caches the
+    // (1) LAZY localCheckpoint, NOT persist — persisting caches the
     //     DATA but each round's logical plan would still nest every
     //     previous round's (join ∘ union ∘ agg), growing super-
     //     linearly until the driver OOMs during analysis (observed as
     //     a heap blowup at sf0.1); checkpointing truncates lineage so
-    //     plan size is O(1) in the round count.
+    //     plan size is O(1) in the round count. Lazy (not eager)
+    //     because the plan is truncated at declaration either way and
+    //     the convergence-check action right below materializes it —
+    //     eager would run a separate materialization job first, and at
+    //     ~10 rounds the loop is per-job-overhead-bound, so folding
+    //     the two jobs per round into one measurably halves the loop.
     // (2) pointer jumping — after the neighbor-min step, contract
     //     label ← label(label) (every label is itself a node id, so
     //     the self-join always resolves). Convergence drops from
@@ -556,7 +624,7 @@ object Dedup {
         .union(edges.select(col("src").as("id"), col("src").as("label")))
         .repartition(LoopParts, col("id"))
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // sum() over zero rows is NULL — a candidate-free corpus (no
       // near-dup pairs at all) must yield an empty cluster table,
       // not an NPE out of getLong.
@@ -581,7 +649,7 @@ object Dedup {
         val jumped = neigh.repartition(LoopParts, col("label"))
           .join(parent.repartition(LoopParts, col("pid")), col("label") === col("pid"))
           .select(col("id"), col("plabel").as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val s = labelSum(jumped)
         lab = jumped
         converged = s == prevSum
@@ -599,11 +667,7 @@ object Dedup {
           "labels are not component minima; refusing to return them")
       lab
     }
-    val out = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
-      .orderBy("cluster_id")
-    edges.unpersist()
-    out
+    labels
   }
 
   val q62Sql: String =
@@ -652,8 +716,14 @@ object Dedup {
       .join(b.select(col("lang"), col("tok1"), col("doc_id").as("doc_b"), col("pfx").as("pfx_b")),
         Seq("lang", "tok1"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
-      .filter(col("dist") <= FuzzyMaxDist)
+      // threshold form: banded DP visits O(len·threshold) cells and
+      // bails out early instead of O(len²) per pair, returning -1
+      // above the bound — ~3× less DP work at threshold 12 over
+      // 40-char prefixes, same kept rows (the oracle's plain
+      // levenshtein ≤ threshold predicate is equivalent).
+      .withColumn("dist",
+        levenshtein(col("pfx_a"), col("pfx_b"), FuzzyMaxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= FuzzyMaxDist)
       .select("doc_a", "doc_b", "lang", "dist")
       .orderBy("doc_a", "doc_b")
   }

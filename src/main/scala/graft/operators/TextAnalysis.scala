@@ -338,11 +338,19 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count()
     val bench = sh.filter(col("source") === "src0").select("sh").distinct()
+      .withColumn("hit", lit(1))
     val train = sh.filter(col("source") =!= "src0")
-    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val hits = train.join(broadcast(bench), Seq("sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    sizes.join(hits, Seq("doc_id"))
+    // ONE aggregation computes both the per-doc shingle count and the
+    // contaminated count: broadcast LEFT join marks each training
+    // shingle (bench is distinct on sh, so row counts are preserved)
+    // and count(hit) skips nulls. This replaces the earlier
+    // sizes ⊳⊲ hits plan — two shuffled aggregations plus a join —
+    // with one shuffle on doc_id; at 100 TB that deletes a full
+    // corpus-shingle shuffle.
+    val hits = train.join(broadcast(bench), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+    hits
       .withColumn("ratio", graft.functions.OracleRound.floorRound(
         col("n_hit").cast("double") / col("n_sh"), 6))
       .filter(col("ratio") >= 0.1)

@@ -233,6 +233,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(total === parent.keys.size.toLong)
   }
 
+  test("q62 strategies agree: distributed propagation loop ≡ single-task union-find") {
+    // q62 picks its physical strategy from the measured edge count;
+    // the verification corpus always lands on the single-task path,
+    // so drive the >cutoff loop path directly on the same edge list
+    // and pin label-for-label equality.
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("q22_minhash_lsh")(spark, sf)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(8, col("src"))
+      .persist()
+    edges.count()
+    try {
+      val viaLoop = graft.operators.Dedup.ccLoop(spark, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaUF = graft.operators.Dedup.ccSingleTask(spark, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaLoop.nonEmpty)
+      assert(viaLoop === viaUF)
+    } finally edges.unpersist()
+  }
+
   test("q66 freqItems contains EVERY token above the support threshold (no false negatives)") {
     // The sketch's contract: items with frequency > support·N always
     // surface; false positives may. Pin the half that's guaranteed.
