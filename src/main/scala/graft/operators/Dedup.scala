@@ -627,10 +627,14 @@ object Dedup {
         .localCheckpoint(false)
       // sum() over zero rows is NULL — a candidate-free corpus (no
       // near-dup pairs at all) must yield an empty cluster table,
-      // not an NPE out of getLong.
-      def labelSum(df: DataFrame): Long = {
-        val row = df.agg(sum("label")).collect()(0)
-        if (row.isNullAt(0)) 0L else row.getLong(0)
+      // not an NPE out of getLong. The sum is taken in DECIMAL(38,0):
+      // at target scale Σlabel over billions of large doc_ids
+      // overflows a Long — under ANSI that throws mid-loop, and with
+      // ANSI off two distinct label states could wrap to equal sums
+      // and falsely converge. Still one cheap agg.
+      def labelSum(df: DataFrame): BigDecimal = {
+        val row = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        if (row.isNullAt(0)) BigDecimal(0) else BigDecimal(row.getDecimal(0))
       }
       var prevSum = labelSum(lab)
       var converged = lab.isEmpty

@@ -805,6 +805,41 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Sibling graft_*_bkt_* warehouse dirs untouched for this long are
+    * orphans of a crashed JVM (every live flow here — tests, Verify,
+    * Bench — finishes in minutes). */
+  private val StaleBucketDirMs = 6L * 3600 * 1000
+  private val bucketReapDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val bucketHookRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteDir(dir: java.io.File): Unit =
+    if (dir.exists()) { import scala.reflect.io.Directory; new Directory(dir).deleteRecursively() }
+
+  /** One sweep per JVM: delete graft bucket-table dirs older than the
+    * staleness threshold (left behind by crashed JVMs whose shutdown
+    * hook never ran). */
+  private def reapStaleBucketDirs(warehouse: java.io.File): Unit =
+    if (bucketReapDone.compareAndSet(false, true)) {
+      val now = System.currentTimeMillis()
+      Option(warehouse.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("graft_") &&
+          d.getName.contains("_bkt_") && now - d.lastModified() > StaleBucketDirMs)
+        .foreach(deleteDir)
+    }
+
+  /** JVM shutdown hook deleting this app's own bucket-table dirs —
+    * app-unique names mean no other process can be reading them. One
+    * JVM may bucket several sfDirs (tests sf0.001, Verify sf0.01,
+    * Bench sf0.1), so targets accumulate in a set and one hook sweeps
+    * them all at exit. */
+  private val bucketDirTargets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private def registerBucketDirCleanup(warehouse: java.io.File, tables: Seq[String]): Unit = {
+    tables.foreach(t => bucketDirTargets.add(new java.io.File(warehouse, t)))
+    if (bucketHookRegistered.compareAndSet(false, true))
+      sys.addShutdownHook { bucketDirTargets.forEach(deleteDir(_)) }
+  }
+
   /** q61 — bucketed co-located fact⋈fact join: lineitem and orders
     * are written ONCE per (session, sfDir) as catalog tables bucketed
     * 8-ways on the order key, and the join then reads co-located
@@ -822,17 +857,26 @@ object Relational {
     // warehouse DIRECTORY outlives the in-memory catalog, so if two
     // JVMs (tests + Verify, say) shared a name, one deleting its
     // "orphan" would yank files the other is actively scanning.
-    // App-unique names make cross-process collision impossible;
-    // the leftover directories are bounded (one per app × sfDir,
-    // test-scale data) and deliberately NOT reaped — another live
-    // session may still be scanning its own. A production deployment
-    // uses a persistent metastore, where none of this arises.
+    // App-unique names make cross-process collision impossible. The
+    // leftovers are reaped two ways so repeated runs on a long-lived
+    // host don't grow the warehouse without bound: a JVM shutdown
+    // hook deletes THIS app's own tag dirs (precise — no other
+    // process can be scanning an app-unique name), and on first use
+    // we sweep sibling graft_*_bkt_* dirs whose mtime is older than
+    // StaleBucketDirMs (covers crashed JVMs whose hook never ran; a
+    // live session's dirs are hours younger than the threshold). A
+    // production deployment uses a persistent metastore, where none
+    // of this arises.
     val tag = java.lang.Long.toHexString(
       java.util.UUID.nameUUIDFromBytes(
         (sfDir + "#" + spark.sparkContext.applicationId).getBytes("UTF-8"))
         .getMostSignificantBits & Long.MaxValue)
     val liT = s"graft_li_bkt_$tag"
     val ordT = s"graft_ord_bkt_$tag"
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    reapStaleBucketDirs(warehouse)
+    registerBucketDirCleanup(warehouse, Seq(liT, ordT))
     // The in-memory catalog forgets tables across sessions while the
     // warehouse directory survives — saveAsTable refuses a new
     // managed table over an orphaned location, so clear it first
