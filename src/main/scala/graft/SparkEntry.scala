@@ -71,6 +71,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Corpus.queries ++
       Map("q33_approx_distinct" -> (approxDistinct _),
         "q63_approx_percentiles" -> (approxPercentiles _),
         "q66_freq_items" -> (freqTokens _))
@@ -79,5 +80,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      Corpus.oracles
 }

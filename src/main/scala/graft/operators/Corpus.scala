@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import graft.functions.OracleRound.{floorRound, floorRoundSql}
+import graft.sources.Tables
+
+/** Corpus-preparation operators over `documents` — the second wave of
+  * LLM training-data pipeline stages beyond TextAnalysis/Dedup:
+  * context-window chunking, within-document repetition scoring,
+  * TF-IDF term weighting, temperature-based domain mixing,
+  * Bloom-filter decontamination, and regex denylist scrubbing.
+  *
+  * Tokenization stays `split(text, ' ')` (single-sourced decision,
+  * see TextAnalysis) and every query is codegen'd expressions over
+  * one narrow scan — the per-document ops (q69/q70/q78) have NO
+  * shuffle at all except the presentation sort, so they hold at any
+  * scale; the corpus-level ops (q71/q72/q76) shuffle only aggregates
+  * or broadcast tiny sides.
+  */
+object Corpus {
+
+  /** Context-window chunking parameters: 40-token windows advancing
+    * by 20 (50% overlap) — the sliding-window shape used to cut long
+    * documents into model-context-sized training samples. */
+  private val ChunkWidth = 40
+  private val ChunkStride = 20
+
+  /** q69 — sliding-window document chunking: each document becomes
+    * ceil(n_tokens/stride) overlapping chunks of ≤ 40 tokens, each
+    * with a content signature. Pure narrow projection + generate —
+    * no shuffle (Generate is pipelined into the scan), so the op is
+    * embarrassingly parallel at any corpus size; chunk explosion
+    * multiplies rows ~n/stride-fold, which is the intended output
+    * (training samples), not an intermediate. */
+  def q69(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(1), size(col("t")), lit(ChunkStride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("t"), col("start"), lit(ChunkWidth))).cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice(col("t"), col("start"), lit(ChunkWidth)), " ")).as("chunk_sig"))
+      .orderBy("doc_id", "chunk_id")
+
+  val q69Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |s AS (SELECT doc_id, t,
+       |        unnest(generate_series(1, len(t), $ChunkStride)) AS start
+       |      FROM d)
+       |SELECT doc_id, CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+       | CAST(len(list_slice(t, start, start + ${ChunkWidth - 1})) AS BIGINT) AS n_chunk_tokens,
+       | md5(array_to_string(list_slice(t, start, start + ${ChunkWidth - 1}), ' ')) AS chunk_sig
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q70 — within-document repetition scoring (the Gopher-style
+    * dup-5-gram quality signal): fraction of a document's 5-grams
+    * that are repeats of an earlier 5-gram in the SAME document.
+    * Everything happens inside one row (transform + array_distinct
+    * over the doc's own gram list) — a pure projection with zero
+    * shuffle, the cheapest possible quality filter at 100 TB. */
+  def q70(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 5)
+      .withColumn("grams",
+        expr("transform(sequence(1, n - 4), i -> concat_ws(' ', slice(t, i, 5)))"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+        floorRound(lit(1.0) -
+          size(array_distinct(col("grams"))).cast("double") / size(col("grams")), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+
+  val q70Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(t) - 4),
+      |          i -> array_to_string(list_slice(t, i, i + 4), ' ')) AS grams
+      |      FROM d WHERE len(t) >= 5)
+      |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+      | floor((1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) * 1000000 + 0.5) / 1000000 AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** q71 — TF-IDF top-3 terms per document. The document-frequency
+    * table is vocabulary-sized — orders of magnitude smaller than the
+    * corpus — so idf broadcasts and the only corpus-sized shuffle is
+    * the (doc, term) term-frequency aggregation, which map-side
+    * combines. Scores are floor-rounded BEFORE ranking so the rank
+    * order itself is engine-independent (ties break on the term). */
+  def q71(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .select(col("tok"), log(col("n_docs").cast("double") / col("df")).as("idf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.join(broadcast(idf), "tok")
+      .withColumn("tfidf", floorRound(col("tf") * col("idf"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val q71Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |idf AS (SELECT tok, ln(CAST(n_docs AS DOUBLE) / count(*)) AS idf
+       |        FROM tf, n GROUP BY tok, n_docs),
+       |scored AS (SELECT t.doc_id, t.tok,
+       |    ${floorRoundSql("t.tf * i.idf", 6)} AS tfidf
+       |  FROM tf t JOIN idf i ON t.tok = i.tok)
+       |SELECT doc_id, rk, tok, tfidf FROM (
+       |  SELECT doc_id, tok, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+       |  FROM scored) r
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Total sample budget q72 allocates across domains. */
+  private val MixBudget = 10000L
+
+  /** q72 — temperature-based domain mixing (α = 0.5): per-source
+    * token counts → sampling weight count^α → normalized share →
+    * planned documents out of a fixed budget. The α < 1 power
+    * flattens the domain distribution (upsamples small/rare domains)
+    * — the standard multilingual/multi-domain rebalancing step. One
+    * 20-group aggregate; weights summed in DECIMAL so the shares are
+    * identical across engines and aggregation orders. */
+  def q72(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")).cast("decimal(18,6)"))
+    val tot = per.agg(sum(col("w")).as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floorRound(col("w").cast("double") / col("tw").cast("double"), 6).as("mix_share"),
+        floor(col("w").cast("double") / col("tw").cast("double") * MixBudget)
+          .cast("long").as("planned_docs"))
+      .orderBy("source")
+  }
+
+  val q72Sql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs, n_tokens,
+       |        CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS w
+       |      FROM per),
+       |tot AS (SELECT sum(w) AS tw FROM w)
+       |SELECT source, n_docs, n_tokens,
+       | ${floorRoundSql("CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)", 6)} AS mix_share,
+       | CAST(floor(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * $MixBudget) AS BIGINT) AS planned_docs
+       |FROM w, tot ORDER BY source""".stripMargin
+
+  /** Bloom sizing for q76: ~50k distinct benchmark shingles at the
+    * largest test sf; 16 bits/item ≈ 0.04% fpp. At 100 TB the same
+    * two knobs scale the filter, and even a billion-item benchmark
+    * set is a ~2 GB filter — still executor-broadcastable where the
+    * exact distinct-set join (q68's shape) would need a shuffle. */
+  private val BloomItems = 50000L
+  private val BloomBits = 800000L
+
+  private def bloomAgg(c: Column, items: Long, bits: Long): Column =
+    Bridge.column(new BloomFilterAggregate(Bridge.expression(c),
+      Bridge.expression(lit(items)), Bridge.expression(lit(bits)))
+      .toAggregateExpression())
+
+  private def mightContain(bf: Column, v: Column): Column =
+    Bridge.column(BloomFilterMightContain(Bridge.expression(bf), Bridge.expression(v)))
+
+  /** q76 — Bloom-filter benchmark decontamination: q68's pipeline
+    * stage rebuilt for the regime where even the benchmark's distinct
+    * shingle SET no longer broadcasts — the set compresses into a
+    * fixed-size Bloom filter (one distributed aggregate), and every
+    * training shingle probes the filter with zero joins. One-sided
+    * error: a contaminated document can never pass unflagged (no
+    * false negatives — OperatorSpec pins q76 ⊇ q68 and per-doc
+    * maybe-hits ≥ exact hits); false positives are the documented
+    * price and are bounded by the bits/item ratio. Engine-specific
+    * filter bits → no DuckDB twin → rows-only check.
+    *
+    * The filter reaches the probe side as a SCALAR SUBQUERY
+    * (`Dataset.scalar`) — `might_contain` requires a constant/subquery
+    * filter arg, and this is exactly how Spark's own injected runtime
+    * bloom filters ship the blob to executors. */
+  def q76(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shinglesWithSource(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // eager: bench + train branches must not race the cache
+    val bloom = sh.filter(col("source") === "src0")
+      .agg(bloomAgg(xxhash64(col("sh")), BloomItems, BloomBits).as("bf"))
+      .scalar()
+    val train = sh.filter(col("source") =!= "src0")
+    train
+      .withColumn("maybe", mightContain(bloom, xxhash64(col("sh"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe_hit"))
+      .withColumn("maybe_ratio",
+        floorRound(col("n_maybe_hit").cast("double") / col("n_sh"), 6))
+      .filter(col("maybe_ratio") >= 0.1)
+      .select("doc_id", "n_sh", "n_maybe_hit", "maybe_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** Denylist for q78 — stands in for PII patterns (emails, phone
+    * numbers, IDs); this corpus is synthetic word soup, so the
+    * denylist uses terms that actually occur. The operator IS the
+    * redactor: swap the pattern, keep the plan. */
+  private val ScrubPattern = "\\b(the|a|of|and|to|in)\\b"
+  private val ScrubToken = "<SCRUBBED>"
+
+  /** q78 — regex denylist scrubbing (the PII-redaction shape):
+    * per-document match counts plus a signature and length of the
+    * redacted text. Pure codegen'd projection, no shuffle — scrubbing
+    * cost is one regex pass per document regardless of corpus size.
+    * The regex subset used (\b, alternation) is shared by Java and
+    * RE2, so the oracle redacts identically. */
+  def q78(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
+          .cast("long").as("n_matches"),
+        md5(regexp_replace(col("text"), ScrubPattern, ScrubToken)).as("scrub_sig"),
+        length(regexp_replace(col("text"), ScrubPattern, ScrubToken))
+          .cast("long").as("scrub_len"))
+      .orderBy("doc_id")
+
+  val q78Sql: String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS BIGINT) AS n_matches,
+       | md5(regexp_replace(text, '\\b(the|a|of|and|to|in)\\b', '$ScrubToken', 'g')) AS scrub_sig,
+       | CAST(len(regexp_replace(text, '\\b(the|a|of|and|to|in)\\b', '$ScrubToken', 'g')) AS BIGINT) AS scrub_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_doc_chunking" -> q69 _,
+    "q70_repetition_score" -> q70 _,
+    "q71_tfidf_topterms" -> q71 _,
+    "q72_domain_mixture" -> q72 _,
+    "q76_bloom_decontam" -> q76 _,
+    "q78_regex_scrub" -> q78 _)
+
+  val oracles: Map[String, String] = Map(
+    "q69_doc_chunking" -> q69Sql,
+    "q70_repetition_score" -> q70Sql,
+    "q71_tfidf_topterms" -> q71Sql,
+    "q72_domain_mixture" -> q72Sql,
+    "q78_regex_scrub" -> q78Sql)
+}

@@ -978,7 +978,110 @@ object Relational {
        |ORDER BY key""".stripMargin
   }
 
+  /** q73 — decile binning via ntile: global order-statistics bucketing
+    * of orders by price, with per-decile stats. ntile over a GLOBAL
+    * window is a single-reducer sort by construction — fine for the
+    * result-sized inputs it is meant for; when the input is the raw
+    * 100 TB fact table, the scale path is q63's approx_percentile
+    * cut-points (one mergeable-sketch pass) with a broadcast
+    * range-lookup — same output contract, no global sort. Registered
+    * on orders to exercise the real ntile operator end to end. */
+  def q73(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        floorRound(min("o_totalprice"), 2).as("min_price"),
+        floorRound(max("o_totalprice"), 2).as("max_price"),
+        floorRound(exactSum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("decile")
+  }
+
+  val q73Sql: String =
+    """WITH d AS (
+      |  SELECT o_totalprice,
+      |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT decile, count(*) AS n_orders,
+      | floor(min(o_totalprice) * 100 + 0.5) / 100 AS min_price,
+      | floor(max(o_totalprice) * 100 + 0.5) / 100 AS max_price,
+      | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_price
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** q74 — correlated LATERAL top-k join (SQL surface): top-3
+    * customers by account balance per nation, written as the LATERAL
+    * subquery a SQL user writes. Catalyst decorrelates the
+    * limit-per-group into the same window/rank plan as q12 — the
+    * per-key top-k never globally sorts and the nation side stays a
+    * broadcast; exercising the SQL-entry path (spark.sql over raw
+    * parquet) alongside the DataFrame builders is the point. */
+  def q74(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT n_name, c_name, c_acctbal
+         |FROM parquet.`$sfDir/nation.parquet` n,
+         |LATERAL (
+         |  SELECT c_name, c_acctbal FROM parquet.`$sfDir/customer.parquet` c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_name LIMIT 3
+         |) t
+         |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+
+  val q74Sql: String =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 3
+      |) t
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
+  /** q75 — recursive CTE date spine with gap fill: generate the
+    * yearly calendar 1995–2003 by recursion (Spark 4 WITH RECURSIVE),
+    * left-join yearly order revenue onto it, and 0-fill empty years
+    * (2002–2003 have no orders — the rows a plain GROUP BY silently
+    * drops and a reporting query must not). Recursion depth scales
+    * with the DATE RANGE, never the data — 9 iterations whether
+    * orders is 60k rows or 100 TB; each step is a one-row union, and
+    * the fact-side aggregate is an ordinary partial+final rollup. */
+  def q75(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""WITH RECURSIVE years(y) AS (
+         |  SELECT 1995
+         |  UNION ALL SELECT y + 1 FROM years WHERE y < 2003
+         |),
+         |rev AS (
+         |  SELECT year(o_orderdate) AS yr, count(*) AS cnt,
+         |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revsum
+         |  FROM parquet.`$sfDir/orders.parquet`
+         |  GROUP BY year(o_orderdate)
+         |)
+         |SELECT y AS order_year, coalesce(cnt, 0) AS n_orders,
+         |  coalesce(revsum, CAST(0 AS DOUBLE)) AS revenue
+         |FROM years LEFT JOIN rev ON yr = y
+         |ORDER BY order_year""".stripMargin)
+
+  val q75Sql: String =
+    """WITH RECURSIVE years(y) AS (
+      |  SELECT 1995
+      |  UNION ALL SELECT y + 1 FROM years WHERE y < 2003
+      |),
+      |rev AS (
+      |  SELECT year(o_orderdate) AS yr, count(*) AS cnt,
+      |    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * 100 + 0.5) / 100 AS revsum
+      |  FROM orders
+      |  GROUP BY year(o_orderdate)
+      |)
+      |SELECT y AS order_year, coalesce(cnt, 0) AS n_orders,
+      |  coalesce(revsum, CAST(0 AS DOUBLE)) AS revenue
+      |FROM years LEFT JOIN rev ON yr = y
+      |ORDER BY order_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_ntile_deciles" -> q73 _,
+    "q74_lateral_topk" -> q74 _,
+    "q75_year_spine" -> q75 _,
     "q67_merge_upsert" -> q67 _,
     "q61_bucketed_join" -> q61 _,
     "q59_string_agg" -> q59 _,
@@ -1012,6 +1115,9 @@ object Relational {
     "q16_cube" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q73_ntile_deciles" -> q73Sql,
+    "q74_lateral_topk" -> q74Sql,
+    "q75_year_spine" -> q75Sql,
     "q67_merge_upsert" -> q67Sql,
     "q61_bucketed_join" -> q61Sql,
     "q59_string_agg" -> q59Sql,

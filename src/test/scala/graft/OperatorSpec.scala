@@ -284,6 +284,42 @@ class OperatorSpec extends AnyFunSuite {
     salted.foreach { case (k, v) => assert(direct(k) === v, s"key $k") }
   }
 
+  test("q76 bloom decontamination has NO false negatives vs exact q68") {
+    // One-sided error is the operator's contract: every exact
+    // contamination hit must survive the bloom pass — per doc,
+    // maybe-hits ≥ exact hits, so q68's flagged set ⊆ q76's.
+    val exact = SparkEntry.queries("q68_decontamination")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+    val bloom = SparkEntry.queries("q76_bloom_decontam")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_maybe_hit")).toMap
+    exact.foreach { case (doc, nHit) =>
+      assert(bloom.contains(doc), s"doc $doc flagged by exact q68 but missed by bloom q76")
+      assert(bloom(doc) >= nHit, s"doc $doc: maybe-hits ${bloom(doc)} < exact hits $nHit")
+    }
+  }
+
+  test("q69 chunking: chunk count and sizes reconstruct each document's token count") {
+    import org.apache.spark.sql.functions._
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = SparkEntry.queries("q69_doc_chunking")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === expected.keySet)
+    chunks.foreach { case (doc, rows) =>
+      val n = expected(doc)
+      val stride = 20L; val width = 40L
+      assert(rows.length === ((n + stride - 1) / stride),
+        s"doc $doc: ${rows.length} chunks for $n tokens")
+      val sizes = rows.sortBy(_.getAs[Long]("chunk_id")).map(_.getAs[Long]("n_chunk_tokens"))
+      assert(sizes.forall(s => s >= 1 && s <= width), s"doc $doc: chunk size out of range")
+      // strided windows: every token index is covered, chunk i starts at i*stride+1
+      sizes.zipWithIndex.foreach { case (s, i) =>
+        assert(s === math.min(width, n - i * stride), s"doc $doc chunk $i wrong size")
+      }
+    }
+  }
+
   test("q31/q32: SQL twin and mapPartitions stub agree on decode output") {
     val sqlSide = SparkEntry.queries("q31_media_metadata")(spark, sf)
       .collect().map(r => (r.getAs[Long]("doc_id"),
