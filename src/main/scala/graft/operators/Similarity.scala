@@ -407,7 +407,101 @@ object Similarity {
       |  FROM pairs) t
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** k-means parameters: k=8 coarse cells (matches q30's nlist) and
+    * 3 Lloyd iterations — enough to move every centroid off its seed
+    * point; IVF index builds converge in single-digit iterations. */
+  private val KmeansK = 8
+  private val KmeansIters = 3
+  private val Dim = 64
+
+  /** q77 — k-means (Lloyd's) over the embedding corpus: the TRAINED
+    * centroid path that q30's IVF index assumes (q30 seeds its cells
+    * with raw vectors; a real index build refines them — SURVEY §2.6
+    * flags exactly this re-train step). Per iteration: one broadcast
+    * of k×d centroids, one corpus scan for argmin assignment, one
+    * (cluster, dim)-keyed partial+final aggregate for the means —
+    * the MLlib shape, where only O(k·d) bytes ever reach the driver
+    * and the corpus is scanned exactly iters+1 times. At 100 TB the
+    * per-iteration cost is one scan + one k·d-sized shuffle; nothing
+    * grows with N except the scans.
+    *
+    * Determinism discipline: centroid means sum element values in
+    * DECIMAL(28,12) (order-independent; the q72 precedent pins the
+    * cross-engine double→DECIMAL cast agreement) and divide as
+    * doubles, so every iteration's centroids — and therefore every
+    * assignment — are bit-identical in Spark and the unrolled-CTE
+    * DuckDB oracle (L2 parity pinned by q58). */
+  def q77(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.EuclideanDistance.l2_distance
+    import graft.functions.OracleRound.{floorRound, exactSum}
+    val n = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    n.count() // eager: iters+1 consumers must not race the cache
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_id"))
+      n.join(broadcast(cent), lit(true))
+        .withColumn("dist", l2_distance(col("cv"), col("v")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("cluster"), col("dist"))
+    }
+    def centDf(cent: Seq[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(cent).toDF("c_id", "cv")
+    var cent: Seq[(Long, Seq[Double])] =
+      n.filter(col("vec_id") < KmeansK).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    for (_ <- 1 to KmeansIters) {
+      // new centroid = per-dimension mean of members; k·d rows reach
+      // the driver (512 doubles), never corpus data — MLlib collects
+      // exactly the same way each round.
+      val means = assign(centDf(cent))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+      cent = means.groupBy(_.getLong(0)).map { case (cId, rows) =>
+        (cId, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq.sortBy(_._1)
+    }
+    assign(centDf(cent))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        floorRound(exactSum(col("dist")), 4).as("cost"))
+      .orderBy("cluster")
+  }
+
+  /** Unrolled-iteration twin of [[q77]] — generated from the same
+    * (k, iters) constants so the two can never drift. */
+  val q77Sql: String = {
+    import graft.functions.OracleRound.{floorRoundSql, exactSumSql}
+    val iters = (1 to KmeansIters).map { i =>
+      s"""a$i AS (SELECT vec_id, v, cluster, dist FROM (
+         |  SELECT n.vec_id, n.v, c.c_id AS cluster, list_distance(c.cv, n.v) AS dist,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_distance(c.cv, n.v), c.c_id) AS rk
+         |  FROM n, c${i - 1} c) t WHERE rk = 1),
+         |c$i AS (SELECT cluster AS c_id, list(m ORDER BY pos) AS cv FROM (
+         |  SELECT cluster, pos,
+         |    CAST(sum(CAST(v[pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+         |  FROM a$i, (SELECT unnest(generate_series(1, $Dim)) AS pos) p
+         |  GROUP BY cluster, pos) e GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < $KmeansK),
+       |$iters,
+       |fin AS (SELECT vec_id, cluster, dist FROM (
+       |  SELECT n.vec_id, c.c_id AS cluster, list_distance(c.cv, n.v) AS dist,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_distance(c.cv, n.v), c.c_id) AS rk
+       |  FROM n, c$KmeansIters c) t WHERE rk = 1)
+       |SELECT cluster, count(*) AS n_vecs,
+       |  ${floorRoundSql(exactSumSql("dist"), 4)} AS cost
+       |FROM fin GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_kmeans_train" -> q77 _,
     "q58_knn_l2" -> q58 _,
     "q56_array_funcs" -> q56 _,
     "q54_embed_pipeline" -> q54 _,
@@ -417,6 +511,7 @@ object Similarity {
     "q37_srp_lsh_neardup" -> q37 _)
 
   val oracles: Map[String, String] = Map(
+    "q77_kmeans_train" -> q77Sql,
     "q58_knn_l2" -> q58Sql,
     "q56_array_funcs" -> q56Sql,
     "q54_embed_pipeline" -> q54Sql,
