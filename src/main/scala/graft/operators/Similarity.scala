@@ -437,16 +437,21 @@ object Similarity {
     val n = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     n.count() // eager: iters+1 consumers must not race the cache
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("c_id"))
-      n.join(broadcast(cent), lit(true))
-        .withColumn("dist", l2_distance(col("cv"), col("v")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("cluster"), col("dist"))
+    // Assignment is a pure NARROW map: the centroids are already on
+    // the driver, so argmin is one expression per row — an array of
+    // (dist, c_id) structs reduced by array_min (struct ordering =
+    // (dist ASC, c_id ASC), the same tie-break as the oracle's
+    // row_number) — instead of a k×N cross join + window, which would
+    // shuffle 8× the corpus per iteration for no reason.
+    def assign(cent: Seq[(Long, Seq[Double])]): DataFrame = {
+      val best = array_min(array(cent.map { case (cId, cv) =>
+        struct(l2_distance(typedlit(cv), col("v")).as("dist"),
+          lit(cId).as("c_id"))
+      }: _*))
+      n.withColumn("best", best)
+        .select(col("vec_id"), col("v"),
+          col("best.c_id").as("cluster"), col("best.dist").as("dist"))
     }
-    def centDf(cent: Seq[(Long, Seq[Double])]): DataFrame =
-      spark.createDataFrame(cent).toDF("c_id", "cv")
     var cent: Seq[(Long, Seq[Double])] =
       n.filter(col("vec_id") < KmeansK).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
@@ -454,7 +459,7 @@ object Similarity {
       // new centroid = per-dimension mean of members; k·d rows reach
       // the driver (512 doubles), never corpus data — MLlib collects
       // exactly the same way each round.
-      val means = assign(centDf(cent))
+      val means = assign(cent)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
@@ -464,7 +469,7 @@ object Similarity {
         (cId, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
       }.toSeq.sortBy(_._1)
     }
-    assign(centDf(cent))
+    assign(cent)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),
         floorRound(exactSum(col("dist")), 4).as("cost"))
