@@ -89,4 +89,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
       s"q36 no longer the brute-force verifier:\n$p")
   }
+
+  test("q69/q70/q78: per-document corpus ops have NO shuffle before the presentation sort") {
+    // These are the claimed zero-shuffle quality/chunking filters —
+    // at 100 TB they must stay embarrassingly parallel. The only
+    // exchange allowed is the final orderBy's range partitioning.
+    for (q <- Seq("q69_doc_chunking", "q70_repetition_score", "q78_regex_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning("),
+        s"$q shuffles before the presentation sort:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q grew a join:\n$p")
+    }
+  }
+
+  test("q71: idf joins broadcast (vocabulary-sized), tf aggregate is two-phase") {
+    val p = plan("q71_tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin"), s"idf join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared:\n$p")
+    assert(p.contains("partial_count"), s"tf aggregate not map-side combined:\n$p")
+  }
+
+  test("q76: bloom probe side has NO join — the filter arrives as a subquery") {
+    // The entire point over q68: at bloom scale the bench set never
+    // joins against the corpus. The probe plan must contain no join
+    // operator at all; the filter is a scalar-subquery result reused
+    // as a literal input to might_contain.
+    val p = plan("q76_bloom_decontam")
+    assert(!p.contains("Join"), s"q76 probe side grew a join:\n$p")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"bloom filter not delivered via scalar subquery:\n$p")
+  }
 }
