@@ -29,8 +29,7 @@ import org.apache.spark.sql.functions.{floor, sum}
   * — worth it anywhere results feed comparisons or dedup keys.
   */
 object OracleRound {
-  private val pow10: Int => Double = Array(1.0, 10.0, 100.0, 1000.0, 10000.0,
-    100000.0, 1000000.0, 10000000.0, 100000000.0)
+  private val pow10: Int => Double = Array.tabulate(13)(k => math.pow(10.0, k))
 
   /** floor(x·10^k + 0.5)/10^k — deterministic cross-engine rounding. */
   def floorRound(c: Column, k: Int): Column =
