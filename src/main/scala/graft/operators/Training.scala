@@ -386,13 +386,17 @@ object Training {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // eager: PrIters+1 consumers must not race the cache
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
-    val ew = edges.join(outw, "src")
+    // The graph is ≤ n² rows after the one corpus-sized pass — cache
+    // the weighted edge table ONCE, in one partition (it is tiny), so
+    // each iteration is a single small job instead of re-deriving the
+    // 4-way join; lineage truncated so the loop's plan stays O(1).
+    val ew = edges.join(outw, "src").coalesce(1)
+      .localCheckpoint(eager = true)
     val base = (lit(1.0) - lit(PrDamping)) / lit(PrNodes)
     val nodes = Tables.nation(spark, sfDir)
       .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
+      .coalesce(1).localCheckpoint(eager = true) // scanned every round otherwise
     // O(nodes) rank state lives on the driver between rounds — the
     // MLlib-centroid pattern; each round is one broadcast join over
     // the graph-sized edge table, never a corpus-sized shuffle.
@@ -405,7 +409,7 @@ object Training {
         .groupBy("dst")
         .agg(sum(col("contrib").cast("decimal(28,16)")).cast("double").as("c"))
       ranks = nodes
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(broadcast(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           floorRound(base + lit(PrDamping) * coalesce(col("c"), lit(0.0)), 12).as("r"))
         .collect()
