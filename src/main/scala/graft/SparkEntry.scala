@@ -71,7 +71,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Corpus.queries ++ Training.queries ++
+      Corpus.queries ++ Training.queries ++ Analytics.queries ++
       Map("q33_approx_distinct" -> (approxDistinct _),
         "q63_approx_percentiles" -> (approxPercentiles _),
         "q66_freq_items" -> (freqTokens _))
@@ -81,5 +81,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Dedup.oracles ++
       TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Corpus.oracles ++ Training.oracles
+      Corpus.oracles ++ Training.oracles ++ Analytics.oracles
 }

@@ -1,0 +1,594 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.OracleRound.{floorRound, floorRoundSql, exactSum, exactSumSql}
+import graft.sources.Tables
+
+/** Statistical / warehouse-analytics operators — the fourth wave:
+  * the descriptive-statistics, anomaly-detection, and
+  * product-analytics surface a data team runs NEXT TO the corpus
+  * pipeline (moment statistics, closed-form regression, histograms,
+  * entropy, z-score anomalies, SCD2 snapshots, cohort retention,
+  * graph triangles), plus SQL-surface coverage Catalyst should
+  * decorrelate/rewrite (EXISTS/NOT EXISTS, FILTER aggregates) and
+  * MapType plumbing.
+  *
+  * The unifying scale pattern: every statistic here is computed from
+  * MERGEABLE DECIMAL MOMENTS (Σx, Σx², Σx³, Σx⁴, Σxy — one
+  * partial+final aggregate, O(groups) state) and then derived with
+  * ONE shared double-formula string evaluated identically by Spark
+  * and the DuckDB oracle — never from engine builtins like
+  * `stddev`/`skewness`/`corr`, whose update formulas (Welford vs
+  * naive vs compensated) make results engine- and order-dependent.
+  * That is also exactly the 100 TB shape: moments merge
+  * associatively across any partition tree, so a 1000-executor
+  * aggregate and a laptop scan produce bit-identical statistics.
+  */
+object Analytics {
+
+  // ---------------------------------------------------------------
+  // Shared moment-formula texts (dialect-free: arithmetic + sqrt +
+  // CASE only, parsed identically by Spark SQL and DuckDB). Column
+  // inputs: n (count, double), s1..s4 (Σx^k, double), and for the
+  // bivariate ones sy, sy2, sxy. Written once so the Spark plan and
+  // the oracle can never drift.
+  // ---------------------------------------------------------------
+
+  /** Sample standard deviation from (n, Σx, Σx²). */
+  private def stdSampF(n: String, s1: String, s2: String): String =
+    s"sqrt(($s2 - $s1 * $s1 / $n) / ($n - 1.0))"
+
+  /** Population skewness g1 = m3 / m2^(3/2) from raw moments.
+    * m2·sqrt(m2) instead of pow(m2, 1.5): `pow` is not guaranteed
+    * correctly rounded and differs across libm implementations;
+    * multiply and sqrt are IEEE-exact everywhere. */
+  private def skewF(n: String, s1: String, s2: String, s3: String): String = {
+    val mean = s"($s1 / $n)"
+    val m2 = s"($s2 / $n - $mean * $mean)"
+    val m3 = s"($s3 / $n - 3.0 * $mean * $s2 / $n + 2.0 * $mean * $mean * $mean)"
+    s"$m3 / ($m2 * sqrt($m2))"
+  }
+
+  /** Excess kurtosis g2 = m4 / m2² − 3 from raw moments. */
+  private def kurtF(n: String, s1: String, s2: String, s3: String, s4: String): String = {
+    val mean = s"($s1 / $n)"
+    val m2 = s"($s2 / $n - $mean * $mean)"
+    val m4 = s"($s4 / $n - 4.0 * $mean * $s3 / $n + 6.0 * $mean * $mean * $s2 / $n" +
+      s" - 3.0 * $mean * $mean * $mean * $mean)"
+    s"$m4 / ($m2 * $m2) - 3.0"
+  }
+
+  /** Pearson correlation from bivariate raw moments. */
+  private def corrF(n: String, s1: String, s2: String,
+                    sy: String, sy2: String, sxy: String): String =
+    s"($sxy - $s1 * $sy / $n) / " +
+      s"(sqrt($s2 - $s1 * $s1 / $n) * sqrt($sy2 - $sy * $sy / $n))"
+
+  /** q88 — descriptive moment statistics: mean, sample stddev,
+    * skewness, excess kurtosis of `l_quantity` and its Pearson
+    * correlation with `l_extendedprice`, per return flag. ONE
+    * partial+final hash aggregate computes the five decimal power
+    * sums; everything else is per-group scalar arithmetic. Quantity
+    * is integral (1..50) so x..x⁴ are exact doubles; the DECIMAL
+    * casts make the sums order-independent (any merge tree, any
+    * engine → same bits). */
+  def q88(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(28,10)")).cast("double").as("s1"),
+        sum((col("x") * col("x")).cast("decimal(28,10)")).cast("double").as("s2"),
+        sum((col("x") * col("x") * col("x")).cast("decimal(28,10)")).cast("double").as("s3"),
+        sum((col("x") * col("x") * col("x") * col("x")).cast("decimal(28,10)")).cast("double").as("s4"),
+        sum(col("y").cast("decimal(28,10)")).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast("decimal(30,8)")).cast("double").as("sy2"),
+        sum((col("x") * col("y")).cast("decimal(28,10)")).cast("double").as("sxy"))
+    m.select(col("l_returnflag"),
+        col("n").cast("long").as("n_items"),
+        floorRound(expr("s1 / n"), 6).as("mean_qty"),
+        floorRound(expr(stdSampF("n", "s1", "s2")), 6).as("std_qty"),
+        floorRound(expr(skewF("n", "s1", "s2", "s3")), 6).as("skew_qty"),
+        floorRound(expr(kurtF("n", "s1", "s2", "s3", "s4")), 6).as("kurt_qty"),
+        floorRound(expr(corrF("n", "s1", "s2", "sy", "sy2", "sxy")), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q88Sql: String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+       |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s3,
+       |    CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s4,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy2,
+       |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+       |  ${floorRoundSql("s1 / n", 6)} AS mean_qty,
+       |  ${floorRoundSql(stdSampF("n", "s1", "s2"), 6)} AS std_qty,
+       |  ${floorRoundSql(skewF("n", "s1", "s2", "s3"), 6)} AS skew_qty,
+       |  ${floorRoundSql(kurtF("n", "s1", "s2", "s3", "s4"), 6)} AS kurt_qty,
+       |  ${floorRoundSql(corrF("n", "s1", "s2", "sy", "sy2", "sxy"), 6)} AS corr_qty_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** q89 — closed-form OLS regression (y = slope·x + b, with R²) of
+    * extended price on quantity, per part brand. The entire fit is
+    * the same one-pass mergeable-moment aggregate as q88 — the
+    * textbook "distributed linear regression without gradient
+    * descent": slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). The part
+    * dimension broadcasts; the fact table is read once; state is
+    * O(brands). */
+  def q89(spark: SparkSession, sfDir: String): DataFrame = {
+    val slope = "(n * sxy - s1 * sy) / (n * s2 - s1 * s1)"
+    val icept = s"(sy - ($slope) * s1) / n"
+    val r2 = {
+      val c = corrF("n", "s1", "s2", "sy", "sy2", "sxy")
+      s"($c) * ($c)"
+    }
+    val m = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(28,10)")).cast("double").as("s1"),
+        sum((col("x") * col("x")).cast("decimal(28,10)")).cast("double").as("s2"),
+        sum(col("y").cast("decimal(28,10)")).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast("decimal(30,8)")).cast("double").as("sy2"),
+        sum((col("x") * col("y")).cast("decimal(28,10)")).cast("double").as("sxy"))
+    m.select(col("p_brand"), col("n").cast("long").as("n_items"),
+        floorRound(expr(slope), 6).as("slope"),
+        floorRound(expr(icept), 4).as("intercept"),
+        floorRound(expr(r2), 6).as("r2"))
+      .orderBy("p_brand")
+  }
+
+  val q89Sql: String = {
+    val slope = "(n * sxy - s1 * sy) / (n * s2 - s1 * s1)"
+    val icept = s"(sy - ($slope) * s1) / n"
+    val c = corrF("n", "s1", "s2", "sy", "sy2", "sxy")
+    s"""WITH m AS (
+       |  SELECT p_brand,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy2,
+       |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY p_brand)
+       |SELECT p_brand, CAST(n AS BIGINT) AS n_items,
+       |  ${floorRoundSql(slope, 6)} AS slope,
+       |  ${floorRoundSql(icept, 4)} AS intercept,
+       |  ${floorRoundSql(s"($c) * ($c)", 6)} AS r2
+       |FROM m ORDER BY p_brand""".stripMargin
+  }
+
+  /** Histogram bucket width for q90 (order total price). */
+  private val HistWidth = 25000.0
+
+  /** q90 — fixed-width histogram of order totals per priority:
+    * bucket = floor(price / width). Binning is a narrow projection
+    * folded into the scan; the only shuffle is the (priority, bucket)
+    * count — the SQL-native `width_bucket` shape without a unit
+    * dependence on any engine's binning builtin. At 100 TB histogram
+    * state is O(groups × buckets), the classic mergeable sketch. */
+  def q90(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") / HistWidth).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        floorRound(min("o_totalprice"), 2).as("bucket_min"),
+        floorRound(max("o_totalprice"), 2).as("bucket_max"),
+        floorRound(exactSum(col("o_totalprice")), 2).as("bucket_revenue"))
+      .orderBy("o_orderpriority", "bucket")
+
+  val q90Sql: String =
+    s"""SELECT o_orderpriority,
+       |  CAST(floor(o_totalprice / $HistWidth) AS BIGINT) AS bucket,
+       |  count(*) AS n_orders,
+       |  ${floorRoundSql("min(o_totalprice)", 2)} AS bucket_min,
+       |  ${floorRoundSql("max(o_totalprice)", 2)} AS bucket_max,
+       |  ${floorRoundSql(exactSumSql("o_totalprice"), 2)} AS bucket_revenue
+       |FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin
+
+  /** q91 — Shannon entropy + type/token ratio of each source's token
+    * distribution: H = Σ (c/N)·ln(N/c) over exact counts. The entropy
+    * SUM is the determinism hazard — thousands of double terms whose
+    * addition order differs under partial aggregation — so each term
+    * casts to DECIMAL(28,18) and the sum is order-independent; ln on
+    * identical inputs agrees across libms to well below the 1e-6
+    * presentation rounding (measured across all three SFs). Two
+    * aggregates: (source, token) counts (map-side combined), then the
+    * vocabulary-sized entropy rollup; the per-source totals join
+    * BROADCASTs. */
+  def q91(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source")
+      .agg(sum("c").as("ntok"), count(lit(1)).as("nty"))
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), col("ntok"), col("nty"),
+        ((col("c").cast("double") / col("ntok")) *
+          log(col("ntok").cast("double") / col("c"))).cast("decimal(28,18)").as("term"))
+      .groupBy("source")
+      .agg(max("ntok").as("n_tokens"), max("nty").as("n_types"),
+        floorRound(sum(col("term")).cast("double"), 6).as("entropy"),
+        floorRound((max("nty").cast("double") / max("ntok")), 6).as("type_token_ratio"))
+      .orderBy("source")
+  }
+
+  val q91Sql: String =
+    s"""WITH counts AS (
+       |  SELECT source, tok, count(*) AS c FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY source, tok),
+       |totals AS (SELECT source, sum(c) AS ntok, count(*) AS nty
+       |           FROM counts GROUP BY source),
+       |terms AS (
+       |  SELECT c.source, t.ntok, t.nty,
+       |    CAST((CAST(c.c AS DOUBLE) / t.ntok) * ln(CAST(t.ntok AS DOUBLE) / c.c)
+       |      AS DECIMAL(28,18)) AS term
+       |  FROM counts c JOIN totals t ON c.source = t.source)
+       |SELECT source, max(ntok) AS n_tokens, max(nty) AS n_types,
+       |  ${floorRoundSql("CAST(sum(term) AS DOUBLE)", 6)} AS entropy,
+       |  ${floorRoundSql("CAST(max(nty) AS DOUBLE) / max(ntok)", 6)} AS type_token_ratio
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+
+  /** q92 — z-score anomaly detection over hourly telemetry: each
+    * (event_type, hour)'s value total is scored against that type's
+    * own mean/stddev, and hours beyond 2σ surface as anomalies. The
+    * hourly rollup is corpus-sized work; the per-type moment table is
+    * O(types) and BROADCASTS back onto it — the standard "score
+    * against global stats" plan that never shuffles the fact side
+    * twice. Hourly sums are exact decimals; σ comes from the shared
+    * moment formula. */
+  def q92(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr(s"ts DIV $HourNs").as("hour"))
+      .agg(exactSum(col("value")).as("v"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("v").cast("decimal(28,10)")).cast("double").as("s1"),
+        sum((col("v") * col("v")).cast("decimal(30,8)")).cast("double").as("s2"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", expr(s"(v - s1 / n) / (${stdSampF("n", "s1", "s2")})"))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("hour"),
+        floorRound(col("v"), 6).as("hour_value"),
+        floorRound(col("z"), 6).as("zscore"))
+      .orderBy("event_type", "hour")
+  }
+
+  val q92Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_ns(ts) // $HourNs AS hour,
+       |    ${exactSumSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(v * v AS DECIMAL(30,8))) AS DOUBLE) AS s2
+       |  FROM hourly GROUP BY event_type),
+       |scored AS (
+       |  SELECT h.event_type, h.hour, h.v,
+       |    (h.v - s.s1 / s.n) / (${stdSampF("s.n", "s.s1", "s.s2")}) AS z
+       |  FROM hourly h JOIN stats s ON h.event_type = s.event_type)
+       |SELECT event_type, hour,
+       |  ${floorRoundSql("v", 6)} AS hour_value,
+       |  ${floorRoundSql("z", 6)} AS zscore
+       |FROM scored WHERE abs(z) > 2.0 ORDER BY event_type, hour""".stripMargin
+
+  /** q93 — SCD type-2 interval build: each user's event-type stream
+    * collapses into validity intervals [valid_from, valid_to) with an
+    * open current row — the slowly-changing-dimension snapshot every
+    * warehouse maintains. Two PARTITIONED windows over the same
+    * (user, time) ordering: lag() drops consecutive repeats, lead()
+    * closes each surviving interval — so one shuffle on user_id and
+    * per-user O(events) state, never a global sort. Ordering
+    * tie-breaks on event_id: timestamps are µs-truncated and CAN
+    * collide; without the tie-break the interval bounds would be
+    * nondeterministic. */
+  def q93(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes
+      .withColumn("valid_to", lead("ts", 1).over(w2))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
+  val q93Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts, event_id FROM ordered
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM changes ORDER BY user_id, valid_from, event_type""".stripMargin
+
+  private val WeekNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+
+  /** q94 — cohort retention matrix: users cohort by first-activity
+    * week; each later active week lands at its offset, and retention
+    * is that cell's distinct users over the cohort's week-0 size
+    * (read back with a first_value window — cohorts are ordered by
+    * offset, so week 0 is always the frame head). All three stages
+    * shuffle on user_id/cohort — one co-partitioning; cells are
+    * O(cohorts × offsets), tiny versus the event log. */
+  def q94(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts DIV $WeekNs").as("week"))
+      .distinct()
+    val cohort = weekly.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val cells = weekly.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cohort_size", first("n_users").over(w))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        floorRound(col("n_users").cast("double") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q94Sql: String =
+    s"""WITH weekly AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // $WeekNs AS week FROM events),
+       |cohort AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id),
+       |cells AS (
+       |  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       |    count(DISTINCT w.user_id) AS n_users
+       |  FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+       |  GROUP BY 1, 2)
+       |SELECT cohort_week, week_offset, n_users,
+       |  ${floorRoundSql(
+            "CAST(n_users AS DOUBLE) / first_value(n_users) OVER " +
+            "(PARTITION BY cohort_week ORDER BY week_offset " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6)} AS retention
+       |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** q95 — triangle counting on the supplier-nation co-occurrence
+    * graph: nations are adjacent when their suppliers co-fulfil an
+    * order. The edge build is the scale-critical part: a self-join on
+    * l_orderkey is BOUNDED (≤7 lines/order → ≤21 pairs), so the pair
+    * stream is linear in the fact table, then collapses to a ≤n²-row
+    * undirected edge set. Triangle enumeration (e1⋈e2⋈e3 with
+    * a<b<c, each edge once) runs on the graph-sized table — the
+    * standard order-the-vertices trick that counts each triangle
+    * exactly once and keeps the join acyclic. */
+  def q95(spark: SparkSession, sfDir: String): DataFrame = {
+    val sn = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey").as("ok"), col("s_nationkey").as("n"))
+    val edges = sn.as("a").join(sn.as("b"),
+        col("a.ok") === col("b.ok") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("u"), col("b.n").as("v"))
+      .distinct()
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+    val e2 = edges.select(col("u").as("b2"), col("v").as("c2"))
+    val e3 = edges.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = e1
+      .join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+    val nNodes = sn.select(countDistinct("n").as("n_nations"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  val q95Sql: String =
+    """WITH sn AS (
+      |  SELECT DISTINCT l.l_orderkey AS ok, s.s_nationkey AS n
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |edges AS (
+      |  SELECT DISTINCT a.n AS u, b.n AS v
+      |  FROM sn a JOIN sn b ON a.ok = b.ok AND a.n < b.n),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e1.v = e2.u
+      |  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v)
+      |SELECT (SELECT count(DISTINCT n) FROM sn) AS n_nations,
+      |  (SELECT count(*) FROM edges) AS n_edges,
+      |  (SELECT count(*) FROM tri) AS n_triangles""".stripMargin
+
+  /** q96 — correlated EXISTS / NOT EXISTS (SQL surface): nations'
+    * customers having an urgent order but no low-priority one.
+    * Catalyst decorrelates the pair into a LEFT SEMI and a LEFT ANTI
+    * join against the SAME orders scan — the plan q04/q08 build
+    * directly with the DataFrame API; ExtensionsSpec-style plan pins
+    * live in AnalyticsSpec. At scale both subquery joins shuffle on
+    * o_custkey once — no per-row subquery execution anywhere. */
+  def q96(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT n_name, count(*) AS n_cust
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '5-LOW')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  val q96Sql: String =
+    """SELECT n_name, count(*) AS n_cust
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '5-LOW')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q97 — FILTER-clause aggregates (SQL surface): conditional
+    * aggregation without self-joins or CASE pyramids — every filtered
+    * aggregate evaluates in the SAME single pass over the scan, each
+    * with its own predicate, including a filtered DISTINCT. This is
+    * the idiom that replaces "N scans for N segments" at 100 TB. */
+  def q97(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      s"""SELECT l_returnflag,
+         |  count(*) AS n_all,
+         |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+         |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25) AS n_heavy_supps,
+         |  ${floorRoundSql(
+              "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) " +
+              "FILTER (WHERE l_discount > 0.05) AS DOUBLE)", 2)} AS rev_discounted
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q97Sql: String =
+    s"""SELECT l_returnflag,
+       |  count(*) AS n_all,
+       |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+       |  count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25) AS n_heavy_supps,
+       |  ${floorRoundSql(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) " +
+            "FILTER (WHERE l_discount > 0.05) AS DOUBLE)", 2)} AS rev_discounted
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Per-doc term-frequency threshold for q98's map filter. */
+  private val MapMinTf = 3L
+
+  /** q98 — MapType plumbing: each document's token counts build into
+    * a map column (`map_from_entries`), `map_filter` keeps tokens
+    * repeated ≥3× within the doc, and the map explodes back to rows
+    * for the global rollup. Map build/filter/explode are all NARROW
+    * once the (doc, token) aggregate exists — maps never shuffle as
+    * maps here, which is the rule worth keeping at scale (shuffle the
+    * exploded rows, not opaque containers). Oracle = the flat
+    * relational equivalent. */
+  def q98(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val m = tf.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("c")))).as("tfmap"))
+      .select(col("doc_id"),
+        map_filter(col("tfmap"), (_, v) => v >= MapMinTf).as("hot"))
+      .filter(size(map_keys(col("hot"))) > 0)
+    m.select(col("doc_id"), explode(col("hot")).as(Seq("tok", "c")))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_docs"), sum("c").as("n_occurrences"))
+      .orderBy(col("n_docs").desc, col("tok"))
+  }
+
+  val q98Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok)
+       |SELECT tok, count(*) AS n_docs, sum(c) AS n_occurrences
+       |FROM tf WHERE c >= $MapMinTf
+       |GROUP BY tok ORDER BY n_docs DESC, tok""".stripMargin
+
+  /** Stop-list size for q99 (top document-frequency tokens). */
+  private val StopTopK = 20
+
+  /** q99 — corpus-derived stopword scrub: the stop list is the top-20
+    * tokens by document frequency (ties broken lexically so the list
+    * is engine-independent), computed FROM the corpus itself and
+    * broadcast back as a LEFT ANTI join over the token stream — the
+    * self-calibrating normalization pass run before tokenizer
+    * training. Two corpus passes (df build, scrub), one broadcast,
+    * O(vocabulary) intermediate state. */
+  def q99(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val df_ = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.orderBy(col("df").desc, col("tok"))
+    val stop = df_.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StopTopK).select("tok")
+    val kept = toks.join(broadcast(stop), Seq("tok"), "left_anti")
+    val total = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens_raw"))
+    kept.groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        countDistinct("tok").as("n_types_kept"))
+      .join(total, "lang")
+      .select(col("lang"), col("n_tokens_raw"), col("n_tokens_kept"),
+        col("n_types_kept"),
+        floorRound(lit(1.0) - col("n_tokens_kept").cast("double") / col("n_tokens_raw"), 6)
+          .as("stop_mass"))
+      .orderBy("lang")
+  }
+
+  val q99Sql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |dfreq AS (
+       |  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks)
+       |  GROUP BY tok),
+       |stop AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS rk FROM dfreq) r
+       |  WHERE rk <= $StopTopK),
+       |kept AS (
+       |  SELECT lang, tok FROM toks
+       |  WHERE tok NOT IN (SELECT tok FROM stop)),
+       |total AS (SELECT lang, count(*) AS n_tokens_raw FROM toks GROUP BY lang)
+       |SELECT k.lang, t.n_tokens_raw, k.n_tokens_kept, k.n_types_kept,
+       |  ${floorRoundSql("1.0 - CAST(k.n_tokens_kept AS DOUBLE) / t.n_tokens_raw", 6)} AS stop_mass
+       |FROM (SELECT lang, count(*) AS n_tokens_kept, count(DISTINCT tok) AS n_types_kept
+       |      FROM kept GROUP BY lang) k
+       |JOIN total t ON k.lang = t.lang
+       |ORDER BY k.lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_moment_stats" -> q88 _,
+    "q89_ols_regression" -> q89 _,
+    "q90_histogram" -> q90 _,
+    "q91_entropy" -> q91 _,
+    "q92_zscore_anomaly" -> q92 _,
+    "q93_scd2_intervals" -> q93 _,
+    "q94_cohort_retention" -> q94 _,
+    "q95_triangle_count" -> q95 _,
+    "q96_exists_subquery" -> q96 _,
+    "q97_filtered_agg" -> q97 _,
+    "q98_map_funcs" -> q98 _,
+    "q99_stopword_scrub" -> q99 _)
+
+  val oracles: Map[String, String] = Map(
+    "q88_moment_stats" -> q88Sql,
+    "q89_ols_regression" -> q89Sql,
+    "q90_histogram" -> q90Sql,
+    "q91_entropy" -> q91Sql,
+    "q92_zscore_anomaly" -> q92Sql,
+    "q93_scd2_intervals" -> q93Sql,
+    "q94_cohort_retention" -> q94Sql,
+    "q95_triangle_count" -> q95Sql,
+    "q96_exists_subquery" -> q96Sql,
+    "q97_filtered_agg" -> q97Sql,
+    "q98_map_funcs" -> q98Sql,
+    "q99_stopword_scrub" -> q99Sql)
+}

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Analytics
+import graft.sources.Tables
+
+/** Semantic invariants for the statistics/analytics wave (q88-q99) on
+  * sf0.001 — checks independent of the DuckDB oracle: closed-form
+  * moments against a local reference implementation, analytic bounds
+  * (entropy ≤ ln(types), |corr| ≤ 1, retention ≤ 1), structural laws
+  * (SCD2 intervals tile each user's timeline, histogram buckets
+  * partition the table), a brute-force triangle count, and plan pins
+  * (EXISTS decorrelates to semi/anti joins, moment aggregates stay
+  * one partial+final pass).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val sf = "/root/testdata/sf0.001"
+
+  test("q88 moments match a local reference implementation") {
+    val rows = Analytics.q88(spark, sf).collect()
+    val data = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = data(r.getString(0)).map(_._2)
+      val ys = data(r.getString(0)).map(_._3)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val m2 = xs.map(x => (x - mean) * (x - mean)).sum / n
+      val std = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      val skew = xs.map(x => math.pow(x - mean, 3)).sum / n / math.pow(m2, 1.5)
+      val kurt = xs.map(x => math.pow(x - mean, 4)).sum / n / (m2 * m2) - 3.0
+      val my = ys.sum / n
+      val corr = xs.zip(ys).map { case (x, y) => (x - mean) * (y - my) }.sum /
+        (math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum) *
+          math.sqrt(ys.map(y => (y - my) * (y - my)).sum))
+      assert(r.getLong(1) === xs.length)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-4, "mean")
+      assert(math.abs(r.getDouble(3) - std) < 1e-4, "std")
+      assert(math.abs(r.getDouble(4) - skew) < 1e-4, "skew")
+      assert(math.abs(r.getDouble(5) - kurt) < 1e-3, "kurt")
+      assert(math.abs(r.getDouble(6) - corr) < 1e-4, "corr")
+      assert(math.abs(r.getDouble(6)) <= 1.0)
+    }
+  }
+
+  test("q88 is one partial+final aggregate over the scan (mergeable moments)") {
+    val plan = Analytics.q88(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), "moment sums must map-side combine")
+    assert(!plan.toLowerCase.contains("stddev") && !plan.toLowerCase.contains("skewness"),
+      "statistics must derive from raw moments, not engine builtins")
+  }
+
+  test("q89 OLS matches a local least-squares fit per brand") {
+    val fits = Analytics.q89(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val data = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    data.foreach { case (brand, pts) =>
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._2).sum, pts.map(_._3).sum)
+      val sxx = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      val (gs, gi, r2) = fits(brand)
+      assert(math.abs(gs - slope) < 1e-3, s"$brand slope")
+      assert(math.abs(gi - icept) < 1e-1, s"$brand intercept")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$brand r2 out of range")
+    }
+  }
+
+  test("q90 histogram buckets partition the orders table") {
+    val rows = Analytics.q90(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(lo >= b * 25000.0 && hi < (b + 1) * 25000.0,
+        s"bucket $b bounds [$lo,$hi] escape its range")
+    }
+  }
+
+  test("q91 entropy is within (0, ln(n_types)] and TTR within (0,1]") {
+    val rows = Analytics.q91(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (types, h, ttr) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(h > 0.0 && h <= math.log(types.toDouble) + 1e-9,
+        s"${r.getString(0)}: entropy $h outside (0, ln($types)]")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+  }
+
+  test("q92 reports exactly the >2-sigma hours") {
+    val rows = Analytics.q92(spark, sf).collect()
+    assert(rows.nonEmpty, "no anomalies at sf0.001 — threshold too tight")
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) > 2.0))
+  }
+
+  test("q93 SCD2 intervals tile each user's timeline") {
+    val rows = Analytics.q93(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    rows.groupBy(_._1).foreach { case (user, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.count(_._4.isEmpty) === 1)
+      assert(sorted.last._4.isEmpty)
+      // contiguous: each valid_to equals the next valid_from
+      sorted.iterator.sliding(2).withPartial(false).foreach { pair =>
+        val (a, b) = (pair.head, pair.last)
+        assert(a._4.contains(b._3), s"user $user: gap between intervals")
+        assert(a._2 != b._2, s"user $user: consecutive equal states not collapsed")
+      }
+    }
+  }
+
+  test("q94 cohort week 0 retains 100% and retention never exceeds 1") {
+    val rows = Analytics.q94(spark, sf).collect()
+    rows.filter(_.getLong(1) == 0L).foreach(r => assert(r.getDouble(3) === 1.0))
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    // every user appears in exactly one cohort: cohort sizes sum to distinct users
+    val users = Tables.events(spark, sf).select(countDistinct("user_id")).head.getLong(0)
+    assert(rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum === users)
+  }
+
+  test("q95 triangle count matches brute force on the edge set") {
+    val r = Analytics.q95(spark, sf).head
+    val sn = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey")).collect()
+      .map(x => (x.getAs[Number](0).longValue(), x.getAs[Number](1).longValue()))
+    val edges = sn.groupBy(_._1).values.flatMap { g =>
+      val ns = g.map(_._2).distinct.toSeq
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tri = (for {
+      a <- nodes; b <- nodes if a < b && edges((a, b))
+      c <- nodes if b < c && edges((b, c)) && edges((a, c))
+    } yield 1).size
+    assert(r.getLong(1) === edges.size, "edge count")
+    assert(r.getLong(2) === tri, "triangle count")
+  }
+
+  test("q96 EXISTS pair decorrelates to semi+anti joins (no per-row subqueries)") {
+    val plan = Analytics.q96(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+  }
+
+  test("q96 matches the DataFrame semi/anti twin") {
+    val got = Analytics.q96(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sf)
+    val twin = Tables.customer(spark, sf)
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(orders.filter(col("o_orderpriority") === "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === twin)
+  }
+
+  test("q97 filtered aggregates agree with explicit-filter twins") {
+    val rows = Analytics.q97(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val heavy = li.filter(col("l_returnflag") === flag && col("l_quantity") > 25)
+      assert(r.getLong(2) === heavy.count(), "n_heavy")
+      assert(r.getLong(3) === heavy.select(countDistinct("l_suppkey")).head.getLong(0))
+      assert(r.getLong(1) >= r.getLong(2), "filtered count exceeds total")
+    }
+  }
+
+  test("q98 map build/filter/explode equals the flat relational twin") {
+    val got = Analytics.q98(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val flat = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3)
+      .groupBy("tok").agg(count(lit(1)).as("n_docs"), sum("c").as("n_occ"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === flat)
+  }
+
+  test("q99 scrub conserves tokens and removes real mass") {
+    val rows = Analytics.q99(spark, sf).collect()
+    val raw = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === raw(r.getString(0)), "raw token count drifted")
+      assert(r.getLong(2) < r.getLong(1), "stop list removed nothing")
+      val mass = r.getDouble(4)
+      assert(mass > 0.0 && mass < 1.0)
+    }
+  }
+}
