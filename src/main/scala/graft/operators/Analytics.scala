@@ -568,6 +568,209 @@ object Analytics {
        |JOIN total t ON k.lang = t.lang
        |ORDER BY k.lang""".stripMargin
 
+  /** How many head terms q100 reports. */
+  private val CovTopK = 50
+
+  /** q100 — vocabulary coverage curve: how much of the corpus the
+    * top-k tokens cover (the statistic that sizes a tokenizer's
+    * vocabulary). The head is found with orderBy+limit — Spark plans
+    * TakeOrdered, a per-partition top-k + small merge, never a global
+    * sort of the vocabulary — and only the 50-row head enters the
+    * running-sum window. Counts are exact longs; shares divide once
+    * at presentation. */
+  def q100(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("n"))
+    val head = counts.orderBy(col("c").desc, col("tok")).limit(CovTopK)
+    val w = Window.orderBy(col("c").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    head
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank").cast("long").as("rank"), col("tok"), col("c").as("n_occurrences"),
+        floorRound(col("cum").cast("double") / col("n"), 6).as("cum_coverage"))
+      .orderBy("rank")
+  }
+
+  val q100Sql: String =
+    s"""WITH counts AS (
+       |  SELECT tok, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |total AS (SELECT sum(c) AS n FROM counts),
+       |head AS (
+       |  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+       |  FROM counts ORDER BY c DESC, tok LIMIT $CovTopK)
+       |SELECT rank, tok, c AS n_occurrences,
+       |  ${floorRoundSql(
+            "CAST(sum(c) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING " +
+            "AND CURRENT ROW) AS DOUBLE) / n", 6)} AS cum_coverage
+       |FROM head, total ORDER BY rank""".stripMargin
+
+  /** q101 — split-leakage audit: after q80's deterministic md5 split,
+    * how many val/test documents share a 3-gram shingle with ANY
+    * train document (the eval-set contamination check run before
+    * every training launch — q68's benchmark-decontamination shape
+    * pointed at the pipeline's own splits). The train shingle set is
+    * corpus-sized, so the probe is a SHUFFLE left-semi join on the
+    * shingle key — not a broadcast like q68's small benchmark set;
+    * both sides partial-aggregate to distinct shingles before the
+    * shuffle. */
+  def q101(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+    val sh = docs
+      .select(col("doc_id"), col("split"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("split"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
+        .as("sh"))
+      .distinct()
+    val trainSh = sh.filter(col("split") === "train").select("sh").distinct()
+    val leaked = sh.filter(col("split") =!= "train")
+      .join(trainSh, Seq("sh"), "left_semi")
+      .select("doc_id", "split").distinct()
+      .groupBy("split").agg(count(lit(1)).as("n_leaked"))
+    val eval_ = docs.filter(col("split") =!= "train")
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+    eval_.join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        floorRound(coalesce(col("n_leaked"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("leak_ratio"))
+      .orderBy("split")
+  }
+
+  val q101Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, split, sh FROM (
+      |    SELECT doc_id, split,
+      |      unnest(list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+      |    FROM (SELECT doc_id, split, string_split(text, ' ') AS t FROM docs
+      |          WHERE len(string_split(text, ' ')) >= 3) u) v),
+      |train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+      |leaked AS (
+      |  SELECT split, count(*) AS n_leaked FROM (
+      |    SELECT DISTINCT s.doc_id, s.split FROM sh s
+      |    WHERE s.split <> 'train' AND s.sh IN (SELECT sh FROM train_sh)) l
+      |  GROUP BY split),
+      |ev AS (SELECT split, count(*) AS n_docs FROM docs WHERE split <> 'train' GROUP BY split)
+      |SELECT e.split, e.n_docs, coalesce(l.n_leaked, 0) AS n_leaked,
+      |  floor(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / e.n_docs * 1000000 + 0.5) / 1000000 AS leak_ratio
+      |FROM ev e LEFT JOIN leaked l ON e.split = l.split
+      |ORDER BY e.split""".stripMargin
+
+  /** q102 — deterministic importance sampling: each document keeps
+    * with probability proportional to a quality weight (longer docs
+    * upweighted, capped at 1), decided by comparing its md5 bucket —
+    * a uniform [0,1) hash, the q50/q80 mechanism — against the
+    * weight. No RNG state, no seed plumbing: the SAME docs survive on
+    * any engine, any partitioning, any retry, which is what makes
+    * sampled pipelines reproducible at 100 TB. One narrow projection
+    * + a small rollup. */
+  def q102(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("weight",
+        least(lit(1.0), col("n_tokens").cast("double") / 200.0))
+      .withColumn("u",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .cast("double") / 4294967296.0)
+      .withColumn("kept", col("u") < col("weight"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        floorRound(sum(col("weight").cast("decimal(18,6)")).cast("double"), 6).as("expected_kept"),
+        floorRound(exactSum(when(col("kept"), col("n_tokens").cast("double"))
+          .otherwise(lit(0.0))), 0).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val q102Sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0) AS weight,
+       |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+       |      / 4294967296.0 AS u
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  count(CASE WHEN u < weight THEN 1 END) AS n_kept,
+       |  ${floorRoundSql("CAST(sum(CAST(weight AS DECIMAL(18,6))) AS DOUBLE)", 6)} AS expected_kept,
+       |  ${floorRoundSql(
+            "CAST(sum(CAST(CASE WHEN u < weight THEN CAST(n_tokens AS DOUBLE) " +
+            "ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)", 0)} AS kept_tokens
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** q103 — null-safe equality semantics: the same aggregate joined
+    * back to itself on a NULLABLE key (return flag 'N' nulled out)
+    * with Spark's `<=>` — SQL's IS NOT DISTINCT FROM — so the NULL
+    * group matches the NULL group instead of silently dropping, plus
+    * the count(*)/count(col) distinction on the nullable key. The
+    * null-key row is exactly the row a plain equi-join loses; at
+    * scale that silent drop is how "joined totals don't reconcile"
+    * bugs happen. Null-safe joins hash NULL like any value — same
+    * shuffle shape as `=`. */
+  def q103(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("flag", nullif(col("l_returnflag"), lit("N")))
+    val all_ = li.groupBy("flag").agg(count(lit(1)).as("n_all"),
+      count(col("flag")).as("n_nonnull_key"))
+    val heavy = li.filter(col("l_quantity") > 25)
+      .groupBy(col("flag").as("hflag")).agg(count(lit(1)).as("n_heavy"))
+    all_.join(heavy, col("flag") <=> col("hflag"), "left")
+      .select(col("flag"), col("flag").isNull.as("is_null_key"),
+        col("n_all"), col("n_nonnull_key"), col("n_heavy"))
+      .orderBy(asc_nulls_first("flag"))
+  }
+
+  val q103Sql: String =
+    """WITH li AS (SELECT nullif(l_returnflag, 'N') AS flag, l_quantity FROM lineitem),
+      |a AS (SELECT flag, count(*) AS n_all, count(flag) AS n_nonnull_key
+      |      FROM li GROUP BY flag),
+      |h AS (SELECT flag AS hflag, count(*) AS n_heavy FROM li
+      |      WHERE l_quantity > 25 GROUP BY flag)
+      |SELECT a.flag, a.flag IS NULL AS is_null_key,
+      |  a.n_all, a.n_nonnull_key, h.n_heavy
+      |FROM a LEFT JOIN h ON a.flag IS NOT DISTINCT FROM h.hflag
+      |ORDER BY a.flag NULLS FIRST""".stripMargin
+
+  /** q104 — re-aggregatable distinct-count sketches (Apache
+    * DataSketches HLL): per-language token sketches built once, then
+    * UNIONED into the corpus-wide estimate without touching raw data
+    * again — the property plain `approx_count_distinct` (q33) lacks,
+    * and the reason sketch COLUMNS (not just sketch results) are the
+    * 100 TB pattern: daily/per-shard sketches persist, and any
+    * rollup (week, language family, whole corpus) is a cheap
+    * register-wise merge of O(groups × 2^lgK) state. Sketch bits are
+    * engine-specific → rows-only; AnalyticsSpec bounds each estimate
+    * against the exact distinct count and pins union consistency. */
+  def q104(spark: SparkSession, sfDir: String): DataFrame = {
+    val perLang = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang")
+      .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"))
+    val langRows = perLang.select(col("lang"),
+      hll_sketch_estimate(col("sk")).cast("long").as("approx_distinct_tokens"))
+    val allRow = perLang.agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .select(lit("ALL").as("lang"),
+        hll_sketch_estimate(col("sk")).cast("long").as("approx_distinct_tokens"))
+    langRows.union(allRow).orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_moment_stats" -> q88 _,
     "q89_ols_regression" -> q89 _,
@@ -580,7 +783,12 @@ object Analytics {
     "q96_exists_subquery" -> q96 _,
     "q97_filtered_agg" -> q97 _,
     "q98_map_funcs" -> q98 _,
-    "q99_stopword_scrub" -> q99 _)
+    "q99_stopword_scrub" -> q99 _,
+    "q100_vocab_coverage" -> q100 _,
+    "q101_split_leakage" -> q101 _,
+    "q102_weighted_sample" -> q102 _,
+    "q103_nullsafe_join" -> q103 _,
+    "q104_hll_sketch_union" -> q104 _)
 
   val oracles: Map[String, String] = Map(
     "q88_moment_stats" -> q88Sql,
@@ -594,5 +802,9 @@ object Analytics {
     "q96_exists_subquery" -> q96Sql,
     "q97_filtered_agg" -> q97Sql,
     "q98_map_funcs" -> q98Sql,
-    "q99_stopword_scrub" -> q99Sql)
+    "q99_stopword_scrub" -> q99Sql,
+    "q100_vocab_coverage" -> q100Sql,
+    "q101_split_leakage" -> q101Sql,
+    "q102_weighted_sample" -> q102Sql,
+    "q103_nullsafe_join" -> q103Sql)
 }

@@ -197,6 +197,65 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === flat)
   }
 
+  test("q100 coverage curve is monotone, bounded, and dense-ranked") {
+    val rows = Analytics.q100(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length).toSeq, "ranks not dense")
+    val cov = rows.map(_.getDouble(3))
+    cov.sliding(2).foreach(p => if (p.length == 2) assert(p(0) <= p(1), "coverage decreased"))
+    assert(cov.last <= 1.0 + 1e-9)
+    val counts = rows.map(_.getLong(2))
+    counts.sliding(2).foreach(p => if (p.length == 2) assert(p(0) >= p(1), "head not sorted by count"))
+  }
+
+  test("q101 leakage audits only the eval splits and bounds ratios") {
+    val rows = Analytics.q101(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("val", "test"))
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "more leaked than present")
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("q102 weighted sampling is deterministic and near its expectation") {
+    val a = Analytics.q102(spark, sf).collect().map(_.toSeq)
+    val b = Analytics.q102(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq, "re-execution changed the sample")
+    Analytics.q102(spark, sf).collect().foreach { r =>
+      val (n, kept, exp) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(kept <= n)
+      // md5 buckets are uniform: actual within a generous binomial bound
+      assert(math.abs(kept - exp) <= 4.0 * math.sqrt(exp.max(1.0)) + 4.0,
+        s"${r.getString(0)}: kept=$kept expected=$exp — hash sampling biased?")
+    }
+  }
+
+  test("q103 null-safe join keeps the NULL-key group and reconciles totals") {
+    val rows = Analytics.q103(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total, "groups lost rows")
+    val nullRow = rows.find(_.getBoolean(1)).get
+    assert(nullRow.getLong(3) === 0L, "count(col) must skip NULL keys")
+    assert(!nullRow.isNullAt(4), "null-safe join dropped the NULL group's match")
+    rows.filterNot(_.getBoolean(1)).foreach(r => assert(r.getLong(3) === r.getLong(2)))
+  }
+
+  test("q104 HLL sketches estimate within 5% and union consistently") {
+    val rows = Analytics.q104(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang").agg(countDistinct("tok").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, d) =>
+      assert(math.abs(rows(lang) - d) <= math.max(2.0, 0.05 * d),
+        s"$lang: estimate ${rows(lang)} vs exact $d")
+    }
+    val perLang = rows.filterKeys(_ != "ALL").values
+    assert(rows("ALL") >= perLang.max, "union below its largest input")
+    assert(rows("ALL") <= math.ceil(perLang.sum * 1.05).toLong, "union exceeds sum of inputs")
+  }
+
   test("q99 scrub conserves tokens and removes real mass") {
     val rows = Analytics.q99(spark, sf).collect()
     val raw = Tables.documents(spark, sf)
