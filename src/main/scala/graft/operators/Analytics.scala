@@ -771,6 +771,64 @@ object Analytics {
     langRows.union(allRow).orderBy("lang")
   }
 
+  /** q105 — VariantType semi-structured shredding (Spark 4's binary
+    * JSON): `parse_json` turns the raw props string into a VARIANT
+    * column once, then typed paths extract with `variant_get` — the
+    * open-schema ingestion path that replaces per-field
+    * `get_json_object` string re-parsing (q19's shape) with a
+    * parse-once binary encoding. At 100 TB the variant column also
+    * shreds into parquet, so frequently-read paths column-prune like
+    * any other field. Extraction is a narrow codegen projection; the
+    * rollup is one two-phase aggregate. */
+  def q105(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "bigint"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        sum("k").as("sum_k"))
+      .orderBy("event_type")
+
+  val q105Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q106 — SQL-defined scalar functions (CREATE FUNCTION ... RETURN,
+    * Spark 4): business logic registered ONCE in catalog SQL and
+    * reused across queries, instead of copy-pasted expressions or
+    * opaque JVM UDFs. The body inlines into the plan at resolution —
+    * fully codegen'd, pushdown-transparent — so unlike a Scala UDF it
+    * costs nothing over writing the expression by hand. The oracle
+    * carries the expanded body (DuckDB macros can't ship in one
+    * statement); same arithmetic, same DECIMAL sum. */
+  def q106(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE, t DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - d) * (1.0 + t)""".stripMargin)
+    spark.sql(
+      s"""SELECT l_linestatus,
+         |  count(*) AS n_items,
+         |  ${floorRoundSql(
+              "CAST(sum(CAST(net_price(l_extendedprice, l_discount, l_tax) " +
+              "AS DECIMAL(18,6))) AS DOUBLE)", 2)} AS net_revenue
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+  }
+
+  val q106Sql: String =
+    s"""SELECT l_linestatus,
+       |  count(*) AS n_items,
+       |  ${floorRoundSql(
+            "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) " +
+            "AS DECIMAL(18,6))) AS DOUBLE)", 2)} AS net_revenue
+       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_moment_stats" -> q88 _,
     "q89_ols_regression" -> q89 _,
@@ -788,7 +846,9 @@ object Analytics {
     "q101_split_leakage" -> q101 _,
     "q102_weighted_sample" -> q102 _,
     "q103_nullsafe_join" -> q103 _,
-    "q104_hll_sketch_union" -> q104 _)
+    "q104_hll_sketch_union" -> q104 _,
+    "q105_variant_shred" -> q105 _,
+    "q106_sql_udf" -> q106 _)
 
   val oracles: Map[String, String] = Map(
     "q88_moment_stats" -> q88Sql,
@@ -806,5 +866,7 @@ object Analytics {
     "q100_vocab_coverage" -> q100Sql,
     "q101_split_leakage" -> q101Sql,
     "q102_weighted_sample" -> q102Sql,
-    "q103_nullsafe_join" -> q103Sql)
+    "q103_nullsafe_join" -> q103Sql,
+    "q105_variant_shred" -> q105Sql,
+    "q106_sql_udf" -> q106Sql)
 }

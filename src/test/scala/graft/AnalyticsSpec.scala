@@ -256,6 +256,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows("ALL") <= math.ceil(perLang.sum * 1.05).toLong, "union exceeds sum of inputs")
   }
 
+  test("q105 variant extraction agrees with string-path JSON extraction") {
+    val got = Analytics.q105(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    val twin = Tables.events(spark, sf)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("nk"), sum("k").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === twin)
+  }
+
+  test("q106 SQL UDF inlines into the plan (no opaque UDF node)") {
+    val qe = Analytics.q106(spark, sf).queryExecution
+    assert(!qe.executedPlan.toString.contains("BatchEvalPython"))
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("scalaudf"),
+      "SQL function body must inline, not wrap in a JVM UDF")
+    // the body appears as plain arithmetic in the aggregate itself
+    assert(qe.executedPlan.toString.contains("* (1.0 - "),
+      "inlined function body not visible in the physical plan")
+  }
+
   test("q99 scrub conserves tokens and removes real mass") {
     val rows = Analytics.q99(spark, sf).collect()
     val raw = Tables.documents(spark, sf)

@@ -110,6 +110,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"tf aggregate not map-side combined:\n$p")
   }
 
+  test("q100: the vocabulary head comes from TakeOrdered, never a global sort") {
+    val p = plan("q100_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k head must be per-partition top-k + merge:\n$p")
+  }
+
+  test("q89/q92: dimension/stats tables broadcast onto the fact side") {
+    val p89 = plan("q89_ols_regression")
+    assert(p89.contains("BroadcastHashJoin") && !p89.contains("SortMergeJoin"),
+      s"part dim not broadcast:\n$p89")
+    val p92 = plan("q92_zscore_anomaly")
+    assert(p92.contains("BroadcastHashJoin"),
+      s"per-type moment table not broadcast back onto hourly rollup:\n$p92")
+  }
+
+  test("q95: edge build broadcasts the supplier dim and never goes cartesian") {
+    val p = plan("q95_triangle_count")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle enumeration degenerated to a cartesian product:\n$p")
+  }
+
   test("q76: bloom probe side has NO join — the filter arrives as a subquery") {
     // The entire point over q68: at bloom scale the bench set never
     // joins against the corpus. The probe plan must contain no join
