@@ -18,6 +18,11 @@ case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
 case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
     n_events: Long, sum_value: Double)
 
+/** Running decimal-exact moments per event type — streaming state for
+  * the q88/q92 statistic discipline (n, Σv, Σv² as DECIMALs). */
+case class TypeMoments(event_type: String, n: Long,
+    s1: java.math.BigDecimal, s2: java.math.BigDecimal)
+
 /** Custom stateful streaming operators via KeyValueGroupedDataset
   * state APIs — the arbitrary-state tier beyond watermark + windowed
   * aggregation (EventStreams): blow's conceptually-unbounded pipelines
@@ -36,6 +41,7 @@ object StatefulOps {
   implicit val openEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
   implicit val sessEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
   implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+  implicit val strEnc: Encoder[String] = Encoders.STRING
 
   /** Running per-user event count + value sum, updated every
     * micro-batch (`mapGroupsWithState`; write with update mode).
@@ -49,6 +55,37 @@ object StatefulOps {
           state.getOption.foreach { t => n = t.n_events; s = t.sum_value }
           evs.foreach { e => n += 1; s += e.value }
           val out = UserTotal(uid, n, s)
+          state.update(out)
+          out
+      }
+
+  implicit val momEnc: Encoder[TypeMoments] = Encoders.product[TypeMoments]
+
+  /** Streaming twin of the batch moment-statistics discipline
+    * (q88/q92): per-event-type running (n, Σv, Σv²) kept as EXACT
+    * DECIMALS in state, updated each micro-batch. Because decimal
+    * addition is associative and order-independent, the drained
+    * stream's state is BIT-IDENTICAL to the batch decimal aggregate —
+    * no "streaming is approximately the batch answer" caveat, which is
+    * what lets a live pipeline and its nightly batch recompute
+    * reconcile exactly. Scales used: value → DECIMAL(18,6),
+    * value² → DECIMAL(27,12) (both HALF_UP, matching Spark's
+    * double→decimal cast). State per key is one fixed-size struct. */
+  def momentsStream(events: Dataset[Ev]): Dataset[TypeMoments] =
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[TypeMoments, TypeMoments](GroupStateTimeout.NoTimeout) {
+        (etype: String, evs: Iterator[Ev], state: GroupState[TypeMoments]) =>
+          val zero = java.math.BigDecimal.ZERO
+          var (n, s1, s2) = state.getOption
+            .map(m => (m.n, m.s1, m.s2)).getOrElse((0L, zero, zero))
+          evs.foreach { e =>
+            n += 1
+            s1 = s1.add(java.math.BigDecimal.valueOf(e.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+            s2 = s2.add(java.math.BigDecimal.valueOf(e.value * e.value)
+              .setScale(12, java.math.RoundingMode.HALF_UP))
+          }
+          val out = TypeMoments(etype, n, s1, s2)
           state.update(out)
           out
       }

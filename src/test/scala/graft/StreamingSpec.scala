@@ -64,6 +64,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming running moments are BIT-identical to the batch decimal aggregate") {
+    import graft.streaming.{Ev, StatefulOps}
+    import graft.streaming.StatefulOps.evEnc
+    val stream = EventStreams.readEventStream(spark, streamDir).as[Ev]
+    val q = EventStreams.runToMemory(
+      StatefulOps.momentsStream(stream).toDF(), "moments_out", outputMode = "update")
+    try {
+      val got = spark.table("moments_out")
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).stripTrailingZeros, r.getDecimal(3).stripTrailingZeros))
+        .toMap
+      val want = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("v", (col("value")).cast("decimal(18,6)"))
+        .withColumn("v2", (col("value") * col("value")).cast("decimal(27,12)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("s1"), sum("v2").as("s2"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).stripTrailingZeros, r.getDecimal(3).stripTrailingZeros))
+        .toMap
+      assert(got === want, "streaming decimal moments drifted from batch — not exact")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions = batch q18 sessions minus each user's open tail") {
     import graft.streaming.{Ev, StatefulOps}
     import graft.streaming.StatefulOps.evEnc
