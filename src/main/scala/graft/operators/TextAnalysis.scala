@@ -434,7 +434,64 @@ object TextAnalysis {
        |  AND bucket < 50
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Cross-entropy threshold (nats/token) above which q107 flags a
+    * document as out-of-distribution under the corpus LM. */
+  private val LmFlagNats = 4.0
+
+  /** q107 — unigram-LM cross-entropy scoring (the CCNet-style
+    * perplexity quality filter): train a unigram language model on
+    * the corpus itself (token probabilities from exact counts), then
+    * score every document by its mean negative log-probability under
+    * that model — high cross-entropy = the document looks nothing
+    * like the corpus (OCR garbage, wrong language, boilerplate).
+    * Distinct from q91, which measures each SOURCE's own diversity;
+    * this scores each DOCUMENT against a global reference model.
+    *
+    * Shapes: the LM is vocabulary-sized and BROADCASTS onto the token
+    * stream; the per-doc score is one shuffle on doc_id; the report
+    * is a 5-group rollup. Per-token ln terms sum in DECIMAL(28,18)
+    * per doc (q91's discipline) so doc scores are bit-stable, and
+    * doc scores again sum in DECIMAL for the per-lang mean. */
+  def q107(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val lm = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = lm.agg(sum("c").as("n"))
+    val docScores = toks
+      .join(broadcast(lm.crossJoin(n)), "tok")
+      .select(col("doc_id"), col("lang"),
+        log(col("n").cast("double") / col("c")).cast("decimal(28,18)").as("nll"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("nll")).cast("double") / count(lit(1))).as("xent"))
+    docScores.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.OracleRound.floorRound(
+          sum(col("xent").cast("decimal(28,18)")).cast("double") / count(lit(1)), 6)
+          .as("mean_xent"),
+        count(when(col("xent") > LmFlagNats, 1)).as("n_flagged"))
+      .orderBy("lang")
+  }
+
+  val q107Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       |n AS (SELECT sum(c) AS n FROM lm),
+       |ds AS (
+       |  SELECT t.doc_id, t.lang, count(*) AS n_toks,
+       |    CAST(sum(CAST(ln(CAST(n.n AS DOUBLE) / l.c) AS DECIMAL(28,18))) AS DOUBLE)
+       |      / count(*) AS xent
+       |  FROM toks t JOIN lm l ON t.tok = l.tok, n
+       |  GROUP BY t.doc_id, t.lang)
+       |SELECT lang, count(*) AS n_docs,
+       |  floor(CAST(sum(CAST(xent AS DECIMAL(28,18))) AS DOUBLE) / count(*) * 1000000 + 0.5)
+       |    / 1000000 AS mean_xent,
+       |  count(CASE WHEN xent > $LmFlagNats THEN 1 END) AS n_flagged
+       |FROM ds GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_lm_xent_score" -> q107 _,
     "q53_llm_pipeline" -> q53 _,
     "q50_hash_sample" -> q50 _,
     "q65_stratified_sample" -> q65 _,
@@ -447,6 +504,7 @@ object TextAnalysis {
     "q34_regex_tokens" -> q34 _)
 
   val oracles: Map[String, String] = Map(
+    "q107_lm_xent_score" -> q107Sql,
     "q53_llm_pipeline" -> q53Sql,
     "q50_hash_sample" -> q50Sql,
     "q65_stratified_sample" -> q65Sql,

@@ -277,6 +277,21 @@ class AnalyticsSpec extends AnyFunSuite {
       "inlined function body not visible in the physical plan")
   }
 
+  test("q107 LM cross-entropy is positive, bounded by ln(corpus), and flags a minority") {
+    val rows = graft.operators.TextAnalysis.q107(spark, sf).collect()
+    val nTokens = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { r =>
+      val (n, xent, flagged) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(xent > 0.0 && xent <= math.log(nTokens.toDouble),
+        s"${r.getString(0)}: mean_xent $xent outside (0, ln($nTokens)]")
+      assert(flagged <= n)
+    }
+    // the filter must not reject the bulk of the corpus
+    assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(1)).sum / 2,
+      "threshold flags most documents — not a usable filter")
+  }
+
   test("q99 scrub conserves tokens and removes real mass") {
     val rows = Analytics.q99(spark, sf).collect()
     val raw = Tables.documents(spark, sf)
