@@ -622,7 +622,7 @@ object Analytics {
   def q101(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        expr(graft.functions.HashBucket.bucketExpr("doc_id", 100)))
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
     val sh = docs
@@ -648,10 +648,10 @@ object Analytics {
   }
 
   val q101Sql: String =
-    """WITH docs AS (
+    s"""WITH docs AS (
       |  SELECT doc_id, text,
-      |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
-      |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+      |    CASE WHEN ${graft.functions.HashBucket.bucketSql("doc_id", 100)} < 80 THEN 'train'
+      |         WHEN ${graft.functions.HashBucket.bucketSql("doc_id", 100)} < 90 THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM documents),
       |sh AS (
@@ -687,7 +687,7 @@ object Analytics {
       .withColumn("weight",
         least(lit(1.0), col("n_tokens").cast("double") / 200.0))
       .withColumn("u",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+        expr(graft.functions.HashBucket.rawExpr("doc_id"))
           .cast("double") / 4294967296.0)
       .withColumn("kept", col("u") < col("weight"))
     docs.groupBy("source")
@@ -704,7 +704,7 @@ object Analytics {
        |  SELECT source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0) AS weight,
-       |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+       |    CAST(${graft.functions.HashBucket.rawSql("doc_id")} AS DOUBLE)
        |      / 4294967296.0 AS u
        |  FROM documents)
        |SELECT source, count(*) AS n_docs,

@@ -262,7 +262,7 @@ object TextAnalysis {
   def q50(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        expr(graft.functions.HashBucket.bucketExpr("doc_id", 100)))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("bucket") < 10, 1L).otherwise(0L)).as("n_sampled"),
@@ -272,9 +272,9 @@ object TextAnalysis {
       .orderBy("source")
 
   val q50Sql: String =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT source,
-      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |    ${graft.functions.HashBucket.bucketSql("doc_id", 100)} AS bucket
       |  FROM documents)
       |SELECT source, count(*) AS n_docs,
       | CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
@@ -405,7 +405,7 @@ object TextAnalysis {
       .filter(col("n_tokens") >= 10 &&
         col("n_stop").cast("double") / col("n_tokens") <= 0.25)
       .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        expr(graft.functions.HashBucket.bucketExpr("doc_id", 100)))
       .filter(col("bucket") < 50)
     deduped.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -423,7 +423,7 @@ object TextAnalysis {
        |    CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
        |    CAST(len(list_filter(string_split(d.text,' '),
        |      x -> x IN ($stopList))) AS BIGINT) AS n_stop,
-       |    CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+       |    ${graft.functions.HashBucket.bucketSql("d.doc_id", 100)} AS bucket
        |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
        |)
        |SELECT lang, count(*) AS n_docs,

@@ -74,7 +74,7 @@ object Training {
   def q80(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        expr(graft.functions.HashBucket.bucketExpr("doc_id", 100)))
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
@@ -84,9 +84,9 @@ object Training {
       .orderBy("split")
 
   val q80Sql: String =
-    """WITH d AS (SELECT doc_id, source,
+    s"""WITH d AS (SELECT doc_id, source,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |    ${graft.functions.HashBucket.bucketSql("doc_id", 100)} AS bucket
       |  FROM documents)
       |SELECT CASE WHEN bucket < 80 THEN 'train'
       |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
