@@ -829,6 +829,56 @@ object Analytics {
             "AS DECIMAL(18,6))) AS DOUBLE)", 2)} AS net_revenue
        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Bits per dimension in q108's Morton key. */
+  private val ZBits = 4
+
+  /** Morton (Z-order) interleave of two [[ZBits]]-bit values as pure
+    * arithmetic (DIV / % / ×2^k — no engine bit operators), generated
+    * from one loop for both dialects so the Spark key and the oracle
+    * key can never drift. `div` is the integer-division token
+    * (`DIV` on Spark, `//` on DuckDB). */
+  private def zInterleave(x: String, y: String, div: String): String =
+    (0 until ZBits).map { i =>
+      s"(($x $div ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($y $div ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** q108 — Z-order layout audit: interleave (customer-bucket, order
+    * month) into a Morton key and report each 16-cell key range's
+    * bounding box in BOTH dimensions. This is the sort key a
+    * layout-aware writer clusters 100 TB parquet by: consecutive
+    * z-ranges are 4×4 TILES (spec-pinned: per-range spread ≤ 3 in
+    * each dimension), so a predicate on EITHER dimension prunes
+    * ~√N of the files — a linear (x·16+y) sort key gives the same
+    * file count but every range spans the full y domain and a
+    * y-predicate prunes nothing. Computing the key is a narrow
+    * projection; the audit is one small aggregate. */
+  def q108(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = zInterleave("xb", "yb", "DIV")
+    Tables.orders(spark, sfDir)
+      .select((col("o_custkey") % 16).cast("long").as("xb"),
+        (month(col("o_orderdate")) - 1).cast("long").as("yb"))
+      .withColumn("zkey", expr(z))
+      .groupBy(expr("zkey DIV 16").as("z_range"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("xb").as("min_x"), max("xb").as("max_x"),
+        min("yb").as("min_y"), max("yb").as("max_y"))
+      .orderBy("z_range")
+  }
+
+  val q108Sql: String = {
+    val z = zInterleave("xb", "yb", "//")
+    s"""WITH d AS (
+       |  SELECT CAST(o_custkey % 16 AS BIGINT) AS xb,
+       |    CAST(month(o_orderdate) - 1 AS BIGINT) AS yb
+       |  FROM orders),
+       |k AS (SELECT xb, yb, $z AS zkey FROM d)
+       |SELECT zkey // 16 AS z_range, count(*) AS n_orders,
+       |  min(xb) AS min_x, max(xb) AS max_x,
+       |  min(yb) AS min_y, max(yb) AS max_y
+       |FROM k GROUP BY 1 ORDER BY z_range""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_moment_stats" -> q88 _,
     "q89_ols_regression" -> q89 _,
@@ -848,7 +898,8 @@ object Analytics {
     "q103_nullsafe_join" -> q103 _,
     "q104_hll_sketch_union" -> q104 _,
     "q105_variant_shred" -> q105 _,
-    "q106_sql_udf" -> q106 _)
+    "q106_sql_udf" -> q106 _,
+    "q108_zorder_layout" -> q108 _)
 
   val oracles: Map[String, String] = Map(
     "q88_moment_stats" -> q88Sql,
@@ -868,5 +919,6 @@ object Analytics {
     "q102_weighted_sample" -> q102Sql,
     "q103_nullsafe_join" -> q103Sql,
     "q105_variant_shred" -> q105Sql,
-    "q106_sql_udf" -> q106Sql)
+    "q106_sql_udf" -> q106Sql,
+    "q108_zorder_layout" -> q108Sql)
 }

@@ -251,7 +251,7 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(rows(lang) - d) <= math.max(2.0, 0.05 * d),
         s"$lang: estimate ${rows(lang)} vs exact $d")
     }
-    val perLang = rows.filterKeys(_ != "ALL").values
+    val perLang = rows.collect { case (k, v) if k != "ALL" => v }
     assert(rows("ALL") >= perLang.max, "union below its largest input")
     assert(rows("ALL") <= math.ceil(perLang.sum * 1.05).toLong, "union exceeds sum of inputs")
   }
@@ -290,6 +290,19 @@ class AnalyticsSpec extends AnyFunSuite {
     // the filter must not reject the bulk of the corpus
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(1)).sum / 2,
       "threshold flags most documents — not a usable filter")
+  }
+
+  test("q108 z-order ranges are 4x4 tiles (bounded spread in BOTH dimensions)") {
+    val rows = Analytics.q108(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "ranges lost orders")
+    rows.foreach { r =>
+      val (zr, sx, sy) = (r.getLong(0),
+        r.getLong(3) - r.getLong(2), r.getLong(5) - r.getLong(4))
+      assert(sx <= 3 && sy <= 3,
+        s"z-range $zr spans ${sx + 1}x${sy + 1} — not a 4x4 tile; " +
+          "a linear key would span the full y domain, which is what z-order prevents")
+    }
   }
 
   test("q99 scrub conserves tokens and removes real mass") {
