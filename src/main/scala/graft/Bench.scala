@@ -71,20 +71,21 @@ object Bench {
     // single-run, keeping total bench wall-clock bounded.
     val OutlierSec = 2.5
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // A failed query must be LOUD and must record the -1 sentinel —
+      // never its elapsed-until-crash time, which would pass as a fast
+      // "success" in the JSON and silently lower the total.
       def timed(): Double = {
         val t0 = System.nanoTime()
-        // A failed query must be LOUD: it still records -1 (so the JSON
-        // shape is stable) but never silently lowers the total.
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>
             System.err.println(s"[bench] QUERY FAILED $name: $t")
-            -1L
+            false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries may persist() intermediates (q23/q35/q37); drop them so
         // later queries aren't measured under another query's cache.
         spark.catalog.clearCache()
-        dt
+        if (ok) dt else -1.0
       }
       val first = timed()
       val dt = if (first > OutlierSec) math.min(first, timed()) else first

@@ -28,4 +28,20 @@ object HashBucket {
   /** DuckDB twin of [[rawExpr]]. */
   def rawSql(idCol: String): String =
     s"CAST(('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** Train/val/test boundaries (80/10/10) — ONE definition so the
+    * split assignment (q80) and the leakage audit over that split
+    * (q101) can never audit different splits. */
+  private val TrainBelow = 80
+  private val ValBelow = 90
+
+  /** Spark SQL text: the deterministic split label for an id. */
+  def splitExpr(idCol: String): String =
+    s"CASE WHEN ${bucketExpr(idCol, 100)} < $TrainBelow THEN 'train' " +
+      s"WHEN ${bucketExpr(idCol, 100)} < $ValBelow THEN 'val' ELSE 'test' END"
+
+  /** DuckDB twin of [[splitExpr]]. */
+  def splitSql(idCol: String): String =
+    s"CASE WHEN ${bucketSql(idCol, 100)} < $TrainBelow THEN 'train' " +
+      s"WHEN ${bucketSql(idCol, 100)} < $ValBelow THEN 'val' ELSE 'test' END"
 }

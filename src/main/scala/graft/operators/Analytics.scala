@@ -307,13 +307,18 @@ object Analytics {
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("prev", lag("event_type", 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes
-      .withColumn("valid_to", lead("ts", 1).over(w2))
+      .withColumn("valid_to", lead("ts", 1).over(w))
       .select(col("user_id"), col("event_type"),
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy("user_id", "valid_from", "event_type")
+      // valid_to completes the total order: an A,B,A flip within ONE
+      // µs-truncated timestamp yields two rows with equal (user,
+      // valid_from, event_type) — only their close times differ.
+      // NULLS LAST explicitly: Spark defaults nulls-first ASC, DuckDB
+      // nulls-last — the one place the engines' sort defaults diverge.
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+        asc_nulls_last("valid_to"))
   }
 
   val q93Sql: String =
@@ -327,7 +332,8 @@ object Analytics {
       |SELECT user_id, event_type, ts AS valid_from,
       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-      |FROM changes ORDER BY user_id, valid_from, event_type""".stripMargin
+      |FROM changes
+      |ORDER BY user_id, valid_from, event_type, valid_to NULLS LAST""".stripMargin
 
   private val WeekNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
 
@@ -531,9 +537,12 @@ object Analytics {
       .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val df_ = toks.select(col("doc_id"), col("tok")).distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = Window.orderBy(col("df").desc, col("tok"))
-    val stop = df_.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= StopTopK).select("tok")
+    // orderBy+limit plans TakeOrderedAndProject (per-partition top-k +
+    // small merge) — the q100 shape — where an unpartitioned
+    // row_number window would globally sort the vocabulary in ONE
+    // partition to keep 20 rows. (df desc, tok) is a total order, so
+    // the selected set is still engine-independent.
+    val stop = df_.orderBy(col("df").desc, col("tok")).limit(StopTopK).select("tok")
     val kept = toks.join(broadcast(stop), Seq("tok"), "left_anti")
     val total = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens_raw"))
     kept.groupBy("lang")
@@ -621,10 +630,11 @@ object Analytics {
     * shuffle. */
   def q101(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      .withColumn("bucket",
-        expr(graft.functions.HashBucket.bucketExpr("doc_id", 100)))
-      .withColumn("split",
-        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .withColumn("split", expr(graft.functions.HashBucket.splitExpr("doc_id")))
+    // Both semi-join sides consume the shingle table, and Spark does
+    // not share subplans across join inputs — without the persist the
+    // corpus-wide explode+distinct (the query's heaviest stage) runs
+    // twice (the measured q68 pattern; count() populates eagerly).
     val sh = docs
       .select(col("doc_id"), col("split"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
@@ -632,6 +642,8 @@ object Analytics {
         "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
         .as("sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val trainSh = sh.filter(col("split") === "train").select("sh").distinct()
     val leaked = sh.filter(col("split") =!= "train")
       .join(trainSh, Seq("sh"), "left_semi")
@@ -650,9 +662,7 @@ object Analytics {
   val q101Sql: String =
     s"""WITH docs AS (
       |  SELECT doc_id, text,
-      |    CASE WHEN ${graft.functions.HashBucket.bucketSql("doc_id", 100)} < 80 THEN 'train'
-      |         WHEN ${graft.functions.HashBucket.bucketSql("doc_id", 100)} < 90 THEN 'val'
-      |         ELSE 'test' END AS split
+      |    ${graft.functions.HashBucket.splitSql("doc_id")} AS split
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, split, sh FROM (
@@ -669,7 +679,7 @@ object Analytics {
       |  GROUP BY split),
       |ev AS (SELECT split, count(*) AS n_docs FROM docs WHERE split <> 'train' GROUP BY split)
       |SELECT e.split, e.n_docs, coalesce(l.n_leaked, 0) AS n_leaked,
-      |  floor(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / e.n_docs * 1000000 + 0.5) / 1000000 AS leak_ratio
+      |  ${floorRoundSql("CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / e.n_docs", 6)} AS leak_ratio
       |FROM ev e LEFT JOIN leaked l ON e.split = l.split
       |ORDER BY e.split""".stripMargin
 

@@ -485,8 +485,8 @@ object TextAnalysis {
        |  FROM toks t JOIN lm l ON t.tok = l.tok, n
        |  GROUP BY t.doc_id, t.lang)
        |SELECT lang, count(*) AS n_docs,
-       |  floor(CAST(sum(CAST(xent AS DECIMAL(28,18))) AS DOUBLE) / count(*) * 1000000 + 0.5)
-       |    / 1000000 AS mean_xent,
+       |  ${graft.functions.OracleRound.floorRoundSql(
+            "CAST(sum(CAST(xent AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)} AS mean_xent,
        |  count(CASE WHEN xent > $LmFlagNats THEN 1 END) AS n_flagged
        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -73,10 +73,7 @@ object Training {
     * rollup. */
   def q80(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("bucket",
-        expr(graft.functions.HashBucket.bucketExpr("doc_id", 100)))
-      .withColumn("split",
-        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .withColumn("split", expr(graft.functions.HashBucket.splitExpr("doc_id")))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
@@ -86,11 +83,9 @@ object Training {
   val q80Sql: String =
     s"""WITH d AS (SELECT doc_id, source,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |    ${graft.functions.HashBucket.bucketSql("doc_id", 100)} AS bucket
+      |    ${graft.functions.HashBucket.splitSql("doc_id")} AS split
       |  FROM documents)
-      |SELECT CASE WHEN bucket < 80 THEN 'train'
-      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-      |  count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+      |SELECT split, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
       |  count(DISTINCT source) AS n_sources
       |FROM d GROUP BY 1 ORDER BY split""".stripMargin
 
