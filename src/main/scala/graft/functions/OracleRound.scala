@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions.{floor, sum}
   * — worth it anywhere results feed comparisons or dedup keys.
   */
 object OracleRound {
-  private val pow10: Int => Double = Array.tabulate(13)(k => math.pow(10.0, k))
+  // Exact by construction (each product ≤ 1e12 < 2^53 is an exact
+  // double), not math.pow: libm pow is only 1-ulp-accurate by spec,
+  // and floorRoundSql prints pow10(k).toLong into the oracle text —
+  // a 1-ulp-low power would silently truncate and desynchronize the
+  // two engines' rounding constants.
+  private val pow10: Array[Double] = Array.iterate(1.0, 13)(_ * 10.0)
 
   /** floor(x·10^k + 0.5)/10^k — deterministic cross-engine rounding. */
   def floorRound(c: Column, k: Int): Column =

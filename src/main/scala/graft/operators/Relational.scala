@@ -877,28 +877,32 @@ object Relational {
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
     reapStaleBucketDirs(warehouse)
     registerBucketDirCleanup(warehouse, Seq(liT, ordT))
+    // Keep THIS session's dirs visibly fresh: the stale-dir reaper in
+    // another JVM keys on mtime, so a long-lived session touching its
+    // tables on every reuse (below, in the tableExists branch) stays
+    // safely inside the staleness window instead of relying on the
+    // write-time mtime alone.
+    def touch(table: String): Unit = {
+      val d = new java.io.File(warehouse, table)
+      if (d.exists()) { d.setLastModified(System.currentTimeMillis()); () }
+    }
     // The in-memory catalog forgets tables across sessions while the
     // warehouse directory survives — saveAsTable refuses a new
     // managed table over an orphaned location, so clear it first
     // (with session-unique names this only ever matches a dir this
     // same session wrote).
-    def dropOrphanedLocation(table: String): Unit = {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val dir = new java.io.File(wh, table)
-      if (dir.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(dir).deleteRecursively()
-      }
-    }
-    if (!spark.catalog.tableExists(liT)) {
+    def dropOrphanedLocation(table: String): Unit =
+      deleteDir(new java.io.File(warehouse, table))
+    if (spark.catalog.tableExists(liT)) touch(liT)
+    else {
       dropOrphanedLocation(liT)
       Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(liT)
     }
-    if (!spark.catalog.tableExists(ordT)) {
+    if (spark.catalog.tableExists(ordT)) touch(ordT)
+    else {
       dropOrphanedLocation(ordT)
       Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_orderpriority")

@@ -100,6 +100,13 @@ object Training {
     * comparisons; the mean view→purchase latency divides as integer
     * DIV before presentation. */
   def q81(spark: SparkSession, sfDir: String): DataFrame = {
+    // Four consumers (v, c, p, nAll) re-scan this 3-column projection
+    // rather than persist it: A/B measured at sf0.1 (0.7 s vs 0.9 s
+    // persisted) — a pruned columnar re-scan is cheaper than the
+    // materialization barrier, unlike the shuffled/deduped
+    // intermediates q27/q68 persist. The same trade holds at scale:
+    // persisting a corpus-sized projection trades cheap scan I/O for
+    // expensive cache storage.
     val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t_view"))
@@ -252,11 +259,21 @@ object Training {
     * expression on both engines, floor-rounded BEFORE the global
     * top-50 rank so ordering is engine-independent. */
   def q84(spark: SparkSession, sfDir: String): DataFrame = {
+    // Three consumers (unigrams, bigrams, bigram-count normalizer)
+    // re-scan+tokenize rather than persist: A/B measured at sf0.1
+    // (0.62 s vs 0.66 s persisted) — the scan+split is cheaper than
+    // the materialization barrier (see q81's note; contrast with the
+    // shuffled intermediates q27/q68 persist).
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val uni = toks.select(explode(col("t")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val bi = toks
+      // single-token docs MUST be excluded before the sequence:
+      // sequence(1, 0) steps DOWNWARD to [1, 0] in Spark and the
+      // lambda then evaluates element_at(t, 0), which always throws —
+      // while DuckDB's generate_series(1, 0) is simply empty.
+      .filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
         .as("b"))
@@ -357,6 +374,10 @@ object Training {
   private val PrNodes = 25
   private val PrIters = 3
 
+  /** Teleport base (1−d)/n, computed ONCE in Scala doubles and shared
+    * bit-identically with the oracle (see the use site in [[q86]]). */
+  private val PrBase: Double = (1.0 - PrDamping) / PrNodes
+
   /** q86 — weighted PageRank over the nation trade graph (customer
     * nation → supplier nation, edge weight = lineitem count), 3
     * synchronous iterations. The expensive part — deriving the edge
@@ -388,7 +409,13 @@ object Training {
     // 4-way join; lineage truncated so the loop's plan stays O(1).
     val ew = edges.join(outw, "src").coalesce(1)
       .localCheckpoint(eager = true)
-    val base = (lit(1.0) - lit(PrDamping)) / lit(PrNodes)
+    // ONE Scala-computed double is the teleport base on BOTH engines
+    // (emitted into the oracle text as its round-trip literal):
+    // leaving each engine to evaluate "(1.0 - 0.85) / 25" itself,
+    // DuckDB does the subtraction in exact DECIMAL while doubles
+    // carry 0.15000000000000002 — an ulp-level base divergence that
+    // compounds through the iterations.
+    val base = lit(PrBase)
     val nodes = Tables.nation(spark, sfDir)
       .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
       .coalesce(1).localCheckpoint(eager = true) // scanned every round otherwise
@@ -421,7 +448,9 @@ object Training {
     * (damping, nodes, iters) constants so the two can never drift. */
   val q86Sql: String = {
     val d = PrDamping
-    val baseExpr = s"(1.0 - $d) / $PrNodes"
+    // round-trip double literal, cast so DuckDB doesn't read it as
+    // exact DECIMAL — must be the same bits Spark's lit(PrBase) carries
+    val baseExpr = s"CAST($PrBase AS DOUBLE)"
     val iters = (1 to PrIters).map { i =>
       s"""r$i AS (
          |  SELECT n.node, ${floorRoundSql(

@@ -24,13 +24,22 @@ class TrainingSpec extends AnyFunSuite {
       .groupBy("source")
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(max(size(split(col("text"), " ")))).head.getInt(0)
     val bySource = packs.groupBy(_.getString(0))
     bySource.foreach { case (src, rows) =>
       assert(rows.map(_.getLong(3)).sum === truth(src),
         s"$src: packed tokens != corpus tokens")
       val ids = rows.map(_.getLong(1)).sorted
-      assert(ids.head === 0L && ids === (0L until ids.length).toArray.toSeq,
-        s"$src: pack ids not dense")
+      assert(ids.head === 0L, s"$src: packs don't start at 0")
+      assert(ids.distinct.length === ids.length, s"$src: duplicate pack ids")
+      // density is only an invariant when no single document spans a
+      // whole budget (a 5000-token doc skips pack ids by design:
+      // pack = cum_before DIV budget) — guard so a fixture refresh
+      // with long docs doesn't fail a correct operator
+      if (maxDoc <= 2048)
+        assert(ids === (0L until ids.length).toArray.toSeq,
+          s"$src: pack ids not dense")
     }
   }
 
