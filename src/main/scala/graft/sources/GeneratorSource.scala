@@ -51,11 +51,16 @@ class GeneratorSource extends TableProvider {
     GeneratorSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    // getTable receives the ORIGINAL user-typed keys (unlike
+    // inferSchema's CaseInsensitiveStringMap) — wrap, or
+    // .option("rowsperbatch", ...) silently falls back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
     new GeneratorTable(
-      properties.asScala.getOrElse("n", "10000").toLong,
-      properties.asScala.getOrElse("partitions", "4").toInt,
-      properties.asScala.getOrElse("rowsPerBatch", "1000").toLong)
+      opts.getLong("n", 10000L),
+      opts.getInt("partitions", 4),
+      opts.getLong("rowsPerBatch", 1000L))
+  }
 }
 
 object GeneratorSource {

@@ -48,6 +48,27 @@ class GeneratorSourceSpec extends AnyFunSuite {
     assert(got.toSeq === (0L until 500L))
   }
 
+  test("options are case-insensitive (DSv2 contract) — lowercase rowsperbatch is honored") {
+    // getTable receives the user's original keys; a case-sensitive
+    // lookup silently ignored lowercase spellings and fell back to
+    // the default. Batch count observably differs: 300/100 = 3
+    // micro-batches (vs 1 under the ignored-option default of 1000).
+    val q = spark.readStream.format("graft.sources.GeneratorSource")
+      .option("N", 300).option("PARTITIONS", 2).option("rowsperbatch", 100)
+      .load()
+      .writeStream.format("memory").queryName("gen_ci_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_gen_ci_ckpt").toString)
+      .start()
+    val batches = try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0)
+    } finally q.stop()
+    val got = spark.table("gen_ci_stream").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 300L))
+    assert(batches === 3, s"expected 3 micro-batches of 100, saw $batches")
+  }
+
   test("the reference's fizzbuzz workload runs on the custom source") {
     val words = gen(15, 1)
       .select(when(col("val") % 15 === 0, "fizzbuzz")

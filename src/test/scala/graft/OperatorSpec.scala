@@ -66,12 +66,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(df.map(_.getAs[Long]("keeper_id")).distinct.length === df.length)
   }
 
-  test("q22 minhash LSH candidates ⊇ high-jaccard pairs from q23") {
+  test("q22 minhash LSH candidates ⊇ high-jaccard pairs (all-shingle ground truth)") {
     val cand = SparkEntry.queries("q22_minhash_lsh")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val truth = SparkEntry.queries("q23_ngram_jaccard")(spark, sf)
-      .collect().filter(_.getAs[Double]("jaccard") >= 0.9)
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // Ground truth must be Jaccard over ALL shingles — the statistic
+    // q22's MinHash approximates. q23's output is NOT usable here: its
+    // df≤20 cutoff computes a different (filtered) Jaccard, and a pair
+    // can score ≥0.9 filtered while its true all-shingle J is far
+    // lower, where band collision is no longer near-certain.
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).split(' ')
+        r.getLong(0) -> (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val truth = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.9
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "degenerate fixture: no true near-dup pairs")
     // J≥0.9 pairs collide in ≥1 of 6 bands with prob ~1-(1-0.9^2)^6 ≈ 1
     assert(truth.subsetOf(cand),
       s"missed near-dups: ${truth -- cand}")
