@@ -889,6 +889,43 @@ object Analytics {
        |FROM k GROUP BY 1 ORDER BY z_range""".stripMargin
   }
 
+  /** q109 — event-transition matrix: P(next event type | current)
+    * per user stream — the Markov bigram statistic behind session
+    * simulation and next-event models (and the event-stream twin of
+    * q84's token bigrams). One window over the SAME (user, time)
+    * ordering q93 uses (event_id tie-break for µs collisions), then a
+    * 25-cell aggregate; the row-probability normalizer is a window
+    * over the transition MATRIX, not the event log. */
+  def q109(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_type")
+    trans
+      .withColumn("p", floorRound(col("n").cast("double") / sum("n").over(wf), 6))
+      .select("from_type", "to_type", "n", "p")
+      .orderBy("from_type", "to_type")
+  }
+
+  val q109Sql: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ns(ts), event_id) AS to_type
+       |  FROM events),
+       |trans AS (
+       |  SELECT event_type AS from_type, to_type, count(*) AS n
+       |  FROM ordered WHERE to_type IS NOT NULL
+       |  GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |  ${floorRoundSql(
+            "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)", 6)} AS p
+       |FROM trans ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_moment_stats" -> q88 _,
     "q89_ols_regression" -> q89 _,
@@ -909,7 +946,8 @@ object Analytics {
     "q104_hll_sketch_union" -> q104 _,
     "q105_variant_shred" -> q105 _,
     "q106_sql_udf" -> q106 _,
-    "q108_zorder_layout" -> q108 _)
+    "q108_zorder_layout" -> q108 _,
+    "q109_event_transitions" -> q109 _)
 
   val oracles: Map[String, String] = Map(
     "q88_moment_stats" -> q88Sql,
@@ -930,5 +968,6 @@ object Analytics {
     "q103_nullsafe_join" -> q103Sql,
     "q105_variant_shred" -> q105Sql,
     "q106_sql_udf" -> q106Sql,
-    "q108_zorder_layout" -> q108Sql)
+    "q108_zorder_layout" -> q108Sql,
+    "q109_event_transitions" -> q109Sql)
 }

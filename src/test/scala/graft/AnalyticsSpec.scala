@@ -305,6 +305,19 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q109 transition rows are stochastic and transitions conserve events") {
+    val rows = Analytics.q109(spark, sf).collect()
+    // each from_type's probabilities sum to ~1 (floor-rounding loses <1e-5)
+    rows.groupBy(_.getString(0)).foreach { case (from, cells) =>
+      val p = cells.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"$from: row sums to $p")
+    }
+    // #transitions = #events - #users (each user's last event has no successor)
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(countDistinct("user_id")).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
+
   test("q99 scrub conserves tokens and removes real mass") {
     val rows = Analytics.q99(spark, sf).collect()
     val raw = Tables.documents(spark, sf)
