@@ -926,6 +926,120 @@ object Analytics {
             "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)", 6)} AS p
        |FROM trans ORDER BY from_type, to_type""".stripMargin
 
+  /** q110 — data-contract audit: the dbt-test suite as ONE query —
+    * referential integrity (orphaned fact rows via LEFT ANTI joins
+    * that shuffle on the key, the scale-correct orphan check),
+    * key uniqueness (duplicate count via groupBy HAVING), and domain
+    * constraints (discount ∈ [0,1], positive totals) — each emitted
+    * as a (constraint, violations, checked) row. Every check is one
+    * scan or one keyed shuffle; the union is row-count-bounded by the
+    * number of CONSTRAINTS, not the data. The pipeline gate run
+    * before any downstream job trusts a day's partition. */
+  def q110(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    def row(name: String, violations: DataFrame, checked: DataFrame): DataFrame =
+      violations.crossJoin(checked).select(lit(name).as("check_name"),
+        col("violations"), col("checked"))
+    val orphanLi = row("fk_lineitem_orderkey",
+      li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations")),
+      li.agg(count(lit(1)).as("checked")))
+    val orphanOrd = row("fk_orders_custkey",
+      ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations")),
+      ord.agg(count(lit(1)).as("checked")))
+    val dupKeys = row("unique_orders_orderkey",
+      ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1)).as("violations")),
+      ord.agg(count(lit(1)).as("checked")))
+    val discRange = row("range_lineitem_discount",
+      li.filter(col("l_discount") < 0.0 || col("l_discount") > 1.0)
+        .agg(count(lit(1)).as("violations")),
+      li.agg(count(lit(1)).as("checked")))
+    val posTotal = row("positive_orders_totalprice",
+      ord.filter(col("o_totalprice") <= 0.0).agg(count(lit(1)).as("violations")),
+      ord.agg(count(lit(1)).as("checked")))
+    val nnName = row("not_null_customer_name",
+      cust.filter(col("c_name").isNull).agg(count(lit(1)).as("violations")),
+      cust.agg(count(lit(1)).as("checked")))
+    orphanLi.union(orphanOrd).union(dupKeys).union(discRange)
+      .union(posTotal).union(nnName)
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("check_name")
+  }
+
+  val q110Sql: String =
+    """SELECT t.*, violations = 0 AS passed FROM (
+      |  SELECT 'fk_lineitem_orderkey' AS check_name,
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS violations,
+      |    (SELECT count(*) FROM lineitem) AS checked
+      |  UNION ALL
+      |  SELECT 'fk_orders_custkey',
+      |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'unique_orders_orderkey',
+      |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+      |      GROUP BY o_orderkey HAVING count(*) > 1) d),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'range_lineitem_discount',
+      |    (SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0),
+      |    (SELECT count(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'positive_orders_totalprice',
+      |    (SELECT count(*) FROM orders WHERE o_totalprice <= 0.0),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'not_null_customer_name',
+      |    (SELECT count(*) FROM customer WHERE c_name IS NULL),
+      |    (SELECT count(*) FROM customer)
+      |) t ORDER BY check_name""".stripMargin
+
+  /** q111 — RFM segmentation: each user quartile-coded on Recency
+    * (last activity), Frequency (event count), and Monetary (value
+    * sum, DECIMAL) — the classic audience-segmentation cube. The
+    * event log collapses to a user-level table FIRST (one keyed
+    * aggregate); the three ntile windows then order USERS, not
+    * events — the q73 global-window regime, with (metric, user_id)
+    * tie-breaks so quartile assignment is engine-exact. Output is
+    * the segment inventory (≤64 rows). */
+  def q111(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(max("ts").as("last_ts"), count(lit(1)).as("freq"),
+        exactSum(col("value")).as("monetary"))
+    val coded = users
+      .withColumn("r", ntile(4).over(Window.orderBy(col("last_ts"), col("user_id"))))
+      .withColumn("f", ntile(4).over(Window.orderBy(col("freq"), col("user_id"))))
+      .withColumn("m", ntile(4).over(Window.orderBy(col("monetary"), col("user_id"))))
+    coded.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"),
+        floorRound(sum(col("monetary").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 4).as("avg_monetary"))
+      .orderBy("r", "f", "m")
+  }
+
+  val q111Sql: String =
+    s"""WITH users AS (
+       |  SELECT user_id, max(epoch_ns(ts)) AS last_ts, count(*) AS freq,
+       |    ${exactSumSql("value")} AS monetary
+       |  FROM events GROUP BY user_id),
+       |coded AS (
+       |  SELECT monetary,
+       |    ntile(4) OVER (ORDER BY last_ts, user_id) AS r,
+       |    ntile(4) OVER (ORDER BY freq, user_id) AS f,
+       |    ntile(4) OVER (ORDER BY monetary, user_id) AS m
+       |  FROM users)
+       |SELECT r, f, m, count(*) AS n_users,
+       |  ${floorRoundSql(
+            "CAST(sum(CAST(monetary AS DECIMAL(28,10))) AS DOUBLE) / count(*)", 4)} AS avg_monetary
+       |FROM coded GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_moment_stats" -> q88 _,
     "q89_ols_regression" -> q89 _,
@@ -947,7 +1061,9 @@ object Analytics {
     "q105_variant_shred" -> q105 _,
     "q106_sql_udf" -> q106 _,
     "q108_zorder_layout" -> q108 _,
-    "q109_event_transitions" -> q109 _)
+    "q109_event_transitions" -> q109 _,
+    "q110_constraint_audit" -> q110 _,
+    "q111_rfm_segmentation" -> q111 _)
 
   val oracles: Map[String, String] = Map(
     "q88_moment_stats" -> q88Sql,
@@ -969,5 +1085,7 @@ object Analytics {
     "q105_variant_shred" -> q105Sql,
     "q106_sql_udf" -> q106Sql,
     "q108_zorder_layout" -> q108Sql,
-    "q109_event_transitions" -> q109Sql)
+    "q109_event_transitions" -> q109Sql,
+    "q110_constraint_audit" -> q110Sql,
+    "q111_rfm_segmentation" -> q111Sql)
 }

