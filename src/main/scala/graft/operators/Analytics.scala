@@ -935,37 +935,51 @@ object Analytics {
     * scan or one keyed shuffle; the union is row-count-bounded by the
     * number of CONSTRAINTS, not the data. The pipeline gate run
     * before any downstream job trusts a day's partition. */
-  def q110(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir)
-    val cust = Tables.customer(spark, sfDir)
-    def row(name: String, violations: DataFrame, checked: DataFrame): DataFrame =
-      violations.crossJoin(checked).select(lit(name).as("check_name"),
-        col("violations"), col("checked"))
-    val orphanLi = row("fk_lineitem_orderkey",
-      li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("violations")),
-      li.agg(count(lit(1)).as("checked")))
-    val orphanOrd = row("fk_orders_custkey",
-      ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("violations")),
-      ord.agg(count(lit(1)).as("checked")))
-    val dupKeys = row("unique_orders_orderkey",
-      ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).agg(count(lit(1)).as("violations")),
-      ord.agg(count(lit(1)).as("checked")))
-    val discRange = row("range_lineitem_discount",
-      li.filter(col("l_discount") < 0.0 || col("l_discount") > 1.0)
-        .agg(count(lit(1)).as("violations")),
-      li.agg(count(lit(1)).as("checked")))
-    val posTotal = row("positive_orders_totalprice",
-      ord.filter(col("o_totalprice") <= 0.0).agg(count(lit(1)).as("violations")),
-      ord.agg(count(lit(1)).as("checked")))
-    val nnName = row("not_null_customer_name",
-      cust.filter(col("c_name").isNull).agg(count(lit(1)).as("violations")),
-      cust.agg(count(lit(1)).as("checked")))
-    orphanLi.union(orphanOrd).union(dupKeys).union(discRange)
-      .union(posTotal).union(nnName)
+  def q110(spark: SparkSession, sfDir: String): DataFrame =
+    constraintAudit(spark, Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir))
+
+  /** The audit engine behind [[q110]], parameterized over the tables
+    * so AnalyticsSpec can run the SAME code against corrupted inputs
+    * (a check suite whose detection is never exercised proves
+    * nothing). ONE pass per table: FK orphan checks fold into the
+    * same scan as the domain checks via a LEFT join + conditional
+    * counts (an anti join would be a second pass); only the
+    * uniqueness check needs its own keyed aggregate. Everything
+    * collapses to a single summary row before the driver assembles
+    * the 6-row report — O(#constraints) driver state, not data. */
+  private[graft] def constraintAudit(spark: SparkSession,
+      li: DataFrame, ord: DataFrame, cust: DataFrame): DataFrame = {
+    // build sides deduped: a LEFT join against duplicated keys would
+    // multiply probe rows and inflate every count in the same scan
+    val liStats = li
+      .join(ord.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("li_checked"),
+        count(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1)).as("li_range"),
+        count(when(col("o_orderkey").isNull, 1)).as("li_orphan"))
+    val ordStats = ord
+      .join(cust.select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("ord_checked"),
+        count(when(col("o_totalprice") <= 0.0, 1)).as("ord_pos"),
+        count(when(col("c_custkey").isNull, 1)).as("ord_orphan"))
+    val dupStats = ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .agg(count(when(col("c") > 1, 1)).as("ord_dup"))
+    val custStats = cust.agg(count(lit(1)).as("cust_checked"),
+      count(when(col("c_name").isNull, 1)).as("cust_null_name"))
+    val s = liStats.crossJoin(ordStats).crossJoin(dupStats).crossJoin(custStats).head()
+    def g(n: String): Long = s.getAs[Long](n)
+    val report = Seq(
+      ("fk_lineitem_orderkey", g("li_orphan"), g("li_checked")),
+      ("fk_orders_custkey", g("ord_orphan"), g("ord_checked")),
+      ("unique_orders_orderkey", g("ord_dup"), g("ord_checked")),
+      ("range_lineitem_discount", g("li_range"), g("li_checked")),
+      ("positive_orders_totalprice", g("ord_pos"), g("ord_checked")),
+      ("not_null_customer_name", g("cust_null_name"), g("cust_checked")))
+    val spark0 = spark
+    import spark0.implicits._
+    report.toDF("check_name", "violations", "checked")
       .withColumn("passed", col("violations") === 0L)
       .orderBy("check_name")
   }

@@ -330,18 +330,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.find(_.getString(0) == "fk_lineitem_orderkey").get.getLong(2) === li)
   }
 
-  test("q110 detects injected violations (the checks actually check)") {
-    // same checks, run against a corrupted in-memory twin: an orphan
-    // lineitem and an out-of-range discount must surface
-    val spark0 = spark
-    import spark0.implicits._
-    val li = Tables.lineitem(spark, sf).limit(5)
+  test("q110 detects injected violations through the REAL audit code") {
+    // run constraintAudit itself against corrupted twins: 5 orphaned
+    // out-of-range lineitems, a duplicated order key, an orphaned
+    // order, and a null customer name must each surface in its check
+    val base = Tables.lineitem(spark, sf).limit(20)
+    val badLi = base.limit(5)
       .withColumn("l_orderkey", lit(-999L))
       .withColumn("l_discount", lit(1.5))
-    val ord = Tables.orders(spark, sf).limit(10)
-    val orphans = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti").count()
-    val range = li.filter(col("l_discount") < 0.0 || col("l_discount") > 1.0).count()
-    assert(orphans === 5L && range === 5L)
+      .union(base)
+    val ordBase = Tables.orders(spark, sf).limit(10)
+    val badOrd = ordBase
+      .union(ordBase.limit(1)) // duplicate key
+      .union(ordBase.limit(1).withColumn("o_orderkey", lit(-7L))
+        .withColumn("o_custkey", lit(-77L))) // orphaned order
+    // full customer table so ordBase's FKs resolve — the ONLY orphan
+    // must be the injected -77 order
+    val badCust = Tables.customer(spark, sf)
+      .union(Tables.customer(spark, sf).limit(1)
+        .withColumn("c_custkey", lit(-1L))
+        .withColumn("c_name", lit(null: String)))
+    val got = graft.operators.Analytics
+      .constraintAudit(spark, badLi, badOrd, badCust)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("range_lineitem_discount") === 5L)
+    assert(got("fk_lineitem_orderkey") >= 5L, "injected orphans undetected")
+    assert(got("unique_orders_orderkey") === 1L)
+    assert(got("fk_orders_custkey") === 1L)
+    assert(got("not_null_customer_name") === 1L)
   }
 
   test("q111 RFM codes partition users into balanced quartiles") {
