@@ -56,4 +56,23 @@ object Formats {
     * partition column into directory skips before any I/O. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Training-data export: JSONL shards partitioned by a split/shard
+    * column (directory per split, `shards` files per split) plus a
+    * manifest DataFrame of per-split row counts — the final stage
+    * that hands a cleaned corpus to a training job. JSON-lines is the
+    * exchange format trainers read; partition directories let a job
+    * mount ONLY its split; `repartition(shards, ...)` bounds file
+    * count (at 100 TB the files-per-split knob is what keeps the
+    * object-store listing sane, and the hash-repartition spreads rows
+    * evenly regardless of split skew). */
+  def writeJsonlBySplit(df: DataFrame, path: String, splitCol: String,
+      shards: Int): DataFrame = {
+    df.repartition(shards, org.apache.spark.sql.functions.col(splitCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(splitCol).json(path)
+    df.groupBy(splitCol)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .orderBy(splitCol)
+  }
 }

@@ -97,4 +97,29 @@ class FormatsSpec extends AnyFunSuite {
       Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING").count())
     assert(!scan.contains("c_mktsegment=AUTOMOBILE"))
   }
+
+  test("JSONL training export: split directories, bounded shards, manifest counts, lossless read-back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/out"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("split", expr(graft.functions.HashBucket.splitExpr("doc_id")))
+      .select("doc_id", "text", "lang", "split")
+    val manifest = Formats.writeJsonlBySplit(docs, dir, "split", shards = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(manifest.keySet === Set("train", "val", "test"))
+    assert(manifest.values.sum === docs.count())
+    // directory per split; each holds ≤ `shards` JSONL part files
+    Seq("train", "val", "test").foreach { s =>
+      val d = new java.io.File(dir, s"split=$s")
+      assert(d.isDirectory, s"missing split directory $s")
+      val parts = d.listFiles().filter(_.getName.endsWith(".json"))
+      assert(parts.nonEmpty && parts.length <= 2, s"$s: ${parts.length} shards")
+    }
+    // read-back is lossless (schema given explicitly — JSONL carries no types)
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.count() === docs.count())
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.select("doc_id", "text", "lang", "split")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq, "JSONL round-trip altered rows")
+  }
 }
