@@ -1054,6 +1054,47 @@ object Analytics {
             "CAST(sum(CAST(monetary AS DECIMAL(28,10))) AS DOUBLE) / count(*)", 4)} AS avg_monetary
        |FROM coded GROUP BY r, f, m ORDER BY r, f, m""".stripMargin
 
+  /** q112 — winsorized statistics: order totals clamped to each
+    * priority's [p05, p95] before averaging — the robust-mean pattern
+    * that keeps a handful of outliers from steering a metric. The
+    * bounds are floor-rounded to cents BEFORE clamping: Spark's
+    * `percentile` and DuckDB's `quantile_cont` interpolate the same
+    * rank arithmetic but can differ in final ulps, and an unrounded
+    * bound would clamp a boundary row on one engine only. Per-group
+    * bounds are O(groups) and BROADCAST back; one fact pass each for
+    * bounds and for the clamped rollup. */
+  def q112(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val bounds = ord.groupBy("o_orderpriority")
+      .agg(floorRound(expr("percentile(o_totalprice, 0.05)"), 2).as("lo"),
+        floorRound(expr("percentile(o_totalprice, 0.95)"), 2).as("hi"))
+    ord.join(broadcast(bounds), "o_orderpriority")
+      .withColumn("w", least(greatest(col("o_totalprice"), col("lo")), col("hi")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"), 1))
+          .as("n_clamped"),
+        floorRound(exactSum(col("o_totalprice")) / count(lit(1)), 4).as("mean_raw"),
+        floorRound(exactSum(col("w")) / count(lit(1)), 4).as("mean_winsorized"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q112Sql: String =
+    s"""WITH bounds AS (
+       |  SELECT o_orderpriority,
+       |    ${floorRoundSql("quantile_cont(o_totalprice, 0.05)", 2)} AS lo,
+       |    ${floorRoundSql("quantile_cont(o_totalprice, 0.95)", 2)} AS hi
+       |  FROM orders GROUP BY o_orderpriority),
+       |w AS (
+       |  SELECT o.o_orderpriority, o.o_totalprice, b.lo, b.hi,
+       |    least(greatest(o.o_totalprice, b.lo), b.hi) AS w
+       |  FROM orders o JOIN bounds b ON o.o_orderpriority = b.o_orderpriority)
+       |SELECT o_orderpriority, count(*) AS n_orders,
+       |  count(CASE WHEN o_totalprice < lo OR o_totalprice > hi THEN 1 END) AS n_clamped,
+       |  ${floorRoundSql(exactSumSql("o_totalprice") + " / count(*)", 4)} AS mean_raw,
+       |  ${floorRoundSql(exactSumSql("w") + " / count(*)", 4)} AS mean_winsorized
+       |FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_moment_stats" -> q88 _,
     "q89_ols_regression" -> q89 _,
@@ -1077,7 +1118,8 @@ object Analytics {
     "q108_zorder_layout" -> q108 _,
     "q109_event_transitions" -> q109 _,
     "q110_constraint_audit" -> q110 _,
-    "q111_rfm_segmentation" -> q111 _)
+    "q111_rfm_segmentation" -> q111 _,
+    "q112_winsorized_stats" -> q112 _)
 
   val oracles: Map[String, String] = Map(
     "q88_moment_stats" -> q88Sql,
@@ -1101,5 +1143,6 @@ object Analytics {
     "q108_zorder_layout" -> q108Sql,
     "q109_event_transitions" -> q109Sql,
     "q110_constraint_audit" -> q110Sql,
-    "q111_rfm_segmentation" -> q111Sql)
+    "q111_rfm_segmentation" -> q111Sql,
+    "q112_winsorized_stats" -> q112Sql)
 }

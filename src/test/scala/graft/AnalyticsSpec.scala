@@ -372,6 +372,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byR.values.max - byR.values.min <= 1, s"recency quartiles unbalanced: $byR")
   }
 
+  test("q112 winsorized mean is pulled toward the center and clamps ~10% of rows") {
+    val rows = Analytics.q112(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, clamped) = (r.getLong(1), r.getLong(2))
+      // two 5% tails: ~10% of rows clamp (generous band for small groups)
+      assert(clamped.toDouble / n > 0.02 && clamped.toDouble / n < 0.25,
+        s"${r.getString(0)}: clamped $clamped of $n")
+      // clamping both tails of a right-skewed price distribution moves
+      // the mean; winsorized must differ from raw but stay in its range
+      assert(r.getDouble(4) !== r.getDouble(3))
+      assert(math.abs(r.getDouble(4) - r.getDouble(3)) < r.getDouble(3) * 0.2)
+    }
+  }
+
   test("q99 scrub conserves tokens and removes real mass") {
     val rows = Analytics.q99(spark, sf).collect()
     val raw = Tables.documents(spark, sf)
