@@ -53,6 +53,30 @@ def norm(v):
     return v
 
 
+# The driver's hash is representation-sensitive: DuckDB sum(BIGINT)
+# yields HUGEINT while Spark emits BIGINT, and Python-int comparison
+# hides the difference (that blind spot shipped 7 hash-fails in r4).
+# Normalize ordinary integer widths, then require the oracle's output
+# types to match the Spark parquet's — HUGEINT/UHUGEINT never
+# normalize, so an un-cast integer sum now fails locally.
+_INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER"}
+
+
+def norm_type(t):
+    t = str(t).upper()
+    return "BIGINT" if t in _INT_WIDTHS else t
+
+
+def type_mismatches(gcols, gtypes, gi, ecols, etypes, ei):
+    out = []
+    for i, j in zip(gi, ei):
+        gt, et = norm_type(gtypes[i]), norm_type(etypes[j])
+        if gt != et:
+            out.append(f"{ecols[j]}: spark={gtypes[i]} duck={etypes[j]}")
+    return out
+
+
 def main():
     if "--skip-verify" not in FLAGS:
         run_verify()
@@ -71,7 +95,7 @@ def main():
         if not files:
             print(f"FAIL {name}: no output parquet"); n_fail += 1; continue
         got = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
-        gcols = got.columns
+        gcols, gtypes = got.columns, got.types
         grows = got.fetchall()
         if name not in oracle:
             print(f"ROWS-ONLY {name}: {len(grows)} rows "
@@ -81,11 +105,17 @@ def main():
             exp = con.sql(oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
-        ecols, erows = exp.columns, exp.fetchall()
+        ecols, etypes = exp.columns, exp.types
+        erows = exp.fetchall()
         gi = sorted(range(len(gcols)), key=lambda i: gcols[i])
         ei = sorted(range(len(ecols)), key=lambda i: ecols[i])
         if sorted(gcols) != sorted(ecols):
             print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(ecols)}")
+            n_fail += 1; continue
+        tmis = type_mismatches(gcols, gtypes, gi, ecols, etypes, ei)
+        if tmis:
+            print(f"FAIL {name}: column type mismatch (driver hash is "
+                  f"representation-sensitive): {'; '.join(tmis)}")
             n_fail += 1; continue
         g = [tuple(norm(r[i]) for i in gi) for r in grows]
         e = [tuple(norm(r[i]) for i in ei) for r in erows]

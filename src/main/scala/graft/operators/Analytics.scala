@@ -240,7 +240,7 @@ object Analytics {
        |    CAST((CAST(c.c AS DOUBLE) / t.ntok) * ln(CAST(t.ntok AS DOUBLE) / c.c)
        |      AS DECIMAL(28,18)) AS term
        |  FROM counts c JOIN totals t ON c.source = t.source)
-       |SELECT source, max(ntok) AS n_tokens, max(nty) AS n_types,
+       |SELECT source, CAST(max(ntok) AS BIGINT) AS n_tokens, CAST(max(nty) AS BIGINT) AS n_types,
        |  ${floorRoundSql("CAST(sum(term) AS DOUBLE)", 6)} AS entropy,
        |  ${floorRoundSql("CAST(max(nty) AS DOUBLE) / max(ntok)", 6)} AS type_token_ratio
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
@@ -518,7 +518,7 @@ object Analytics {
        |  SELECT doc_id, tok, count(*) AS c FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
        |  GROUP BY doc_id, tok)
-       |SELECT tok, count(*) AS n_docs, sum(c) AS n_occurrences
+       |SELECT tok, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_occurrences
        |FROM tf WHERE c >= $MapMinTf
        |GROUP BY tok ORDER BY n_docs DESC, tok""".stripMargin
 
@@ -806,7 +806,7 @@ object Analytics {
       |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q106 — SQL-defined scalar functions (CREATE FUNCTION ... RETURN,

@@ -57,8 +57,8 @@ object Training {
        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM d)
-       |SELECT source, cum_before // $PackBudget AS pack_id,
-       |  count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+       |SELECT source, CAST(cum_before // $PackBudget AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
        |  ${floorRoundSql(s"CAST(sum(n_tokens) AS DOUBLE) / $PackBudget", 6)} AS fill_ratio
        |FROM c GROUP BY source, cum_before // $PackBudget
        |ORDER BY source, pack_id""".stripMargin
@@ -85,7 +85,7 @@ object Training {
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |    ${graft.functions.HashBucket.splitSql("doc_id")} AS split
       |  FROM documents)
-      |SELECT split, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+      |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |  count(DISTINCT source) AS n_sources
       |FROM d GROUP BY 1 ORDER BY split""".stripMargin
 
@@ -144,7 +144,7 @@ object Training {
        |  (SELECT count(*) FROM p) AS n_purchased,
        |  ${floorRoundSql("CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM v)", 6)} AS view_to_click,
        |  ${floorRoundSql("CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM c)", 6)} AS click_to_buy,
-       |  (SELECT sum(t_purchase - t_view) // count(*) FROM p) AS mean_lag_ns""".stripMargin
+       |  CAST((SELECT sum(t_purchase - t_view) // count(*) FROM p) AS BIGINT) AS mean_lag_ns""".stripMargin
 
   /** q82 — unpivot / melt (the inverse of q43's pivot): a wide
     * per-returnflag measures table melts into tidy
@@ -513,7 +513,7 @@ object Training {
        |rk AS (SELECT term, doc_id, tf,
        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
        |  FROM tf)
-       |SELECT term, count(*) AS df, sum(tf) AS cf,
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
        |  string_agg(CASE WHEN rk <= 3 THEN CAST(doc_id AS VARCHAR) END, ','
        |    ORDER BY rk) AS postings_head
        |FROM rk GROUP BY term ORDER BY df DESC, term LIMIT $IndexTopTerms""".stripMargin
