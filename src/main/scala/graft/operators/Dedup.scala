@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -71,10 +71,14 @@ object Dedup {
     * here so the Scala `split(' ')` ↔ DuckDB `string_split` pairing
     * stays single-sourced. */
   private[operators] def shinglesWithSource(spark: SparkSession,
-      sfDir: String): DataFrame = {
+      sfDir: String, rowFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
+    // Filter BEFORE the shingle flatMap so it reaches the parquet
+    // scan as a pushed predicate — a caller that wants one source
+    // subset never pays to tokenize the rest of the corpus.
+    rowFilter.fold(docs)(docs.filter)
       .as[(Long, String, String)]
       .flatMap { case (id, src, text) =>
         val t = text.split(' ')

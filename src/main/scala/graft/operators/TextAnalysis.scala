@@ -331,15 +331,21 @@ object TextAnalysis {
   def q68(spark: SparkSession, sfDir: String): DataFrame = {
     // Shared shingle helper (Dedup.shinglesWithSource) keeps the
     // Scala-split vs DuckDB-string_split tokenization decision
-    // single-sourced. Persisted eagerly: three consumers (bench set,
-    // sizes, hit counts) would otherwise each re-run the corpus scan
-    // + distinct shuffle — the same measured pattern as q23/q27.
-    val sh = Dedup.shinglesWithSource(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
-    val bench = sh.filter(col("source") === "src0").select("sh").distinct()
+    // single-sourced. The source filters sit BELOW the shingle
+    // flatMap, so each side's parquet scan prunes to its own rows
+    // (predicate pushdown on `source`) and only shingles its subset —
+    // the corpus is tokenized exactly once across the two branches.
+    // No cache: r4 persisted the full corpus shingle table eagerly
+    // (persist + count), which added a whole extra distinct pass and
+    // competed for executor memory with the rest of the suite — the
+    // measured 2.6x q68 regression. Filtered-scan branches beat a
+    // shared cache here because the branches are disjoint.
+    val bench = Dedup.shinglesWithSource(spark, sfDir,
+        Some(col("source") === "src0"))
+      .select("sh").distinct()
       .withColumn("hit", lit(1))
-    val train = sh.filter(col("source") =!= "src0")
+    val train = Dedup.shinglesWithSource(spark, sfDir,
+        Some(col("source") =!= "src0"))
     // ONE aggregation computes both the per-doc shingle count and the
     // contaminated count: broadcast LEFT join marks each training
     // shingle (bench is distinct on sh, so row counts are preserved)
