@@ -44,3 +44,46 @@ object TopKByPrice {
   def apply(k: Int): TopKByPrice = new TopKByPrice(k)
   implicit val keyedPriceEncoder: Encoder[KeyedPrice] = Encoders.product[KeyedPrice]
 }
+
+/** One (term-frequency, document) candidate for a posting-list head. */
+case class Posting(tf: Long, doc_id: Long)
+
+/** Bounded posting-list head: keeps the k (tf DESC, doc_id ASC)
+  * largest postings per term and finishes to the comma-joined doc_id
+  * string q87's index report emits.
+  *
+  * Why this replaces q87's per-term rank window: hot stop-terms
+  * ("the") put a whole corpus's posting list in ONE window partition,
+  * which the window must fully sort to keep 3 rows — the classic skew
+  * cliff at 100x. This Aggregator is mergeable, so Spark aggregates
+  * partially map-side and the shuffle carries at most k rows per term
+  * per map task regardless of term frequency; the hot term costs the
+  * same as any other. Registered with `functions.udaf`, it
+  * participates in the same hash aggregate as plain count/sum columns.
+  */
+class TopKPostings(k: Int) extends Aggregator[Posting, Seq[Posting], String]
+    with Serializable {
+
+  private def ord: Ordering[Posting] =
+    Ordering.by((p: Posting) => (-p.tf, p.doc_id))
+
+  override def zero: Seq[Posting] = Nil
+
+  override def reduce(b: Seq[Posting], x: Posting): Seq[Posting] =
+    ((b :+ x).sorted(ord)).take(k)
+
+  override def merge(a: Seq[Posting], b: Seq[Posting]): Seq[Posting] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(b: Seq[Posting]): String =
+    b.map(_.doc_id).mkString(",")
+
+  override def bufferEncoder: Encoder[Seq[Posting]] = ExpressionEncoder()
+
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+}
+
+object TopKPostings {
+  def apply(k: Int): TopKPostings = new TopKPostings(k)
+  implicit val postingEncoder: Encoder[Posting] = Encoders.product[Posting]
+}

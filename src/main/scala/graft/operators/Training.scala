@@ -486,21 +486,27 @@ object Training {
     * collection frequency, and the head of its posting list (top-3
     * documents by term frequency). The posting-list build is one
     * (doc, term) aggregate — map-side combined, the same shape as
-    * q71's tf — followed by a per-term window capped at 3 rows; the
-    * report keeps the 100 highest-df terms. At index scale the
-    * posting lists would sink partitioned by term instead of
-    * string-joining — the aggregation shape is identical. */
+    * q71's tf — followed by ONE more per-term aggregate; the report
+    * keeps the 100 highest-df terms. At index scale the posting
+    * lists would sink partitioned by term instead of string-joining —
+    * the aggregation shape is identical.
+    *
+    * The posting-list head is a bounded mergeable Aggregator
+    * ([[graft.functions.TopKPostings]]), NOT a per-term rank window:
+    * a window partitions by term and fully sorts each term's posting
+    * list to keep 3 rows, so a hot stop-term ("the" = the whole
+    * corpus in one partition) is a skew cliff at 100x. The Aggregator
+    * keeps k rows in its buffer, aggregates partially map-side, and
+    * ships at most k rows per term per map task — the hot term costs
+    * the same as any other. */
   def q87(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
-    tf.withColumn("rk", row_number().over(w))
-      .groupBy("term")
+    val postingsHead = udaf(graft.functions.TopKPostings(3))
+    tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
-        array_join(transform(array_sort(collect_list(
-            when(col("rk") <= 3, struct(col("rk"), col("doc_id"))))),
-          s => s.getField("doc_id").cast("string")), ",").as("postings_head"))
+        postingsHead(col("tf"), col("doc_id")).as("postings_head"))
       .orderBy(col("df").desc, col("term"))
       .limit(IndexTopTerms)
   }

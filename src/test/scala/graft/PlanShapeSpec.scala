@@ -142,4 +142,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Subquery") || p.contains("subquery"),
       s"bloom filter not delivered via scalar subquery:\n$p")
   }
+
+  test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
+    // A Window.partitionBy(term) fully sorts each term's posting list
+    // — a skew cliff on hot stop-terms at scale. The bounded
+    // TopKPostings Aggregator must aggregate partially before the
+    // term shuffle so a hot term ships at most k rows per map task.
+    val p = plan("q87_inverted_index")
+    assert(!p.contains("Window"), s"per-term window is back:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed top-k aggregator missing from the plan:\n$p")
+    assert(p.contains("partial_topkpostings") || p.contains("partial_TopKPostings"),
+      s"posting-list top-k is not map-side partial:\n$p")
+  }
 }
