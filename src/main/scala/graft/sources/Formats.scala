@@ -62,13 +62,18 @@ object Formats {
     * manifest DataFrame of per-split row counts — the final stage
     * that hands a cleaned corpus to a training job. JSON-lines is the
     * exchange format trainers read; partition directories let a job
-    * mount ONLY its split; `repartition(shards, ...)` bounds file
-    * count (at 100 TB the files-per-split knob is what keeps the
-    * object-store listing sane, and the hash-repartition spreads rows
-    * evenly regardless of split skew). */
+    * mount ONLY its split; `repartition(shards)` bounds file count
+    * (at 100 TB the files-per-split knob is what keeps the
+    * object-store listing sane). The repartition is round-robin over
+    * ALL columns deliberately: hashing on the split column alone
+    * would funnel each split — including the ~whole-corpus train
+    * split — through a single writer task. Round-robin gives every
+    * task rows of every split, so the partitionBy writer emits up to
+    * `shards` evenly-sized files per split regardless of split
+    * skew. */
   def writeJsonlBySplit(df: DataFrame, path: String, splitCol: String,
       shards: Int): DataFrame = {
-    df.repartition(shards, org.apache.spark.sql.functions.col(splitCol))
+    df.repartition(shards)
       .write.mode(SaveMode.Overwrite).partitionBy(splitCol).json(path)
     df.groupBy(splitCol)
       .agg(org.apache.spark.sql.functions.count(

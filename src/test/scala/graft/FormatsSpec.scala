@@ -107,12 +107,18 @@ class FormatsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(manifest.keySet === Set("train", "val", "test"))
     assert(manifest.values.sum === docs.count())
-    // directory per split; each holds ≤ `shards` JSONL part files
+    // Directory per split, and — the scale property — every split is
+    // written by MULTIPLE tasks: the round-robin repartition must fan
+    // each split (especially the ~80% train split) across all
+    // `shards` writers. A single part file per split means the export
+    // funneled that split through one task; that exact bug passed the
+    // old `parts.length <= shards` assertion trivially.
     Seq("train", "val", "test").foreach { s =>
       val d = new java.io.File(dir, s"split=$s")
       assert(d.isDirectory, s"missing split directory $s")
       val parts = d.listFiles().filter(_.getName.endsWith(".json"))
-      assert(parts.nonEmpty && parts.length <= 2, s"$s: ${parts.length} shards")
+      assert(parts.length == 2,
+        s"$s: ${parts.length} shard files, expected exactly 2 (one per writer task)")
     }
     // read-back is lossless (schema given explicitly — JSONL carries no types)
     val back = spark.read.schema(docs.schema).json(dir)
