@@ -1103,6 +1103,95 @@ object Analytics {
        |  ${floorRoundSql(exactSumSql("w") + " / count(*)", 4)} AS mean_winsorized
        |FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Add-one-smoothed unigram probability, shared-string discipline.
+    * Columns: c = token count in the source (0 if absent), ntok =
+    * source token total, v = global vocabulary size. Integer leaves
+    * are CAST to DOUBLE explicitly: a bare `c + 1.0` is DECIMAL
+    * arithmetic in Spark SQL (decimal literals), and decimal
+    * division scale rules differ between engines — observed as a
+    * BigDecimal `p` and a wrong KL before the casts. */
+  private val klProbFormula =
+    "(CAST(c AS DOUBLE) + 1.0) / (CAST(ntok AS DOUBLE) + CAST(v AS DOUBLE))"
+
+  /** Per-token KL contribution over the two sides' smoothed
+    * probabilities. `ln` is NOT correctly-rounded-identical across
+    * engines (DuckDB libm vs JVM Math.log differ by 1 ulp on some
+    * inputs — observed live on this corpus: 22/380 pairs off in the
+    * 18th decimal), so each term is floorRound-ed to 12 decimals —
+    * far above the 1-ulp skew (~1e-17 for these magnitudes), far
+    * below the 1e-6 output quantum (worst-case accumulated rounding
+    * |vocab|·5e-13 per pair) — before the order-independent DECIMAL
+    * sum. */
+  private val klTermFormula =
+    s"CAST(${floorRoundSql("p_a * ln(p_a / p_b)", 12)} AS DECIMAL(28,12))"
+
+  /** q114 — pairwise KL divergence between the sources' unigram
+    * distributions: the corpus-curation diagnostic for "which domains
+    * are distributionally close" that drives mixture design and
+    * duplicate-domain pruning. Smoothing is add-one over the GLOBAL
+    * vocabulary, so every (source, token) cell — including zero
+    * counts — has mass and the divergence is finite.
+    *
+    * Scale shape: the corpus collapses to per-(source, token) counts
+    * first (one map-side-combined aggregate — the only corpus-sized
+    * stage), and everything after operates on the vocabulary-sized
+    * grid: sources × vocab densified with a left join, then a
+    * self-join on token that yields |sources|² rows per token. At a
+    * 10M-token vocabulary and 20 sources that is 200M grid rows and
+    * 4B join rows of three narrow columns — shuffle-friendly and
+    * embarrassingly parallel. (If vocab × sources² ever outgrows
+    * that, the zero-zero cells factor out in closed form — both
+    * sides' smoothed p are constants for tokens absent from both —
+    * so the grid can stay sparse; at this vocabulary the dense grid
+    * is simpler and exact.) The DECIMAL sum keeps the per-pair
+    * reduction order-independent. */
+  def q114(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val vocab = counts.select("tok").distinct()
+    val vstat = vocab.agg(count(lit(1)).as("v"))
+    val totals = counts.groupBy("source").agg(sum("c").as("ntok"))
+    val grid = counts.select("source").distinct()
+      .crossJoin(vocab)
+      .join(counts, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(vstat))
+      .withColumn("p", expr(klProbFormula))
+    val a = grid.select(col("source").as("src_a"), col("tok"), col("p").as("p_a"))
+    val b = grid.select(col("source").as("src_b"), col("tok"), col("p").as("p_b"))
+    a.join(b, "tok")
+      .filter(col("src_a") =!= col("src_b"))
+      .withColumn("term", expr(klTermFormula))
+      .groupBy("src_a", "src_b")
+      .agg(floorRound(sum(col("term")).cast("double"), 6).as("kl_divergence"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q114Sql: String =
+    s"""WITH counts AS (
+       |  SELECT source, tok, count(*) AS c FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY source, tok),
+       |vocab AS (SELECT DISTINCT tok FROM counts),
+       |vstat AS (SELECT count(*) AS v FROM vocab),
+       |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS ntok
+       |           FROM counts GROUP BY source),
+       |grid0 AS (
+       |  SELECT s.source, vb.tok, coalesce(cc.c, 0) AS c, t.ntok, vs.v
+       |  FROM (SELECT DISTINCT source FROM counts) s
+       |  CROSS JOIN vocab vb CROSS JOIN vstat vs
+       |  LEFT JOIN counts cc ON cc.source = s.source AND cc.tok = vb.tok
+       |  JOIN totals t ON t.source = s.source),
+       |grid AS (SELECT source, tok, $klProbFormula AS p FROM grid0),
+       |ga AS (SELECT source AS src_a, tok, p AS p_a FROM grid),
+       |gb AS (SELECT source AS src_b, tok, p AS p_b FROM grid)
+       |SELECT ga.src_a, gb.src_b,
+       |  ${floorRoundSql(s"CAST(sum($klTermFormula) AS DOUBLE)", 6)} AS kl_divergence
+       |FROM ga JOIN gb ON ga.tok = gb.tok AND ga.src_a <> gb.src_b
+       |GROUP BY ga.src_a, gb.src_b ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_moment_stats" -> q88 _,
     "q89_ols_regression" -> q89 _,
@@ -1127,7 +1216,8 @@ object Analytics {
     "q109_event_transitions" -> q109 _,
     "q110_constraint_audit" -> q110 _,
     "q111_rfm_segmentation" -> q111 _,
-    "q112_winsorized_stats" -> q112 _)
+    "q112_winsorized_stats" -> q112 _,
+    "q114_source_kl" -> q114 _)
 
   val oracles: Map[String, String] = Map(
     "q88_moment_stats" -> q88Sql,
@@ -1152,5 +1242,6 @@ object Analytics {
     "q109_event_transitions" -> q109Sql,
     "q110_constraint_audit" -> q110Sql,
     "q111_rfm_segmentation" -> q111Sql,
-    "q112_winsorized_stats" -> q112Sql)
+    "q112_winsorized_stats" -> q112Sql,
+    "q114_source_kl" -> q114Sql)
 }

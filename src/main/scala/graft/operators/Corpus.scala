@@ -248,18 +248,106 @@ object Corpus {
        | CAST(len(regexp_replace(text, '\\b(the|a|of|and|to|in)\\b', '$ScrubToken', 'g')) AS BIGINT) AS scrub_len
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BM25 parameters (Robertson/Spärck Jones defaults) and the fixed
+    * query — retrieval is parameterized by a query-term set; the
+    * registered query uses one so the oracle is closed-form. */
+  private val Bm25K1 = "1.2"
+  private val Bm25B = "0.75"
+  private val Bm25Terms = Seq("hash", "join", "scan")
+  private val Bm25TopK = 15
+
+  /** The per-(doc, term) BM25 contribution, written ONCE and
+    * evaluated by BOTH engines (Spark `expr` and DuckDB SQL text) so
+    * the operation order — and therefore every IEEE intermediate —
+    * is identical. Columns: c = term frequency, dl = document token
+    * length, df = term document frequency, n = corpus size, avgdl. */
+  private val bm25TermRaw: String =
+    s"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+      s"((CAST(c AS DOUBLE) * ($Bm25K1 + 1.0)) / " +
+      s"(CAST(c AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) / avgdl)))"
+
+  /** `ln` is not bit-identical across engines (1-ulp libm vs JVM
+    * Math.log skew, observed on q114) — floorRound each term to 12
+    * decimals (>> the ulp skew, << the 1e-6 output quantum; <=3
+    * terms/doc so accumulation is negligible) before the
+    * order-independent DECIMAL sum. */
+  private val bm25TermFormula: String =
+    s"CAST(${floorRoundSql(bm25TermRaw, 12)} AS DECIMAL(28,12))"
+
+  /** Corpus-size stats, same single-string discipline: exact integer
+    * sum, ONE division — never avg(), whose internal accumulation
+    * order differs between engines. */
+  private val bm25AvgdlFormula = "CAST(sum(dl) AS DOUBLE) / count(*)"
+
+  /** q113 — BM25 ranked retrieval: top-k documents for a query-term
+    * set, the lexical-retrieval baseline every RAG/eval pipeline
+    * runs. Shape, bottom-up: document length (dl) rides along the
+    * token explode as a narrow derived column, so term frequencies
+    * and dl come out of ONE corpus pass with NO doc-level join; the
+    * query-term filter sits under the aggregate, so the tf shuffle
+    * carries only matching tokens (at 100 TB: |docs containing a
+    * query term|, not |corpus tokens|). Everything else is O(terms)
+    * or O(1) and broadcasts: df is a groupBy over the already-tiny tf
+    * table, corpus stats are a one-row aggregate cross-joined in.
+    * Scoring is the shared-formula + DECIMAL-sum + floorRound
+    * discipline (see OracleRound), top-k is a TakeOrdered, never a
+    * global sort. */
+  def q113(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      expr(bm25AvgdlFormula).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"), max("dl").as("dl"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", expr(bm25TermFormula))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        floorRound(sum(col("term_score")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val q113Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |docs AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+       |stats AS (SELECT count(*) AS n, $bm25AvgdlFormula AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS c, max(dl) AS dl FROM (
+       |    SELECT doc_id, dl, unnest(t) AS tok FROM docs) u
+       |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    $bm25TermFormula AS term_score
+       |  FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN stats)
+       |SELECT doc_id, count(*) AS n_terms,
+       |  ${floorRoundSql("CAST(sum(term_score) AS DOUBLE)", 6)} AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_doc_chunking" -> q69 _,
     "q70_repetition_score" -> q70 _,
     "q71_tfidf_topterms" -> q71 _,
     "q72_domain_mixture" -> q72 _,
     "q76_bloom_decontam" -> q76 _,
-    "q78_regex_scrub" -> q78 _)
+    "q78_regex_scrub" -> q78 _,
+    "q113_bm25_retrieval" -> q113 _)
 
   val oracles: Map[String, String] = Map(
     "q69_doc_chunking" -> q69Sql,
     "q70_repetition_score" -> q70Sql,
     "q71_tfidf_topterms" -> q71Sql,
     "q72_domain_mixture" -> q72Sql,
-    "q78_regex_scrub" -> q78Sql)
+    "q78_regex_scrub" -> q78Sql,
+    "q113_bm25_retrieval" -> q113Sql)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Analytics
+import graft.operators.{Analytics, Corpus}
 import graft.sources.Tables
 
 /** Semantic invariants for the statistics/analytics wave (q88-q99) on
@@ -397,6 +397,56 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(2) < r.getLong(1), "stop list removed nothing")
       val mass = r.getDouble(4)
       assert(mass > 0.0 && mass < 1.0)
+    }
+  }
+
+  test("q114 KL divergences match a local reference and satisfy Gibbs' inequality") {
+    val rows = Analytics.q114(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // Local reference: smoothed unigram KL from raw token counts.
+    val counts = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sources = counts.keys.map(_._1).toSeq.distinct.sorted
+    val vocab = counts.keys.map(_._2).toSeq.distinct
+    val v = vocab.size
+    val ntok = sources.map(s => s -> vocab.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
+    def p(s: String, t: String): Double =
+      (counts.getOrElse((s, t), 0L) + 1.0) / (ntok(s) + v)
+    assert(rows.size === sources.size * (sources.size - 1), "one row per ordered pair")
+    rows.foreach { case ((a, b), kl) =>
+      assert(a !== b)
+      assert(kl >= 0.0, s"Gibbs violated for ($a,$b): $kl")
+      val ref = vocab.map(t => p(a, t) * math.log(p(a, t) / p(b, t))).sum
+      assert(math.abs(kl - ref) < 1e-5, s"($a,$b): engine $kl vs reference $ref")
+    }
+  }
+
+  test("q113 BM25 top-k matches a local reference ranking") {
+    val got = Corpus.queries("q113_bm25_retrieval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val terms = Set("hash", "join", "scan")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' '))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = terms.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val (k1, b) = (1.2, 0.75)
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val ts = terms.toSeq.filter(toks.contains).map { t =>
+        val c = toks.count(_ == t).toDouble
+        math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (c * (k1 + 1.0)) / (c + k1 * (1.0 - b + b * dl / avgdl))
+      }
+      (id, ts.size.toLong, ts.sum)
+    }.filter(_._2 > 0)
+      .sortBy { case (id, _, s) => (-s, id) }.take(got.length)
+    got.zip(scored).foreach { case ((gid, gn, gs), (rid, rn, rs)) =>
+      assert(gid === rid, s"rank order diverged: engine doc $gid vs reference $rid")
+      assert(gn === rn)
+      assert(math.abs(gs - rs) < 1e-5, s"doc $gid: engine $gs vs reference $rs")
     }
   }
 }
