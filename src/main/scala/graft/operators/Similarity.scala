@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.OracleRound.floorRoundSql
 import graft.sources.Tables
 
 /** Similarity search over `embeddings` (SURVEY.md §7.1 B4):
@@ -505,6 +506,77 @@ object Similarity {
        |FROM fin GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  /** Per-dimension population statistics from exact DECIMAL power
+    * sums, then standardized squared deviation — the same
+    * shared-string + CAST-every-integer-leaf discipline as the
+    * moment queries (see OracleRound and the q114 decimal-literal
+    * lesson). Columns: n, s1d, s2d at stats level; x, mean, std at
+    * scoring level. */
+  private val dimMeanFormula = "CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE)"
+  private val dimStdFormula =
+    "sqrt((CAST(s2d AS DOUBLE) - CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+  private val zSqFormula =
+    "CAST(((x - mean) / std) * ((x - mean) / std) AS DECIMAL(28,12))"
+
+  /** How many outlier vectors q115 reports. */
+  private val OutlierTopK = 20
+
+  /** q115 — embedding-space outlier detection by diagonal Mahalanobis
+    * distance: standardize every dimension against the corpus
+    * (per-dim mean/std), score each vector by Σ z² over its
+    * dimensions, report the top-k — the vector-quality screen run
+    * before ANN indexing or clustering, where a handful of corrupt /
+    * out-of-distribution embeddings poison centroids and recall.
+    *
+    * Scale shape: the per-dimension moment table is O(dim) rows built
+    * from one map-side-combined aggregate over the exploded corpus
+    * (mergeable DECIMAL power sums — bit-identical across any
+    * partition tree), and BROADCASTS back onto a second narrow pass;
+    * per-vector scoring is a doc-local DECIMAL sum; the report is a
+    * TakeOrdered. Nothing shuffles but the two aggregates. Constant
+    * dimensions (std = 0) are excluded on both engines rather than
+    * dividing by zero. */
+  def q115(spark: SparkSession, sfDir: String): DataFrame = {
+    def exploded = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"), col("x"))
+    val stats = exploded.groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).as("s1d"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).as("s2d"))
+      .select(col("pos"), expr(dimMeanFormula).as("mean"),
+        expr(dimStdFormula).as("std"))
+      .filter(col("std") > 0.0)
+    exploded.join(broadcast(stats), "pos")
+      .withColumn("zz", expr(zSqFormula))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        graft.functions.OracleRound.floorRound(
+          sum(col("zz")).cast("double"), 6).as("md2"))
+      .orderBy(col("md2").desc, col("vec_id"))
+      .limit(OutlierTopK)
+  }
+
+  val q115Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) p),
+       |stats0 AS (
+       |  SELECT pos, count(*) AS n,
+       |    sum(CAST(x AS DECIMAL(28,12))) AS s1d,
+       |    sum(CAST(x * x AS DECIMAL(28,12))) AS s2d
+       |  FROM e GROUP BY pos),
+       |stats AS (
+       |  SELECT pos, $dimMeanFormula AS mean, $dimStdFormula AS std
+       |  FROM stats0),
+       |z AS (
+       |  SELECT e.vec_id, $zSqFormula AS zz
+       |  FROM e JOIN stats s ON e.pos = s.pos WHERE s.std > 0.0)
+       |SELECT vec_id, count(*) AS n_dims,
+       |  ${floorRoundSql("CAST(sum(zz) AS DOUBLE)", 6)} AS md2
+       |FROM z GROUP BY vec_id ORDER BY md2 DESC, vec_id LIMIT $OutlierTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans_train" -> q77 _,
     "q58_knn_l2" -> q58 _,
@@ -513,7 +585,8 @@ object Similarity {
     "q29_knn_brute" -> q29 _,
     "q30_ann_ivf" -> q30 _,
     "q36_embed_neardup" -> q36 _,
-    "q37_srp_lsh_neardup" -> q37 _)
+    "q37_srp_lsh_neardup" -> q37 _,
+    "q115_embed_outliers" -> q115 _)
 
   val oracles: Map[String, String] = Map(
     "q77_kmeans_train" -> q77Sql,
@@ -523,5 +596,6 @@ object Similarity {
     "q29_knn_brute" -> q29Sql,
     "q30_ann_ivf" -> q30Sql,
     "q36_embed_neardup" -> q36Sql,
-    "q37_srp_lsh_neardup" -> q37Sql)
+    "q37_srp_lsh_neardup" -> q37Sql,
+    "q115_embed_outliers" -> q115Sql)
 }

@@ -344,4 +344,30 @@ class OperatorSpec extends AnyFunSuite {
         (r.getAs[Long]("n_bytes"), r.getAs[Long]("width"), r.getAs[Long]("height")))).toMap
     assert(sqlSide === typedSide)
   }
+
+  test("q115 Mahalanobis outliers match a local reference scoring") {
+    val got = SparkEntry.queries("q115_embed_outliers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val dim = vecs.head._2.length
+    val n = vecs.length.toDouble
+    val mean = Array.tabulate(dim)(d => vecs.map(_._2(d)).sum / n)
+    val std = Array.tabulate(dim) { d =>
+      val s2 = vecs.map(v => v._2(d) * v._2(d)).sum
+      math.sqrt((s2 - n * mean(d) * mean(d)) / n)
+    }
+    val ref = vecs.map { case (id, v) =>
+      val md2 = (0 until dim).filter(std(_) > 0.0).map { d =>
+        val z = (v(d) - mean(d)) / std(d); z * z
+      }.sum
+      (id, md2)
+    }.sortBy { case (id, s) => (-s, id) }.take(got.length)
+    got.zip(ref).foreach { case ((gid, gn, gs), (rid, rs)) =>
+      assert(gid === rid, s"outlier order diverged: engine $gid vs reference $rid")
+      assert(gn === dim.toLong)
+      assert(math.abs(gs - rs) < 1e-4, s"vec $gid: engine $gs vs reference $rs")
+    }
+  }
 }
