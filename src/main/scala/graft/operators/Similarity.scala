@@ -577,6 +577,86 @@ object Similarity {
        |  ${floorRoundSql("CAST(sum(zz) AS DOUBLE)", 6)} AS md2
        |FROM z GROUP BY vec_id ORDER BY md2 DESC, vec_id LIMIT $OutlierTopK""".stripMargin
 
+  /** q116 probe-set size (leave-one-out k-NN is evaluated on a fixed
+    * probe subset — the probe side always broadcasts). */
+  private val KnnEvalProbes = 100
+  private val KnnEvalK = 5
+
+  /** q116 — k-NN label-accuracy evaluation (leave-one-out): for each
+    * probe vector, the majority label of its 5 nearest neighbors
+    * (cosine, probe excluded) is compared against its own label, and
+    * accuracy reports per label — the standard embedding-quality
+    * probe run after (re)training an encoder: collapsing accuracy
+    * means the space no longer separates the classes.
+    *
+    * Scale shape: identical to q29 — the probe set broadcasts, the
+    * corpus streams through ONE scan with the native `cosine_sim`
+    * codegen loop, the per-probe top-k window holds O(probes × k)
+    * rows, and everything after (vote, accuracy) is O(probes). Ties
+    * are double-deterministic: neighbor rank ties break on vec_id,
+    * vote ties on (count DESC, label ASC). */
+  def q116(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+    val probes = n.filter(col("vec_id") < KnnEvalProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("true_label"))
+    val wNbr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val nbrs = n.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(wNbr))
+      .filter(col("rk") <= KnnEvalK)
+      .select(col("q_id"), col("true_label"), col("label"))
+    val wVote = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("label"))
+    val voted = nbrs.groupBy("q_id", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(wVote))
+      .filter(col("vrk") === 1)
+    voted.groupBy("true_label")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("true_label").as("label"), col("n_probes"),
+        col("n_correct").cast("long").as("n_correct"),
+        floorRoundCol6(col("n_correct").cast("double") / col("n_probes")).as("accuracy"))
+      .orderBy("label")
+  }
+
+  private def floorRoundCol6(c: org.apache.spark.sql.Column) =
+    graft.functions.OracleRound.floorRound(c, 6)
+
+  val q116Sql: String =
+    s"""WITH $normedSql,
+       |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |    CAST(label AS BIGINT) AS true_label
+       |  FROM (SELECT e.vec_id, n.v, n.nrm, e.label
+       |        FROM embeddings e JOIN n ON e.vec_id = n.vec_id) t
+       |  WHERE q_id < $KnnEvalProbes),
+       |nbrs AS (
+       |  SELECT q_id, true_label, label FROM (
+       |    SELECT p.q_id, p.true_label, CAST(e.label AS BIGINT) AS label,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY list_inner_product(p.qv, n.v) / (p.qn * n.nrm) DESC,
+       |                 n.vec_id) AS rk
+       |    FROM probes p, n JOIN embeddings e ON n.vec_id = e.vec_id
+       |    WHERE n.vec_id <> p.q_id) t
+       |  WHERE rk <= $KnnEvalK),
+       |voted AS (
+       |  SELECT q_id, true_label, label FROM (
+       |    SELECT q_id, true_label, label,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY count(*) DESC, label) AS vrk
+       |    FROM nbrs GROUP BY q_id, true_label, label) t
+       |  WHERE vrk = 1)
+       |SELECT true_label AS label, count(*) AS n_probes,
+       |  CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  ${floorRoundSql(
+          "CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)}
+       |    AS accuracy
+       |FROM voted GROUP BY true_label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans_train" -> q77 _,
     "q58_knn_l2" -> q58 _,
@@ -586,7 +666,8 @@ object Similarity {
     "q30_ann_ivf" -> q30 _,
     "q36_embed_neardup" -> q36 _,
     "q37_srp_lsh_neardup" -> q37 _,
-    "q115_embed_outliers" -> q115 _)
+    "q115_embed_outliers" -> q115 _,
+    "q116_knn_label_eval" -> q116 _)
 
   val oracles: Map[String, String] = Map(
     "q77_kmeans_train" -> q77Sql,
@@ -597,5 +678,6 @@ object Similarity {
     "q30_ann_ivf" -> q30Sql,
     "q36_embed_neardup" -> q36Sql,
     "q37_srp_lsh_neardup" -> q37Sql,
-    "q115_embed_outliers" -> q115Sql)
+    "q115_embed_outliers" -> q115Sql,
+    "q116_knn_label_eval" -> q116Sql)
 }

@@ -143,6 +143,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom filter not delivered via scalar subquery:\n$p")
   }
 
+  test("q113: BM25 prunes to query terms before any shuffle and takes top-k without a global sort") {
+    val p = plan("q113_bm25_retrieval")
+    // The term filter must sit under the tf aggregate (the shuffle
+    // carries only matching tokens), df/stats join in as broadcasts,
+    // and the ranked head is per-partition top-k + merge.
+    assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/corpus stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared:\n$p")
+  }
+
+  test("q115: per-dim moment table broadcasts; outlier head is TakeOrdered") {
+    val p = plan("q115_embed_outliers")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"O(dim) stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared:\n$p")
+  }
+
+  test("q116: probe set broadcasts; corpus is never shuffle-joined") {
+    val p = plan("q116_knn_label_eval")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared:\n$p")
+  }
+
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
     // A Window.partitionBy(term) fully sorts each term's posting list
     // — a skew cliff on hot stop-terms at scale. The bounded
