@@ -334,6 +334,63 @@ object Corpus {
        |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  /** q117 chunk width; stride == width so units are disjoint (dedup
+    * wants paragraphs, not overlapping windows). */
+  private val DedupChunkW = 40
+
+  /** q117 — chunk-level (sub-document) deduplication: split every
+    * document into disjoint 40-token chunks, keep only the FIRST
+    * occurrence of each distinct chunk corpus-wide (first = lowest
+    * (doc_id, chunk_id)), and report per-document retention — the
+    * FineWeb/RefinedWeb-style stage that removes boilerplate
+    * paragraphs repeated across pages without dropping whole
+    * documents.
+    *
+    * Skew discipline: first-occurrence selection is NOT a window
+    * (`row_number over (partition by sig)` puts every copy of a hot
+    * boilerplate chunk in one partition — the q87 lesson); it is
+    * `min(struct(doc_id, chunk_id))` — a mergeable aggregate that
+    * partially reduces map-side, so a chunk repeated a billion times
+    * costs one row per map task. The join back is on the 32-byte md5
+    * sig (never chunk text), and the per-doc rollup shuffles doc_id
+    * only. */
+  def q117(spark: SparkSession, sfDir: String): DataFrame = {
+    val ch = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(1), size(col("t")), lit(DedupChunkW)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        md5(array_join(slice(col("t"), col("start"), lit(DedupChunkW)), " ")).as("sig"))
+    val firsts = ch.groupBy("sig")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keeper"))
+    ch.join(firsts, "sig")
+      .withColumn("kept",
+        (struct(col("doc_id"), col("chunk_id")) === col("keeper")).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        floorRound(col("n_kept").cast("double") / col("n_chunks"), 6).as("kept_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q117Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |s AS (SELECT doc_id, t,
+       |        unnest(generate_series(1, len(t), $DedupChunkW)) AS start
+       |      FROM d),
+       |c AS (SELECT doc_id, CAST((start - 1) // $DedupChunkW AS BIGINT) AS chunk_id,
+       |        md5(array_to_string(list_slice(t, start, start + ${DedupChunkW - 1}), ' ')) AS sig
+       |      FROM s),
+       |k AS (SELECT doc_id, chunk_id,
+       |        row_number() OVER (PARTITION BY sig ORDER BY doc_id, chunk_id) AS rk
+       |      FROM c)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${floorRoundSql(
+            "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS kept_ratio
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_doc_chunking" -> q69 _,
     "q70_repetition_score" -> q70 _,
@@ -341,7 +398,8 @@ object Corpus {
     "q72_domain_mixture" -> q72 _,
     "q76_bloom_decontam" -> q76 _,
     "q78_regex_scrub" -> q78 _,
-    "q113_bm25_retrieval" -> q113 _)
+    "q113_bm25_retrieval" -> q113 _,
+    "q117_chunk_dedup" -> q117 _)
 
   val oracles: Map[String, String] = Map(
     "q69_doc_chunking" -> q69Sql,
@@ -349,5 +407,6 @@ object Corpus {
     "q71_tfidf_topterms" -> q71Sql,
     "q72_domain_mixture" -> q72Sql,
     "q78_regex_scrub" -> q78Sql,
-    "q113_bm25_retrieval" -> q113Sql)
+    "q113_bm25_retrieval" -> q113Sql,
+    "q117_chunk_dedup" -> q117Sql)
 }

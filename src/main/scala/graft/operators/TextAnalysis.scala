@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.OracleRound.{floorRound, floorRoundSql}
 import graft.sources.Tables
 
 /** Text-analysis operators over `documents` (SURVEY.md §7.1 B4):
@@ -496,7 +497,94 @@ object TextAnalysis {
        |  count(CASE WHEN xent > $LmFlagNats THEN 1 END) AS n_flagged
        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q118 cascade thresholds (Gopher-rule shapes, tuned to be
+    * non-degenerate on the synthetic corpus: each rule drops a
+    * measurable slice at sf0.01). */
+  private val CascMinTok = 20
+  private val CascMaxTok = 90
+  private val CascMinStopRatio = 0.02
+  private val CascMinTtr = 0.35
+  private val CascMaxTokRatio = 0.12
+
+  /** q118 — quality-filter cascade attrition report: the per-rule
+    * drop table every corpus team publishes with a dataset release
+    * (how many documents each filter removed, evaluated
+    * SEQUENTIALLY — each rule only sees survivors of the previous
+    * one, so the numbers sum to total attrition). Rules are the
+    * Gopher-style length band, stopword-mass floor (salad/keyword
+    * spam has no function words), type-token-ratio floor (low
+    * diversity = boilerplate), and max-single-token frequency cap
+    * (one token dominating = lists/logs).
+    *
+    * Scale shape: all four signals are doc-local array expressions
+    * computed in ONE projection over ONE scan (no shuffle, fully
+    * codegen'd), and the cascade is ONE global aggregate of
+    * conditional counts unpivoted to a 4-row report — the whole
+    * audit costs a single corpus pass regardless of rule count. */
+  def q118(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n"),
+        expr(s"size(filter(t, x -> x IN ($stopList)))").cast("long").as("nstop"),
+        size(array_distinct(col("t"))).cast("long").as("nty"),
+        expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+          .cast("long").as("maxtok"))
+      .select(col("doc_id"), col("n"),
+        (col("n") >= CascMinTok && col("n") <= CascMaxTok).as("p1"),
+        (col("nstop").cast("double") / col("n") >= CascMinStopRatio).as("p2"),
+        (col("nty").cast("double") / col("n") >= CascMinTtr).as("p3"),
+        (col("maxtok").cast("double") / col("n") <= CascMaxTokRatio).as("p4"))
+    val agg = sigs.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(!col("p1"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("p1") && !col("p2"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("p1") && col("p2") && !col("p3"), 1L).otherwise(0L)).as("d3"),
+      sum(when(col("p1") && col("p2") && col("p3") && !col("p4"), 1L).otherwise(0L)).as("d4"))
+    agg.selectExpr(
+      """stack(4,
+        |  'r1_length', n_total, d1,
+        |  'r2_stopwords', n_total - d1, d2,
+        |  'r3_diversity', n_total - d1 - d2, d3,
+        |  'r4_max_token', n_total - d1 - d2 - d3, d4)
+        |AS (rule, n_evaluated, n_dropped)""".stripMargin)
+      .select(col("rule"), col("n_evaluated").cast("long").as("n_evaluated"),
+        col("n_dropped").cast("long").as("n_dropped"),
+        floorRound(col("n_dropped").cast("double") / col("n_evaluated"), 6)
+          .as("drop_ratio"))
+      .orderBy("rule")
+  }
+
+  val q118Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sig AS (
+       |  SELECT doc_id, len(t) AS n,
+       |    len(t) BETWEEN $CascMinTok AND $CascMaxTok AS p1,
+       |    CAST(len(list_filter(t, x -> x IN ($stopList))) AS DOUBLE) / len(t)
+       |      >= $CascMinStopRatio AS p2,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= $CascMinTtr AS p3,
+       |    CAST((SELECT max(cnt) FROM (
+       |        SELECT count(*) AS cnt FROM unnest(t) AS u(x) GROUP BY x))
+       |      AS DOUBLE) / len(t) <= $CascMaxTokRatio AS p4
+       |  FROM d),
+       |agg AS (
+       |  SELECT count(*) AS n_total,
+       |    sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS d1,
+       |    sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS d2,
+       |    sum(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END) AS d3,
+       |    sum(CASE WHEN p1 AND p2 AND p3 AND NOT p4 THEN 1 ELSE 0 END) AS d4
+       |  FROM sig),
+       |rows_ AS (
+       |  SELECT 'r1_length' AS rule, n_total AS n_evaluated, d1 AS n_dropped FROM agg
+       |  UNION ALL SELECT 'r2_stopwords', n_total - d1, d2 FROM agg
+       |  UNION ALL SELECT 'r3_diversity', n_total - d1 - d2, d3 FROM agg
+       |  UNION ALL SELECT 'r4_max_token', n_total - d1 - d2 - d3, d4 FROM agg)
+       |SELECT rule, CAST(n_evaluated AS BIGINT) AS n_evaluated,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  ${floorRoundSql("CAST(n_dropped AS DOUBLE) / n_evaluated", 6)} AS drop_ratio
+       |FROM rows_ ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_filter_cascade" -> q118 _,
     "q107_lm_xent_score" -> q107 _,
     "q53_llm_pipeline" -> q53 _,
     "q50_hash_sample" -> q50 _,
@@ -510,6 +598,7 @@ object TextAnalysis {
     "q34_regex_tokens" -> q34 _)
 
   val oracles: Map[String, String] = Map(
+    "q118_filter_cascade" -> q118Sql,
     "q107_lm_xent_score" -> q107Sql,
     "q53_llm_pipeline" -> q53Sql,
     "q50_hash_sample" -> q50Sql,

@@ -345,6 +345,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(sqlSide === typedSide)
   }
 
+  test("q117 chunk dedup: every distinct chunk is kept exactly once, corpus-wide") {
+    val rows = SparkEntry.queries("q117_chunk_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Recompute the chunk table independently (same tokenization).
+    val ref = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ").as("t"))
+      .selectExpr("doc_id",
+        "transform(sequence(1, size(t), 40), s -> array_join(slice(t, s, 40), ' ')) AS cs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val totalChunks = ref.map(_._2.size).sum
+    val distinctChunks = ref.flatMap(_._2).distinct.size
+    assert(rows.map(_._2).sum === totalChunks.toLong, "chunk totals drifted")
+    assert(rows.map(_._3).sum === distinctChunks.toLong,
+      "kept-chunk total must equal the number of distinct chunks")
+    rows.foreach { case (id, n, k, ratio) =>
+      assert(k >= 1 && k <= n, s"doc $id kept $k of $n")
+      assert(math.abs(ratio - math.floor(k.toDouble / n * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+  }
+
+  test("q118 cascade attrition matches a local reference and telescopes") {
+    val rows = SparkEntry.queries("q118_filter_cascade")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0).split(' '))
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    def p1(t: Array[String]) = t.length >= 20 && t.length <= 90
+    def p2(t: Array[String]) = t.count(stop) .toDouble / t.length >= 0.02
+    def p3(t: Array[String]) = t.distinct.length.toDouble / t.length >= 0.35
+    def p4(t: Array[String]) =
+      t.groupBy(identity).values.map(_.length).max.toDouble / t.length <= 0.12
+    val n = docs.length.toLong
+    val d1 = docs.count(t => !p1(t)).toLong
+    val d2 = docs.count(t => p1(t) && !p2(t)).toLong
+    val d3 = docs.count(t => p1(t) && p2(t) && !p3(t)).toLong
+    val d4 = docs.count(t => p1(t) && p2(t) && p3(t) && !p4(t)).toLong
+    assert(rows("r1_length") === ((n, d1)))
+    assert(rows("r2_stopwords") === ((n - d1, d2)))
+    assert(rows("r3_diversity") === ((n - d1 - d2, d3)))
+    assert(rows("r4_max_token") === ((n - d1 - d2 - d3, d4)))
+    // telescoping: each rule's evaluated set is the previous survivors
+    assert(rows.values.map(_._2).sum + (n - d1 - d2 - d3 - d4) === n)
+  }
+
   test("q115 Mahalanobis outliers match a local reference scoring") {
     val got = SparkEntry.queries("q115_embed_outliers")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
