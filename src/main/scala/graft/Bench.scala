@@ -45,6 +45,14 @@ object Bench {
     // the driver leaves it unset and benches the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    // A typo'd name must fail loudly, not silently bench nothing.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     picked.foreach { case (name, fn) =>

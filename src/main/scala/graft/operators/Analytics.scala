@@ -1146,9 +1146,21 @@ object Analytics {
     * is simpler and exact.) The DECIMAL sum keeps the per-pair
     * reduction order-independent. */
   def q114(spark: SparkSession, sfDir: String): DataFrame = {
+    // `counts` is the query's ONLY corpus-sized stage, and five
+    // differently-pruned subtrees consume it (source list, vocab,
+    // vstat, totals, the grid left-join side — and grid itself sits
+    // on both sides of the a/b self-join); column pruning makes each
+    // exchange canonically different, so ReuseExchange cannot dedupe
+    // and without a persist the corpus explode+aggregate would run
+    // ~5x. The RESULT is vocabulary x sources rows — tiny — so this
+    // is the cheap-cache case (the opposite of q68/q101, whose
+    // branches were disjoint row subsets of a corpus-sized table);
+    // eager count() materializes before the consumers race it.
     val counts = Tables.documents(spark, sfDir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
     val vocab = counts.select("tok").distinct()
     val vstat = vocab.agg(count(lit(1)).as("v"))
     val totals = counts.groupBy("source").agg(sum("c").as("ntok"))

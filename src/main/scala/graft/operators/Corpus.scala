@@ -283,12 +283,17 @@ object Corpus {
     * set, the lexical-retrieval baseline every RAG/eval pipeline
     * runs. Shape, bottom-up: document length (dl) rides along the
     * token explode as a narrow derived column, so term frequencies
-    * and dl come out of ONE corpus pass with NO doc-level join; the
+    * and dl come out of one corpus pass with NO doc-level join; the
     * query-term filter sits under the aggregate, so the tf shuffle
     * carries only matching tokens (at 100 TB: |docs containing a
-    * query term|, not |corpus tokens|). Everything else is O(terms)
-    * or O(1) and broadcasts: df is a groupBy over the already-tiny tf
-    * table, corpus stats are a one-row aggregate cross-joined in.
+    * query term|, not |corpus tokens|). Corpus stats (n, avgdl) are
+    * a one-row aggregate over a SECOND scan — deliberately separate:
+    * they need every document (including ones with no query term),
+    * the scan is column-pruned to size(split(text)) with no explode,
+    * and caching the tokenized corpus to save it would cost more
+    * than the scan (the q68 lesson). Everything else is O(terms) or
+    * O(1) and broadcasts: df is a groupBy over the already-tiny tf
+    * table, stats cross-join in as a broadcast.
     * Scoring is the shared-formula + DECIMAL-sum + floorRound
     * discipline (see OracleRound), top-k is a TakeOrdered, never a
     * global sort. */
@@ -355,6 +360,14 @@ object Corpus {
     * sig (never chunk text), and the per-doc rollup shuffles doc_id
     * only. */
   def q117(spark: SparkSession, sfDir: String): DataFrame = {
+    // Both the firsts aggregate and the join-back consume the SAME
+    // full chunk row set (not disjoint subsets as in q68/q101), and
+    // their exchanges differ canonically (partial-agg vs plain sig
+    // shuffle) so exchange reuse cannot apply — without the persist
+    // the tokenize+md5 pass over the corpus runs twice. The chunk
+    // table is 1/ChunkW-th of the token count with a 32-byte sig, so
+    // the cache is small; eager count() materializes it before the
+    // two consumers race.
     val ch = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"),
@@ -362,6 +375,8 @@ object Corpus {
           .as(Seq("chunk_id", "start")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         md5(array_join(slice(col("t"), col("start"), lit(DedupChunkW)), " ")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ch.count()
     val firsts = ch.groupBy("sig")
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keeper"))
     ch.join(firsts, "sig")

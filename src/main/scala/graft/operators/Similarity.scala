@@ -513,8 +513,13 @@ object Similarity {
     * lesson). Columns: n, s1d, s2d at stats level; x, mean, std at
     * scoring level. */
   private val dimMeanFormula = "CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE)"
+  // The variance is clamped at 0 before sqrt: for a (near-)constant
+  // dimension the double expression can round a hair below zero, and
+  // DuckDB hard-errors on sqrt(negative) (killing the whole oracle
+  // query) while Spark would NaN and silently pass the std>0 filter —
+  // greatest(0.0, ...) keeps the two engines on the same legal path.
   private val dimStdFormula =
-    "sqrt((CAST(s2d AS DOUBLE) - CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+    "sqrt(greatest(0.0, (CAST(s2d AS DOUBLE) - CAST(s1d AS DOUBLE) * CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))"
   private val zSqFormula =
     "CAST(((x - mean) / std) * ((x - mean) / std) AS DECIMAL(28,12))"
 

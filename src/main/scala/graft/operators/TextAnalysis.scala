@@ -522,13 +522,22 @@ object TextAnalysis {
     * conditional counts unpivoted to a 4-row report — the whole
     * audit costs a single corpus pass regardless of rule count. */
   def q118(spark: SparkSession, sfDir: String): DataFrame = {
+    // The max-token-frequency signal is O(n_distinct x n) per doc —
+    // fine under the length cap, quadratic on the pathological
+    // million-token doc this cascade exists to catch. It is therefore
+    // guarded behind the length rule (CASE WHEN p1): failing docs get
+    // NULL maxtok, and NULL p4 never reaches the d4 conditional
+    // (p1 AND ... short-circuits to false on both engines), so the
+    // guard changes cost, not semantics — the cascade is sequential
+    // by definition.
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n"),
         expr(s"size(filter(t, x -> x IN ($stopList)))").cast("long").as("nstop"),
         size(array_distinct(col("t"))).cast("long").as("nty"),
-        expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
-          .cast("long").as("maxtok"))
+        expr(s"""CASE WHEN size(t) BETWEEN $CascMinTok AND $CascMaxTok
+          THEN array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))
+          END""").cast("long").as("maxtok"))
       .select(col("doc_id"), col("n"),
         (col("n") >= CascMinTok && col("n") <= CascMaxTok).as("p1"),
         (col("nstop").cast("double") / col("n") >= CascMinStopRatio).as("p2"),
@@ -562,9 +571,10 @@ object TextAnalysis {
        |    CAST(len(list_filter(t, x -> x IN ($stopList))) AS DOUBLE) / len(t)
        |      >= $CascMinStopRatio AS p2,
        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= $CascMinTtr AS p3,
-       |    CAST((SELECT max(cnt) FROM (
+       |    CAST(CASE WHEN len(t) BETWEEN $CascMinTok AND $CascMaxTok
+       |      THEN (SELECT max(cnt) FROM (
        |        SELECT count(*) AS cnt FROM unnest(t) AS u(x) GROUP BY x))
-       |      AS DOUBLE) / len(t) <= $CascMaxTokRatio AS p4
+       |      END AS DOUBLE) / len(t) <= $CascMaxTokRatio AS p4
        |  FROM d),
        |agg AS (
        |  SELECT count(*) AS n_total,

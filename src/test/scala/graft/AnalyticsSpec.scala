@@ -440,7 +440,11 @@ class AnalyticsSpec extends AnyFunSuite {
         math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
           (c * (k1 + 1.0)) / (c + k1 * (1.0 - b + b * dl / avgdl))
       }
-      (id, ts.size.toLong, ts.sum)
+      // Round to the engine's 6-decimal output contract BEFORE
+      // sorting: the engine orders by the ROUNDED score (doc_id ties),
+      // so a reference sorted on raw doubles could legally disagree
+      // on near-tie neighbors.
+      (id, ts.size.toLong, math.floor(ts.sum * 1e6 + 0.5) / 1e6)
     }.filter(_._2 > 0)
       .sortBy { case (id, _, s) => (-s, id) }.take(got.length)
     got.zip(scored).foreach { case ((gid, gn, gs), (rid, rn, rs)) =>
