@@ -222,7 +222,149 @@ object Events {
        |FROM sess GROUP BY user_id, session_id
        |ORDER BY user_id, start_ns""".stripMargin
 
+  /** q119 EWMA lookback (rows, not hours: the operational bounded
+    * definition below). */
+  private val EwmaLookback = 16
+
+  /** q119 — EWMA smoothing of hourly telemetry (α = 0.5): each
+    * (event_type, hour)'s total is smoothed against its trailing
+    * observations with halving weights — the standard dashboard
+    * smoother / burst detector baseline. Operational definition:
+    * bounded to the last 16 observations and renormalized,
+    * ewma_t = Σ_{k=1..m} 2^-k · x_{t-k+1} / Σ_{k=1..m} 2^-k —
+    * exactly computable (no infinite tail), identical at any
+    * parallelism.
+    *
+    * Cross-engine determinism: α = 0.5 is chosen so every weight
+    * 2^-k is an EXACT double (no libm hazard — contrast the ln
+    * lesson on q114); products of bit-identical inputs are correctly
+    * rounded IEEE, and both numerator and denominator sum in DECIMAL
+    * (order-independent) before one division. The hourly rollup is
+    * the only corpus-sized stage (persisted: the trailing join
+    * consumes it twice and it is O(types × hours) — tiny); the
+    * trailing window is a bounded self-join on (type, rn distance ≤
+    * 16), a ≤16× expansion of the compact rollup, never of raw
+    * events. */
+  def q119(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .withColumn("hour_bucket", expr(s"ts DIV $HourNs"))
+      .groupBy("event_type", "hour_bucket")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("x"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("hour_bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hourly.count()
+    val cur = hourly.select(col("event_type"), col("hour_bucket"),
+      col("x"), col("rn"))
+    val past = hourly.select(col("event_type").as("p_type"),
+      col("x").as("px"), col("rn").as("prn"))
+    cur.join(past, col("p_type") === col("event_type") &&
+        col("prn") >= col("rn") - (EwmaLookback - 1) && col("prn") <= col("rn"))
+      .withColumn("w", expr("pow(2.0, -(rn - prn + 1))"))
+      .withColumn("term", (col("px") * col("w")).cast("decimal(28,14)"))
+      .withColumn("wd", col("w").cast("decimal(28,14)"))
+      .groupBy("event_type", "hour_bucket")
+      .agg(max("x").as("xm"),
+        (sum("term").cast("double") / sum("wd").cast("double")).as("ewma_raw"))
+      .select(col("event_type"), col("hour_bucket"),
+        graft.functions.OracleRound.floorRound(col("xm"), 2).as("x"),
+        graft.functions.OracleRound.floorRound(col("ewma_raw"), 4).as("ewma"))
+      .orderBy("event_type", "hour_bucket")
+  }
+
+  val q119Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_ns(ts) // $HourNs AS hour_bucket,
+       |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, hour_bucket, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY hour_bucket) AS rn
+       |  FROM hourly),
+       |j AS (
+       |  SELECT c.event_type, c.hour_bucket, c.x,
+       |    CAST(p.x * pow(2.0, -(c.rn - p.rn + 1)) AS DECIMAL(28,14)) AS term,
+       |    CAST(pow(2.0, -(c.rn - p.rn + 1)) AS DECIMAL(28,14)) AS wd
+       |  FROM r c JOIN r p ON p.event_type = c.event_type
+       |    AND p.rn BETWEEN c.rn - ${EwmaLookback - 1} AND c.rn)
+       |SELECT event_type, hour_bucket,
+       |  ${graft.functions.OracleRound.floorRoundSql("max(x)", 2)} AS x,
+       |  ${graft.functions.OracleRound.floorRoundSql(
+           "CAST(sum(term) AS DOUBLE) / CAST(sum(wd) AS DOUBLE)", 4)} AS ewma
+       |FROM j GROUP BY event_type, hour_bucket
+       |ORDER BY event_type, hour_bucket""".stripMargin
+
+  /** q120 attribution lookback. */
+  private val AttribWindowNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+
+  /** q120 — first-touch attribution: every purchase is credited to
+    * the user's EARLIEST view/click in the 7 days before it (the
+    * classic marketing-attribution report), with unmatched purchases
+    * reported under 'none'. First-touch selection is two MERGEABLE
+    * aggregates — min(ts), then min(event_id) among that ts's touches
+    * — never a per-purchase window sort, so a bot user with millions
+    * of touches costs partial-aggregate rows, not one sorted
+    * partition (the q87/q117 skew rule). The candidate join is
+    * user_id + time-range — per-user bounded — and revenue sums in
+    * DECIMAL. */
+  def q120(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"), col("value").as("revenue"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"))
+    val cand = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") <= col("pts") && col("tts") > col("pts") - AttribWindowNs)
+      .select("purchase_id", "tts", "touch_id", "touch_type")
+    val firstTs = cand.groupBy("purchase_id").agg(min("tts").as("fts"))
+    val firstId = cand.join(firstTs, "purchase_id")
+      .filter(col("tts") === col("fts"))
+      .groupBy("purchase_id").agg(min("touch_id").as("fid"))
+    val firstTouch = cand.join(firstId, "purchase_id")
+      .filter(col("touch_id") === col("fid"))
+      .select(col("purchase_id"), col("touch_type"))
+    purchases.join(firstTouch, Seq("purchase_id"), "left")
+      .withColumn("touch", coalesce(col("touch_type"), lit("none")))
+      .groupBy("touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.functions.OracleRound.floorRound(
+          graft.functions.OracleRound.exactSum(col("revenue")), 2).as("revenue"))
+      .orderBy("touch")
+  }
+
+  val q120Sql: String =
+    s"""WITH p AS (
+       |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS pts,
+       |    value AS revenue
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT user_id, epoch_ns(ts) AS tts, event_id AS touch_id,
+       |    event_type AS touch_type
+       |  FROM events WHERE event_type IN ('view', 'click')),
+       |cand AS (
+       |  SELECT p.purchase_id, t.tts, t.touch_id, t.touch_type
+       |  FROM p JOIN t ON p.user_id = t.user_id
+       |  WHERE t.tts <= p.pts AND t.tts > p.pts - $AttribWindowNs),
+       |fts AS (SELECT purchase_id, min(tts) AS fts FROM cand GROUP BY 1),
+       |fid AS (
+       |  SELECT c.purchase_id, min(c.touch_id) AS fid
+       |  FROM cand c JOIN fts f ON c.purchase_id = f.purchase_id
+       |  WHERE c.tts = f.fts GROUP BY 1),
+       |ft AS (
+       |  SELECT c.purchase_id, c.touch_type
+       |  FROM cand c JOIN fid i ON c.purchase_id = i.purchase_id
+       |    AND c.touch_id = i.fid)
+       |SELECT coalesce(ft.touch_type, 'none') AS touch,
+       |  count(*) AS n_purchases,
+       |  ${graft.functions.OracleRound.floorRoundSql(
+           graft.functions.OracleRound.exactSumSql("p.revenue"), 2)} AS revenue
+       |FROM p LEFT JOIN ft ON p.purchase_id = ft.purchase_id
+       |GROUP BY 1 ORDER BY touch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_ewma_telemetry" -> q119 _,
+    "q120_attribution" -> q120 _,
     "q55_range_join" -> q55 _,
     "q17_hourly_windows" -> q17 _,
     "q18_sessionization" -> q18 _,
@@ -231,6 +373,8 @@ object Events {
     "q60_session_window" -> q60 _)
 
   val oracles: Map[String, String] = Map(
+    "q119_ewma_telemetry" -> q119Sql,
+    "q120_attribution" -> q120Sql,
     "q55_range_join" -> q55Sql,
     "q17_hourly_windows" -> q17Sql,
     "q18_sessionization" -> q18Sql,

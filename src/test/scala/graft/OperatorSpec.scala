@@ -345,6 +345,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(sqlSide === typedSide)
   }
 
+  test("q119 EWMA matches a local recursive reference and lies within its window's range") {
+    val rows = SparkEntry.queries("q119_ewma_telemetry")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // Local reference: the same bounded-renormalized definition,
+    // computed sequentially per type from the hourly series.
+    rows.groupBy(_._1).foreach { case (_, hs) =>
+      val series = hs.sortBy(_._2)
+      val xs = series.map(_._3)
+      series.zipWithIndex.foreach { case ((_, _, _, ewma), i) =>
+        val window = xs.slice(math.max(0, i - 15), i + 1).reverse
+        val ws = window.indices.map(k => math.pow(2.0, -(k + 1)))
+        val ref = window.zip(ws).map { case (x, w) => x * w }.sum / ws.sum
+        assert(math.abs(ewma - ref) < 1e-2, s"ewma $ewma vs reference $ref")
+        assert(ewma >= window.min - 1e-2 && ewma <= window.max + 1e-2,
+          "ewma escaped its window's range")
+      }
+    }
+  }
+
+  test("q120 attribution partitions the purchase set and respects the lookback") {
+    val rows = SparkEntry.queries("q120_attribution")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(rows.values.map(_._1).sum === purchases.length.toLong,
+      "attribution buckets must partition the purchases")
+    // Replay first-touch locally.
+    val week = 7L * 24 * 3600 * 1000 * 1000 * 1000
+    val byUser = ev.filter(e => e._4 == "view" || e._4 == "click").groupBy(_._2)
+    val ref = purchases.map { p =>
+      val cand = byUser.getOrElse(p._2, Array.empty)
+        .filter(t => t._3 <= p._3 && t._3 > p._3 - week)
+      if (cand.isEmpty) "none"
+      else cand.minBy(t => (t._3, t._1))._4
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { case (touch, (n, _)) =>
+      assert(ref.getOrElse(touch, 0L) === n, s"touch $touch count")
+    }
+  }
+
   test("q117 chunk dedup: every distinct chunk is kept exactly once, corpus-wide") {
     val rows = SparkEntry.queries("q117_chunk_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
