@@ -54,9 +54,18 @@ object EventStreams {
         col("sum_value"))
 
   /** Read a directory of JSON event files as an unbounded stream —
-    * the file-source analog of blow's Generator feeding a channel. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).json(dir)
+    * the file-source analog of blow's Generator feeding a channel.
+    * `maxFilesPerTrigger` > 0 throttles ingestion to that many files
+    * per micro-batch — the lever tests use to force MULTIPLE
+    * micro-batches over finite input, so cross-batch state-merge
+    * paths actually execute instead of collapsing into one batch. */
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(eventSchema)
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
+    r2.json(dir)
+  }
 
   /** Streaming dedup on a key with BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps each key's state only

@@ -204,4 +204,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("custom bounded top-k aggregator accumulates across micro-batches to the batch answer") {
+    // The claim: TopKPostings (the q87 skew-safe posting-list head) is
+    // not just map-side mergeable — its merge() is correct across
+    // MICRO-BATCH boundaries, i.e. the same aggregator drives an
+    // incremental streaming index head. Input is split into 4 files
+    // read one per trigger, so state merges 4 times; complete mode
+    // emits the final buffer.
+    val multiDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .repartition(4)
+        .write.mode("overwrite").json(dir + "/in")
+      dir + "/in"
+    }
+    val topk = udaf(graft.functions.TopKPostings(3))
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(topk(col("k"), col("event_id")).as("top_events"))
+    val q = EventStreams.runToMemory(
+      aggOf(EventStreams.readEventStream(spark, multiDir, maxFilesPerTrigger = 1)),
+      "topk_stream", outputMode = "complete")
+    try {
+      assert(q.recentProgress.length >= 4,
+        s"expected >=4 micro-batches, got ${q.recentProgress.length} — merge path not exercised")
+      val got = spark.table("topk_stream").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val want = aggOf(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === want, "streaming top-k state diverged from the batch aggregate")
+    } finally q.stop()
+  }
 }
