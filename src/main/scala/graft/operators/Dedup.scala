@@ -516,7 +516,16 @@ object Dedup {
     * oracle computes the same components via a recursive
     * transitive-closure CTE — feasible for DuckDB at verification
     * scale, not a plan you'd run at 100 TB. */
-  def q62(spark: SparkSession, sfDir: String): DataFrame = {
+  def q62(spark: SparkSession, sfDir: String): DataFrame =
+    ccLabels(spark, sfDir)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
+      .orderBy("cluster_id")
+
+  /** Connected-component labels (id, label = component minimum) over
+    * the LSH candidate graph — the shared engine behind q62's cluster
+    * report and q121's canonicalization decisions. */
+  private[graft] def ccLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashCandidates(spark, sfDir)
     // Hash-partitioned on src BEFORE the persist: every loop round
     // joins edges on src, and a cached HashPartitioning(src) layout
@@ -541,11 +550,26 @@ object Dedup {
     val labels =
       if (edgeCount <= CcSingleTaskMaxEdges) ccSingleTask(spark, edges)
       else ccLoop(spark, edges)
-    val out = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
-      .orderBy("cluster_id")
     edges.unpersist()
-    out
+    labels
+  }
+
+  /** q121 — near-dup cluster canonicalization: turn q62's connected
+    * components into the enforcement decision every dedup pipeline
+    * actually ships — per clustered document, WHICH copy survives.
+    * Canonical = the component's minimum doc_id (which IS the CC
+    * label, so no extra ranking pass exists at all); everything else
+    * in the cluster is a drop. Singleton documents never enter the
+    * candidate graph and are implicitly kept — the decision list is
+    * O(clustered docs), not O(corpus). The per-cluster size joins in
+    * as a broadcast (O(clusters) rows). */
+  def q121(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = ccLabels(spark, sfDir)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    labels.join(broadcast(sizes), "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_canonical"), col("n_docs"))
+      .orderBy("cluster_id", "doc_id")
   }
 
   /** Union-find over the whole (small) edge list in ONE executor task.
@@ -695,6 +719,26 @@ object Dedup {
        |SELECT cluster_id, count(*) AS n_docs, max(id) AS max_doc
        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  val q121Sql: String =
+    s"""WITH RECURSIVE $q22CandCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand22
+       |  UNION SELECT doc_b, doc_a FROM cand22
+       |),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+       |),
+       |lab AS (
+       |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
+       |),
+       |sizes AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1)
+       |SELECT l.id AS doc_id, l.cluster_id,
+       |  l.id = l.cluster_id AS is_canonical, s.n_docs
+       |FROM lab l JOIN sizes s ON l.cluster_id = s.cluster_id
+       |ORDER BY l.cluster_id, l.id""".stripMargin
+
   /** Edit-distance threshold and prefix width for q64. Prefix-40
     * bounds the DP cost per pair to 40×40 cells; d ≤ 12 over 40
     * chars ≈ 70% prefix similarity — the measured sweet spot on this
@@ -756,7 +800,8 @@ object Dedup {
     "q24_simhash" -> q24 _,
     "q35_simhash_neardup" -> q35 _,
     "q62_dedup_clusters" -> q62 _,
-    "q64_fuzzy_blocked" -> q64 _)
+    "q64_fuzzy_blocked" -> q64 _,
+    "q121_cluster_canonical" -> q121 _)
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" -> q21Sql,
@@ -765,5 +810,6 @@ object Dedup {
     "q24_simhash" -> q24Sql,
     "q35_simhash_neardup" -> q35Sql,
     "q62_dedup_clusters" -> q62Sql,
-    "q64_fuzzy_blocked" -> q64Sql)
+    "q64_fuzzy_blocked" -> q64Sql,
+    "q121_cluster_canonical" -> q121Sql)
 }

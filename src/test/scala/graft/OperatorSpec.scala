@@ -345,6 +345,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(sqlSide === typedSide)
   }
 
+  test("q121 canonicalization: exactly one canonical per cluster, consistent with q62") {
+    val decisions = SparkEntry.queries("q121_cluster_canonical")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val clusters = SparkEntry.queries("q62_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = decisions.groupBy(_._2)
+    assert(byCluster.keySet === clusters.keySet,
+      "decision list covers exactly q62's clusters")
+    byCluster.foreach { case (cid, ds) =>
+      assert(ds.count(_._3) === 1, s"cluster $cid: not exactly one canonical")
+      val canon = ds.find(_._3).get
+      assert(canon._1 === cid, "canonical must be the cluster's minimum doc_id")
+      assert(ds.length === clusters(cid).toInt, s"cluster $cid size drifted from q62")
+      ds.foreach(d => assert(d._4 === ds.length.toLong))
+    }
+  }
+
   test("q119 EWMA matches a local recursive reference and lies within its window's range") {
     val rows = SparkEntry.queries("q119_ewma_telemetry")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
