@@ -252,8 +252,13 @@ object Events {
       .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("x"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("hour_bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hourly.count()
+      // Eager localCheckpoint, NOT persist: the trailing self-join
+      // consumes this O(types x hours) rollup twice, but a persist
+      // has no caller-visible release point (the q101 leak class) -
+      // checkpoint blocks are reclaimed by the ContextCleaner when
+      // the returned plan is garbage-collected, so the cache cannot
+      // outlive its query in a long-lived session.
+      .localCheckpoint()
     val cur = hourly.select(col("event_type"), col("hour_bucket"),
       col("x"), col("rn"))
     val past = hourly.select(col("event_type").as("p_type"),
@@ -299,11 +304,12 @@ object Events {
   /** q120 — first-touch attribution: every purchase is credited to
     * the user's EARLIEST view/click in the 7 days before it (the
     * classic marketing-attribution report), with unmatched purchases
-    * reported under 'none'. First-touch selection is two MERGEABLE
-    * aggregates — min(ts), then min(event_id) among that ts's touches
-    * — never a per-purchase window sort, so a bot user with millions
-    * of touches costs partial-aggregate rows, not one sorted
-    * partition (the q87/q117 skew rule). The candidate join is
+    * reported under 'none'. First-touch selection is ONE mergeable
+    * aggregate - min over (ts, event_id, type) structs, lexicographic
+    * = earliest ts with id tie-break - never a per-purchase window
+    * sort, so a bot user with millions of touches costs
+    * partial-aggregate rows, not one sorted partition (the q87/q117
+    * skew rule). The candidate join is
     * user_id + time-range — per-user bounded — and revenue sums in
     * DECIMAL. */
   def q120(spark: SparkSession, sfDir: String): DataFrame = {
@@ -317,13 +323,13 @@ object Events {
     val cand = purchases.join(touches, Seq("user_id"))
       .filter(col("tts") <= col("pts") && col("tts") > col("pts") - AttribWindowNs)
       .select("purchase_id", "tts", "touch_id", "touch_type")
-    val firstTs = cand.groupBy("purchase_id").agg(min("tts").as("fts"))
-    val firstId = cand.join(firstTs, "purchase_id")
-      .filter(col("tts") === col("fts"))
-      .groupBy("purchase_id").agg(min("touch_id").as("fid"))
-    val firstTouch = cand.join(firstId, "purchase_id")
-      .filter(col("touch_id") === col("fid"))
-      .select(col("purchase_id"), col("touch_type"))
+    // ONE mergeable aggregate (the q117 pattern): min over
+    // (ts, touch_id, touch_type) structs IS lexicographic
+    // first-touch-with-id-tiebreak; cand is an inner join, so no
+    // null-field structs ever enter the buffer.
+    val firstTouch = cand.groupBy("purchase_id")
+      .agg(min(struct(col("tts"), col("touch_id"), col("touch_type"))).as("ft"))
+      .select(col("purchase_id"), col("ft.touch_type").as("touch_type"))
     purchases.join(firstTouch, Seq("purchase_id"), "left")
       .withColumn("touch", coalesce(col("touch_type"), lit("none")))
       .groupBy("touch")

@@ -15,15 +15,19 @@ class StreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkTestSession.get
 
-  /** Materialize sf0.001 events as JSON files a file stream can read. */
-  lazy val streamDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+  /** Materialize sf0.001 events as JSON files a file stream can read
+    * - ONE fixture writer for every test so the ts truncation and
+    * schema cannot silently diverge between suites' inputs. */
+  def writeEventsJson(parts: Int, prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
     graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .coalesce(1)
+      .repartition(parts)
       .write.mode("overwrite").json(dir + "/in")
     dir + "/in"
   }
+
+  lazy val streamDir: String = writeEventsJson(1, "graft_stream")
 
   test("streaming hourly counts match the batch q17 aggregation") {
     val stream = EventStreams.readEventStream(spark, streamDir)
@@ -212,14 +216,7 @@ class StreamingSpec extends AnyFunSuite {
     // incremental streaming index head. Input is split into 4 files
     // read one per trigger, so state merges 4 times; complete mode
     // emits the final buffer.
-    val multiDir = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
-      graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        .repartition(4)
-        .write.mode("overwrite").json(dir + "/in")
-      dir + "/in"
-    }
+    val multiDir = writeEventsJson(4, "graft_stream4")
     val topk = udaf(graft.functions.TopKPostings(3))
     def aggOf(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
