@@ -497,6 +497,84 @@ object TextAnalysis {
        |  count(CASE WHEN xent > $LmFlagNats THEN 1 END) AS n_flagged
        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q122 flag threshold in nats — ~p97 of the per-doc bigram
+    * cross-entropy at sf0.01 (median 3.39, p90 3.42, max 3.61), so
+    * the flag marks the genuinely-unusual tail. */
+  private val BigramFlagNats = 3.45
+
+  /** Per-bigram negative log-likelihood under the add-one-smoothed
+    * conditional model, shared-string + CAST-every-leaf + guarded-ln
+    * discipline (see q114): columns c2 = bigram count, c1 = context
+    * (w1) count, v = distinct-continuation vocabulary. */
+  private val bigramNllFormula: String =
+    s"CAST(${graft.functions.OracleRound.floorRoundSql(
+      "ln((CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)) / (CAST(c2 AS DOUBLE) + 1.0))", 12)} AS DECIMAL(28,12))"
+
+  /** q122 — bigram-LM cross-entropy scoring (the KenLM/CCNet-style
+    * perplexity filter, one order up from q107's unigram): train an
+    * add-one-smoothed conditional bigram model ON the corpus, score
+    * every document's mean per-bigram negative log-likelihood under
+    * it, and report per-source means plus the count of
+    * flagged-unusual documents. High xent = text whose transitions
+    * the corpus LM finds surprising — the standard web-crawl quality
+    * signal.
+    *
+    * Everything derives from ONE bigram relation: c2 is its (w1,w2)
+    * aggregate, the context counts c1 are its w1 aggregate (counts of
+    * w1 AS CONTEXT — not raw unigram counts, which would overcount
+    * document-final tokens), and v is its distinct-w2 count. The
+    * bigram explode runs twice (model build + scoring side) —
+    * deliberately not cached, it is corpus-sized (the q68 lesson).
+    * Scoring joins the LM on the bigram key: vocabulary²-bounded, so
+    * broadcast at this corpus, shuffle join beyond — either way the
+    * per-doc reduction is a DECIMAL sum of ln-guarded terms. */
+  def q122(spark: SparkSession, sfDir: String): DataFrame = {
+    def bigrams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.w1"), col("bg.w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = bigrams.agg(countDistinct("w2").as("v"))
+    val ds = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll", expr(bigramNllFormula))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("m"),
+        (sum(col("nll")).cast("double") / count(lit(1))).as("xent"))
+    ds.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        floorRound(sum(col("xent").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_xent"),
+        count(when(col("xent") > BigramFlagNats, 1)).as("n_flagged"))
+      .orderBy("source")
+  }
+
+  val q122Sql: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |s AS (SELECT doc_id, source, t,
+       |        unnest(generate_series(1, len(t) - 1)) AS i FROM d),
+       |bg AS (SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2 FROM s),
+       |k2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |k1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w2) AS v FROM bg),
+       |ds AS (
+       |  SELECT b.doc_id, b.source, count(*) AS m,
+       |    CAST(sum($bigramNllFormula) AS DOUBLE) / count(*) AS xent
+       |  FROM bg b
+       |  JOIN k2 ON b.w1 = k2.w1 AND b.w2 = k2.w2
+       |  JOIN k1 ON b.w1 = k1.w1, vv
+       |  GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  ${floorRoundSql(
+          "CAST(sum(CAST(xent AS DECIMAL(28,12))) AS DOUBLE) / count(*)", 6)} AS mean_xent,
+       |  count(CASE WHEN xent > $BigramFlagNats THEN 1 END) AS n_flagged
+       |FROM ds GROUP BY source ORDER BY source""".stripMargin
+
   /** q118 cascade thresholds (Gopher-rule shapes, tuned to be
     * non-degenerate on the synthetic corpus: each rule drops a
     * measurable slice at sf0.01). */
@@ -594,6 +672,7 @@ object TextAnalysis {
        |FROM rows_ ORDER BY rule""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_bigram_lm_xent" -> q122 _,
     "q118_filter_cascade" -> q118 _,
     "q107_lm_xent_score" -> q107 _,
     "q53_llm_pipeline" -> q53 _,
@@ -608,6 +687,7 @@ object TextAnalysis {
     "q34_regex_tokens" -> q34 _)
 
   val oracles: Map[String, String] = Map(
+    "q122_bigram_lm_xent" -> q122Sql,
     "q118_filter_cascade" -> q118Sql,
     "q107_lm_xent_score" -> q107Sql,
     "q53_llm_pipeline" -> q53Sql,

@@ -345,6 +345,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(sqlSide === typedSide)
   }
 
+  test("q122 bigram-LM cross-entropy matches a local reference model") {
+    val rows = SparkEntry.queries("q122_bigram_lm_xent")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(' ')))
+    val bigrams = docs.flatMap { case (_, _, t) => t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))) }
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val v = bigrams.map(_._2).distinct.length
+    val perDoc = docs.filter(_._3.length >= 2).map { case (_, src, t) =>
+      val terms = t.sliding(2).filter(_.length == 2).map { p =>
+        math.log((c1(p(0)).toDouble + v) / (c2((p(0), p(1))).toDouble + 1.0))
+      }.toSeq
+      (src, terms.sum / terms.size)
+    }
+    val bySrc = perDoc.groupBy(_._1)
+    rows.foreach { case (src, (nDocs, meanXent, nFlagged)) =>
+      val xs = bySrc(src).map(_._2)
+      assert(nDocs === xs.length.toLong, s"$src doc count")
+      assert(math.abs(meanXent - xs.sum / xs.length) < 1e-4, s"$src mean xent")
+      assert(nFlagged === xs.count(_ > 3.45).toLong, s"$src flag count")
+    }
+  }
+
   test("q121 canonicalization: exactly one canonical per cluster, consistent with q62") {
     val decisions = SparkEntry.queries("q121_cluster_canonical")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
