@@ -575,6 +575,66 @@ object TextAnalysis {
        |  count(CASE WHEN xent > $BigramFlagNats THEN 1 END) AS n_flagged
        |FROM ds GROUP BY source ORDER BY source""".stripMargin
 
+  /** q123 drop fraction: the worst decile of each source goes. */
+  private val CalibDropFrac = 0.1
+
+  /** q123 — per-source quality-threshold calibration: instead of one
+    * global cutoff (which silently over-filters whole domains whose
+    * score DISTRIBUTION sits lower), compute each source's own
+    * cutoff at a fixed drop rate — the k-th smallest stopword-ratio
+    * score with k = ceil(0.1·n) — so every domain sheds exactly its
+    * worst decile. This is the calibration step run before q118-style
+    * cascades when sources are heterogeneous (the mC4/CCNet
+    * per-language threshold trick).
+    *
+    * Exact order statistics, not approx quantiles, because the
+    * cutoff must be engine-reproducible: the k-th value of a
+    * per-source sort with (score, doc_id) tie-order. The per-source
+    * window sort is the documented q65 pattern — per-source data
+    * volumes are the skew bound; at 100 TB swap in the two-pass
+    * (sample boundaries + filter) quantile, same contract. Scores
+    * round through the SAME floorRound(6) as q26 before ranking so
+    * rank order itself is engine-independent. */
+  def q123(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        floorRound(expr(s"size(filter(t, x -> x IN ($stopList)))")
+          .cast("double") / size(col("t")), 6).as("score"))
+    val w = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val cutoffs = ranked
+      .filter(col("rn") === ceil(col("n") * CalibDropFrac))
+      .select(col("source"), col("score").as("cutoff"))
+    scored.join(broadcast(cutoffs), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), max("cutoff").as("cutoff"),
+        sum(when(col("score") < col("cutoff"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("source")
+  }
+
+  val q123Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    ${floorRoundSql(
+          s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS DOUBLE) / len(string_split(text, ' '))", 6)} AS score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, score,
+       |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM scored),
+       |cutoffs AS (
+       |  SELECT source, score AS cutoff FROM ranked
+       |  WHERE rn = ceil(n * $CalibDropFrac))
+       |SELECT s.source, count(*) AS n_docs, max(c.cutoff) AS cutoff,
+       |  CAST(sum(CASE WHEN s.score < c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM scored s JOIN cutoffs c ON s.source = c.source
+       |GROUP BY s.source ORDER BY s.source""".stripMargin
+
   /** q118 cascade thresholds (Gopher-rule shapes, tuned to be
     * non-degenerate on the synthetic corpus: each rule drops a
     * measurable slice at sf0.01). */
@@ -673,6 +733,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_bigram_lm_xent" -> q122 _,
+    "q123_quality_calibration" -> q123 _,
     "q118_filter_cascade" -> q118 _,
     "q107_lm_xent_score" -> q107 _,
     "q53_llm_pipeline" -> q53 _,
@@ -688,6 +749,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q122_bigram_lm_xent" -> q122Sql,
+    "q123_quality_calibration" -> q123Sql,
     "q118_filter_cascade" -> q118Sql,
     "q107_lm_xent_score" -> q107Sql,
     "q53_llm_pipeline" -> q53Sql,

@@ -345,6 +345,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(sqlSide === typedSide)
   }
 
+  test("q123 per-source cutoffs are the exact k-th order statistic with bounded drops") {
+    val rows = SparkEntry.queries("q123_quality_calibration")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val scored = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val t = r.getString(2).split(' ')
+        (r.getLong(0), r.getString(1),
+          math.floor(t.count(stop).toDouble / t.length * 1e6 + 0.5) / 1e6)
+      }
+    scored.groupBy(_._2).foreach { case (src, ds) =>
+      val (nDocs, cutoff, nDropped) = rows(src)
+      assert(nDocs === ds.length.toLong)
+      val k = math.ceil(ds.length * 0.1).toInt
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      assert(cutoff === sorted(k - 1)._3, s"$src cutoff is not the k-th order statistic")
+      assert(nDropped === ds.count(_._3 < cutoff).toLong, s"$src drop count")
+      assert(nDropped < k, s"$src drops at least as many as the target decile")
+    }
+  }
+
   test("q122 bigram-LM cross-entropy matches a local reference model") {
     val rows = SparkEntry.queries("q122_bigram_lm_xent")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
