@@ -531,6 +531,12 @@ object TextAnalysis {
   def q122(spark: SparkSession, sfDir: String): DataFrame = {
     def bigrams = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      // Guard BEFORE the transform: on a 1-token doc,
+      // sequence(1, size-1) = sequence(1, 0) is a DESCENDING [1, 0]
+      // in Spark and element_at(t, 0) throws under ANSI mode (Spark 4
+      // default). <2-token docs have no bigrams on either engine, so
+      // the filter changes nothing semantically.
+      .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
         .as("bg"))
