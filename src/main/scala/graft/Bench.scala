@@ -117,6 +117,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver archives only a bounded TAIL of this output; with
+    // 120+ per-query entries the leading "metric":"total" line falls
+    // off it. Echo a compact total LAST so every archived tail
+    // self-contains the headline number (n_failed > 0 flags any -1
+    // sentinel rows hiding inside the truncated per-query map).
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total_echo","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -309,9 +309,17 @@ object Events {
     * = earliest ts with id tie-break - never a per-purchase window
     * sort, so a bot user with millions of touches costs
     * partial-aggregate rows, not one sorted partition (the q87/q117
-    * skew rule). The candidate join is
-    * user_id + time-range — per-user bounded — and revenue sums in
-    * DECIMAL. */
+    * skew rule). The candidate join is the q55 time-banded rewrite:
+    * joining on user_id alone would make the per-user intermediate
+    * |purchases|×|touches| — a bot user explodes one key's output in a
+    * way AQE skew-split cannot repair (it rebalances partitions, not
+    * row counts). Instead touches carry a window-width time bucket and
+    * each purchase probes its own and the previous bucket — any touch
+    * inside (pts − 7d, pts] lands in one of the two (interval length =
+    * band width), so candidates are bounded per (user, bucket) and the
+    * exact range filter finishes. A touch has ONE bucket and the two
+    * probe values are distinct, so the rewrite introduces no
+    * duplicates. Revenue sums in DECIMAL. */
   def q120(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -320,7 +328,11 @@ object Events {
     val touches = ev.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("ts").as("tts"),
         col("event_id").as("touch_id"), col("event_type").as("touch_type"))
-    val cand = purchases.join(touches, Seq("user_id"))
+      .withColumn("bucket", expr(s"tts DIV $AttribWindowNs"))
+    val cand = purchases
+      .select(col("purchase_id"), col("user_id"), col("pts"),
+        explode(expr(s"array(pts DIV $AttribWindowNs, pts DIV $AttribWindowNs - 1)")).as("bucket"))
+      .join(touches, Seq("user_id", "bucket"))
       .filter(col("tts") <= col("pts") && col("tts") > col("pts") - AttribWindowNs)
       .select("purchase_id", "tts", "touch_id", "touch_type")
     // ONE mergeable aggregate (the q117 pattern): min over

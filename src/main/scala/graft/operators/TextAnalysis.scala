@@ -519,15 +519,19 @@ object TextAnalysis {
     * the corpus LM finds surprising — the standard web-crawl quality
     * signal.
     *
-    * Everything derives from ONE bigram relation: c2 is its (w1,w2)
-    * aggregate, the context counts c1 are its w1 aggregate (counts of
-    * w1 AS CONTEXT — not raw unigram counts, which would overcount
-    * document-final tokens), and v is its distinct-w2 count. The
-    * bigram explode runs twice (model build + scoring side) —
-    * deliberately not cached, it is corpus-sized (the q68 lesson).
-    * Scoring joins the LM on the bigram key: vocabulary²-bounded, so
-    * broadcast at this corpus, shuffle join beyond — either way the
-    * per-doc reduction is a DECIMAL sum of ln-guarded terms. */
+    * Everything derives from ONE bigram relation, and the corpus is
+    * exploded exactly TWICE (model build + scoring side — deliberately
+    * not cached, it is corpus-sized; the q68 lesson): c2 is the
+    * (w1,w2) aggregate of the explode, and both c1 and v derive from
+    * the SMALL c2 relation, not from a re-explode — c1 = Σc2 grouped
+    * by w1 (counts of w1 AS CONTEXT — not raw unigram counts, which
+    * would overcount document-final tokens) and v = its distinct-w2
+    * count. The LM-side joins are vocabulary²-bounded, NOT pinned to
+    * broadcast: a web-corpus vocabulary (10⁷–10⁸ contexts) would OOM
+    * the driver under a forced broadcast hint, so AQE picks
+    * broadcast-vs-shuffle from measured sizes (spec-exercised both
+    * ways). The 1-row v scalar stays an explicit broadcast. Either
+    * way the per-doc reduction is a DECIMAL sum of ln-guarded terms. */
   def q122(spark: SparkSession, sfDir: String): DataFrame = {
     def bigrams = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
@@ -542,11 +546,11 @@ object TextAnalysis {
         .as("bg"))
       .select(col("doc_id"), col("source"), col("bg.w1"), col("bg.w2"))
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = bigrams.agg(countDistinct("w2").as("v"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val v = c2.agg(countDistinct("w2").as("v"))
     val ds = bigrams
       .join(c2, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("nll", expr(bigramNllFormula))
       .groupBy("doc_id", "source")
@@ -581,45 +585,96 @@ object TextAnalysis {
        |  count(CASE WHEN xent > $BigramFlagNats THEN 1 END) AS n_flagged
        |FROM ds GROUP BY source ORDER BY source""".stripMargin
 
-  /** q123 drop fraction: the worst decile of each source goes. */
-  private val CalibDropFrac = 0.1
+  /** q123 drop denominator: the worst 1/10 (decile) of each source
+    * goes. */
+  private val CalibDropDenom = 10
+
+  /** q123 cutoff rank k = ceil(n/10), the ONE shared-formula string
+    * both engines evaluate (restoring the shared-threshold
+    * discipline): exact integer arithmetic via floor((n+9)/10.0).
+    * n+9 and 10.0 are exact doubles; the correctly-rounded quotient's
+    * fractional part is either 0 (exactly representable for
+    * 10·k ≤ 2^53) or ≥ 0.1 — never within an ulp of an integer
+    * boundary for n < 2^49 — so floor() of the double quotient equals
+    * integer (n+9) div 10 on BOTH engines, with no dependence on
+    * either engine's DECIMAL-vs-binary literal typing. The final CAST
+    * matters: a bare double→BIGINT cast truncates in Spark but rounds
+    * half-to-even in DuckDB, so the explicit floor() is what keeps
+    * the cast exact on both. */
+  private val calibKFormula =
+    s"CAST(floor((n + ${CalibDropDenom - 1}) / $CalibDropDenom.0) AS BIGINT)"
 
   /** q123 — per-source quality-threshold calibration: instead of one
     * global cutoff (which silently over-filters whole domains whose
     * score DISTRIBUTION sits lower), compute each source's own
     * cutoff at a fixed drop rate — the k-th smallest stopword-ratio
-    * score with k = ceil(0.1·n) — so every domain sheds exactly its
+    * score with k = ceil(n/10) — so every domain sheds exactly its
     * worst decile. This is the calibration step run before q118-style
     * cascades when sources are heterogeneous (the mC4/CCNet
     * per-language threshold trick).
     *
     * Exact order statistics, not approx quantiles, because the
     * cutoff must be engine-reproducible: the k-th value of a
-    * per-source sort with (score, doc_id) tie-order. The per-source
-    * window sort is the documented q65 pattern — per-source data
-    * volumes are the skew bound; at 100 TB swap in the two-pass
-    * (sample boundaries + filter) quantile, same contract. Scores
-    * round through the SAME floorRound(6) as q26 before ranking so
-    * rank order itself is engine-independent. */
+    * per-source sort with (score, doc_id) tie-order. The production
+    * path is the TWO-PASS HISTOGRAM cutoff (the promised q65 swap,
+    * now implemented): because scores round through the SAME
+    * floorRound(6) as q26 before ranking (making rank order itself
+    * engine-independent), the score domain is bounded — at most 10⁶+1
+    * distinct values in [0,1] — so the k-th order statistic's VALUE
+    * is fully determined by the per-(source, score) count histogram:
+    * cutoff = min score whose cumulative count ≥ k. (The doc_id
+    * tie-break affects which document sits at rank k, never the score
+    * at rank k.) That replaces the per-source full window sort — one
+    * sorted partition per source, the q65-documented skew cliff —
+    * with a map-side-combined aggregate whose shuffle carries at most
+    * |sources|×10⁶ histogram rows regardless of corpus size, plus a
+    * window over that tiny histogram. Strictly cheaper at EVERY
+    * size, so there is no crossover a runtime size switch would
+    * protect; [[q123WindowCutoffs]] keeps the direct formulation as
+    * the spec-checked differential verifier of this rewrite. */
   def q123(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = Tables.documents(spark, sfDir)
-      .withColumn("t", split(col("text"), " "))
-      .select(col("doc_id"), col("source"),
-        floorRound(expr(s"size(filter(t, x -> x IN ($stopList)))")
-          .cast("double") / size(col("t")), 6).as("score"))
-    val w = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
-    val cutoffs = ranked
-      .filter(col("rn") === ceil(col("n") * CalibDropFrac))
-      .select(col("source"), col("score").as("cutoff"))
-    scored.join(broadcast(cutoffs), "source")
+    val scored = q123Scored(spark, sfDir)
+    scored.join(broadcast(q123HistCutoffs(scored)), "source")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), max("cutoff").as("cutoff"),
         sum(when(col("score") < col("cutoff"), 1L).otherwise(0L)).as("n_dropped"))
       .orderBy("source")
   }
+
+  /** q123 pass 0: per-doc rounded stopword-ratio scores. */
+  private[graft] def q123Scored(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        floorRound(expr(s"size(filter(t, x -> x IN ($stopList)))")
+          .cast("double") / size(col("t")), 6).as("score"))
+
+  /** q123 production cutoff: two-pass histogram. The rank-k score is
+    * the first histogram bucket whose cumulative count reaches k —
+    * the filter keeps the bucket where the cumulative count crosses k
+    * (cum ≥ k and cum − c < k), exactly one row per source. */
+  private[graft] def q123HistCutoffs(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.groupBy("source", "score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+      .filter(col("cum") >= expr(calibKFormula) &&
+        col("cum") - col("c") < expr(calibKFormula))
+      .select(col("source"), col("score").as("cutoff"))
+  }
+
+  /** q123 differential verifier: the direct per-source window-sort
+    * formulation (rank every doc, take rank k). Kept ONLY for the
+    * spec that proves the histogram rewrite agrees with it — not a
+    * production path (one fully-sorted partition per source). */
+  private[graft] def q123WindowCutoffs(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("score"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") === expr(calibKFormula))
+      .select(col("source"), col("score").as("cutoff"))
 
   val q123Sql: String =
     s"""WITH scored AS (
@@ -634,7 +689,7 @@ object TextAnalysis {
        |  FROM scored),
        |cutoffs AS (
        |  SELECT source, score AS cutoff FROM ranked
-       |  WHERE rn = ceil(n * $CalibDropFrac))
+       |  WHERE rn = $calibKFormula)
        |SELECT s.source, count(*) AS n_docs, max(c.cutoff) AS cutoff,
        |  CAST(sum(CASE WHEN s.score < c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_dropped

@@ -117,8 +117,17 @@ class FormatsSpec extends AnyFunSuite {
       val d = new java.io.File(dir, s"split=$s")
       assert(d.isDirectory, s"missing split directory $s")
       val parts = d.listFiles().filter(_.getName.endsWith(".json"))
-      assert(parts.length == 2,
-        s"$s: ${parts.length} shard files, expected exactly 2 (one per writer task)")
+      // The multi-writer fan-out property is only guaranteed for the
+      // DOMINANT split: round-robin lands the ~80% train split in
+      // every shard, but a tiny val/test split can legally leave a
+      // shard empty (empty partitions write no part file), so those
+      // only get the bounded-shard-count check.
+      if (s == "train")
+        assert(parts.length == 2,
+          s"train: ${parts.length} shard files, expected exactly 2 (one per writer task)")
+      else
+        assert(parts.length >= 1 && parts.length <= 2,
+          s"$s: ${parts.length} shard files, expected 1..2")
     }
     // read-back is lossless (schema given explicitly — JSONL carries no types)
     val back = spark.read.schema(docs.schema).json(dir)

@@ -392,6 +392,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q122 is broadcast-agnostic: shuffle-join path returns identical rows") {
+    // The LM-side joins (c2, c1) are vocabulary-sized and deliberately
+    // NOT pinned to broadcast — at web-corpus vocabularies a forced
+    // broadcast OOMs the driver, so AQE must be free to pick a shuffle
+    // join. Prove the result is plan-independent by disabling
+    // broadcast entirely and comparing against the default path.
+    val default = SparkEntry.queries("q122_bigram_lm_xent")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = SparkEntry.queries("q122_bigram_lm_xent")(spark, sf)
+      val p = shuffled.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"threshold -1 did not produce a shuffle join:\n$p")
+      assert(shuffled.collect().map(_.toString).toSeq === default,
+        "q122 result depends on the join strategy")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q123 histogram cutoff ≡ window-sort cutoff at sf0.01 (the two-pass swap is exact)") {
+    // The production path derives each source's rank-k score from the
+    // (source, score) count histogram; the retired window-sort path
+    // ranks every document directly. They must agree on every source
+    // at the larger scale factor, where scores collide and the
+    // cum-crosses-k boundary logic is actually exercised.
+    val scored = graft.operators.TextAnalysis
+      .q123Scored(spark, "/root/testdata/sf0.01")
+    val hist = graft.operators.TextAnalysis.q123HistCutoffs(scored)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val window = graft.operators.TextAnalysis.q123WindowCutoffs(scored)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hist.nonEmpty && hist === window,
+      s"cutoff paths disagree: hist=$hist window=$window")
+  }
+
   test("q121 canonicalization: exactly one canonical per cluster, consistent with q62") {
     val decisions = SparkEntry.queries("q121_cluster_canonical")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))

@@ -168,6 +168,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join appeared:\n$p")
   }
 
+  test("q120: attribution candidates join on (user, time-bucket), never user alone") {
+    // The q55 banded rewrite: joining purchases⋈touches on user_id
+    // alone is |purchases|×|touches| per user — a bot-user key
+    // explodes row counts AQE cannot repair. Every join whose keys
+    // include user_id must also carry the 7-day bucket column.
+    val p = plan("q120_attribution")
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("user_id")).toSeq
+    assert(keyLines.nonEmpty, s"no user-keyed candidate join found:\n$p")
+    assert(keyLines.forall(_.contains("bucket")),
+      s"candidate join keys lack the time bucket:\n$p")
+  }
+
+  test("q116/q29/q12: rank-limit pushdown (WindowGroupLimit) holds the k-NN windows to O(groups×k)") {
+    // The scaladoc claim "the window holds O(probes×k) rows" depends
+    // on Spark 4's InferWindowGroupLimit pushing the rank filter into
+    // a per-partition bounded top-k. A version bump that dropped the
+    // rule would silently regress these to full per-group sorts —
+    // pin the node in the physical plan.
+    for (q <- Seq("q116_knn_label_eval", "q29_knn_brute", "q12_topk_per_group")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the rank-limit pushdown (full per-group sort):\n$p")
+    }
+  }
+
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
     // A Window.partitionBy(term) fully sorts each term's posting list
     // — a skew cliff on hot stop-terms at scale. The bounded
