@@ -739,6 +739,76 @@ object Dedup {
        |FROM lab l JOIN sizes s ON l.cluster_id = s.cluster_id
        |ORDER BY l.cluster_id, l.id""".stripMargin
 
+  /** q124 — composed dedup capstone: the nightly-pipeline shape that
+    * q62 (cluster report) and q121 (canonicalization) deliberately
+    * don't share. As standalone driver-contract queries each rebuilds
+    * the full MinHash → LSH candidates → connected-components lineage;
+    * a real nightly job ships CC labels ONCE and derives every
+    * downstream report from them. This query is that composition: one
+    * [[ccLabels]] call (whose result is checkpointed, so the MinHash
+    * subtree executes exactly once and the final plan contains NO
+    * second copy of it — pinned in PlanShapeSpec), left-joined onto
+    * the corpus to produce the per-source enforcement report every
+    * dedup release publishes — docs, clustered docs, drops, keeps,
+    * clusters led (canonical docs resident in the source), retention.
+    *
+    * Scale shape: labels is O(clustered docs) — far smaller than the
+    * corpus but NOT guaranteed broadcast-sized (a 30%-duplicate web
+    * corpus has billions of clustered docs), so the join is
+    * deliberately unpinned: AQE broadcasts when measured-small, else
+    * a shuffle join whose corpus side carries only (doc_id, source) —
+    * fingerprint-width rows, never bodies (the q21 rule). The
+    * aggregate is one map-side-combined pass; singletons never enter
+    * the label table (the q121 O(clustered) property) and surface
+    * only as the left-join's unmatched side. */
+  def q124(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = ccLabels(spark, sfDir).withColumnRenamed("id", "doc_id")
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("label")).as("n_clustered"),
+        sum(when(col("doc_id") =!= col("label"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("doc_id") === col("label"), 1L).otherwise(0L)).as("n_clusters_led"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+      .withColumn("retention", graft.functions.OracleRound.floorRound(
+        col("n_kept").cast("double") / col("n_docs"), 6))
+      .select("source", "n_docs", "n_clustered", "n_dropped", "n_kept",
+        "n_clusters_led", "retention")
+      .orderBy("source")
+  }
+
+  val q124Sql: String =
+    s"""WITH RECURSIVE $q22CandCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand22
+       |  UNION SELECT doc_b, doc_a FROM cand22
+       |),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+       |),
+       |lab AS (
+       |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
+       |),
+       |per_src AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |    CAST(count(l.id) AS BIGINT) AS n_clustered,
+       |    CAST(sum(CASE WHEN d.doc_id <> l.cluster_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dropped,
+       |    CAST(sum(CASE WHEN d.doc_id = l.cluster_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_clusters_led
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+       |  GROUP BY d.source)
+       |SELECT source, n_docs, n_clustered,
+       |  coalesce(n_dropped, 0) AS n_dropped,
+       |  n_docs - coalesce(n_dropped, 0) AS n_kept,
+       |  coalesce(n_clusters_led, 0) AS n_clusters_led,
+       |  ${graft.functions.OracleRound.floorRoundSql(
+            "CAST(n_docs - coalesce(n_dropped, 0) AS DOUBLE) / n_docs", 6)} AS retention
+       |FROM per_src ORDER BY source""".stripMargin
+
   /** Edit-distance threshold and prefix width for q64. Prefix-40
     * bounds the DP cost per pair to 40×40 cells; d ≤ 12 over 40
     * chars ≈ 70% prefix similarity — the measured sweet spot on this
@@ -801,7 +871,8 @@ object Dedup {
     "q35_simhash_neardup" -> q35 _,
     "q62_dedup_clusters" -> q62 _,
     "q64_fuzzy_blocked" -> q64 _,
-    "q121_cluster_canonical" -> q121 _)
+    "q121_cluster_canonical" -> q121 _,
+    "q124_dedup_capstone" -> q124 _)
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" -> q21Sql,
@@ -811,5 +882,6 @@ object Dedup {
     "q35_simhash_neardup" -> q35Sql,
     "q62_dedup_clusters" -> q62Sql,
     "q64_fuzzy_blocked" -> q64Sql,
-    "q121_cluster_canonical" -> q121Sql)
+    "q121_cluster_canonical" -> q121Sql,
+    "q124_dedup_capstone" -> q124Sql)
 }

@@ -446,6 +446,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q124 capstone totals reconcile with q62 clusters, q121 decisions, and the corpus") {
+    val cap = SparkEntry.queries("q124_dedup_capstone")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val decisions = SparkEntry.queries("q121_cluster_canonical")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    val nClusters = SparkEntry.queries("q62_dedup_clusters")(spark, sf).count()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(cap.map(_._2).sum === nDocs, "capstone covers the whole corpus")
+    assert(cap.map(_._3).sum === decisions.length.toLong,
+      "clustered-doc total drifted from q121's decision list")
+    assert(cap.map(_._4).sum === decisions.count(!_._2).toLong,
+      "drop total drifted from q121's non-canonical count")
+    assert(cap.map(_._6).sum === nClusters, "clusters-led total ≠ q62 cluster count")
+    cap.foreach { case (src, n, _, dropped, kept, _, retention) =>
+      assert(kept === n - dropped, s"$src: kept ≠ docs − dropped")
+      assert(math.abs(retention - math.floor(kept.toDouble / n * 1e6 + 0.5) / 1e6) < 1e-9,
+        s"$src: retention ratio mismatch")
+    }
+  }
+
   test("q119 EWMA matches a local recursive reference and lies within its window's range") {
     val rows = SparkEntry.queries("q119_ewma_telemetry")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -194,6 +194,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q124: composed capstone derives from ONE CC lineage — a single corpus scan, labels reused") {
+    // ccLabels executes once during construction and is checkpointed;
+    // the composed report's own plan must contain exactly one parquet
+    // scan (the per-source corpus pass) plus the label RDD — a second
+    // MinHash subtree here would mean the subplan sharing regressed to
+    // q62/q121's standalone rebuilds.
+    val p = plan("q124_dedup_capstone")
+    // formatted explain prints each node twice (tree + details) —
+    // count only tree lines, "Scan parquet  (<id>)"
+    val scans = "Scan parquet\\s+\\(\\d+\\)".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"checkpointed CC labels missing from the plan:\n$p")
+  }
+
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
     // A Window.partitionBy(term) fully sorts each term's posting list
     // — a skew cliff on hot stop-terms at scale. The bounded
