@@ -359,6 +359,25 @@ object Corpus {
     * costs one row per map task. The join back is on the 32-byte md5
     * sig (never chunk text), and the per-doc rollup shuffles doc_id
     * only. */
+  /** Shared chunk→sig expansion — batch q117 AND its streaming twin
+    * (streaming/CorpusStreams.chunkDedupStream) call THIS, so the two
+    * paths cannot silently chunk or hash differently: disjoint
+    * [[DedupChunkW]]-token chunks, 0-based chunk_id, sig = md5 of the
+    * chunk's space-joined tokens. Columns named in `passthrough` ride
+    * along (the stream threads its event-time column through). */
+  private[graft] def chunkSigs(docs: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = passthrough.map(col)
+    docs
+      .select(Seq(col("doc_id"), split(col("text"), " ").as("t")) ++ keep: _*)
+      .select(Seq(col("doc_id"), col("t"),
+        posexplode(sequence(lit(1), size(col("t")), lit(DedupChunkW)))
+          .as(Seq("chunk_id", "start"))) ++ keep: _*)
+      .select(Seq(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        md5(array_join(slice(col("t"), col("start"), lit(DedupChunkW)), " ")).as("sig"))
+        ++ keep: _*)
+  }
+
   def q117(spark: SparkSession, sfDir: String): DataFrame = {
     // Both the firsts aggregate and the join-back consume the SAME
     // full chunk row set (not disjoint subsets as in q68/q101), and
@@ -368,13 +387,7 @@ object Corpus {
     // table is 1/ChunkW-th of the token count with a 32-byte sig, so
     // the cache is small; eager count() materializes it before the
     // two consumers race.
-    val ch = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("t"),
-        posexplode(sequence(lit(1), size(col("t")), lit(DedupChunkW)))
-          .as(Seq("chunk_id", "start")))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        md5(array_join(slice(col("t"), col("start"), lit(DedupChunkW)), " ")).as("sig"))
+    val ch = chunkSigs(Tables.documents(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ch.count()
     val firsts = ch.groupBy("sig")

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** A chunk occurrence arriving on the document stream. */
+case class ChunkArrival(sig: String, doc_id: Long, chunk_id: Long,
+    ts: java.sql.Timestamp)
+
+/** A kept (first-seen) chunk emitted by
+  * [[CorpusStreams.chunkDedupStream]]. */
+case class KeptChunk(sig: String, doc_id: Long, chunk_id: Long)
+
+/** Streaming twin of the batch chunk-level dedup (Corpus.q117): the
+  * live-ingest half of the "nightly batch ≡ live stream" dedup story
+  * the event layer already proves for row dedup (EventStreams
+  * .dedupStream) and top-k state (StreamingSpec). Documents arrive as
+  * an unbounded stream; each is split through the SAME
+  * Corpus.chunkSigs expansion as the batch query (one shared
+  * definition — the two paths cannot chunk or hash differently), and
+  * only the FIRST occurrence of each chunk signature is admitted.
+  *
+  * Why not `dropDuplicatesWithinWatermark("sig")`: it would bound
+  * state identically but keeps an ARBITRARY physical-order row per
+  * sig within a micro-batch, while the batch contract keeps
+  * min(doc_id, chunk_id). The flatMapGroupsWithState form makes the
+  * within-batch choice deterministic, so a doc_id-ordered replay of
+  * the corpus reproduces the batch kept-set exactly (StreamingSpec
+  * pins this).
+  *
+  * Guarantee (the one a 100 TB ingest dedup actually provides, same
+  * as dedupStream): a duplicate arriving within the watermark delay
+  * of its sig's first sight is dropped; a duplicate arriving later
+  * may be re-admitted. State is one boolean per sig seen within the
+  * delay window — GC'd by event-time timeout, so O(distinct sigs per
+  * window), not O(sigs ever seen); hot boilerplate chunks cost one
+  * state entry regardless of copy count (the q117 skew rule, in
+  * streaming form). */
+object CorpusStreams {
+
+  implicit val chunkEnc: Encoder[ChunkArrival] = Encoders.product[ChunkArrival]
+  implicit val keptEnc: Encoder[KeptChunk] = Encoders.product[KeptChunk]
+  implicit val strEnc: Encoder[String] = Encoders.STRING
+  implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+
+  /** Schema of the document stream (ts = ingest event time; streaming
+    * sources deliver decoded records, so no NANOS workaround). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType)))
+
+  /** Read a directory of JSON document files as an unbounded stream;
+    * `maxFilesPerTrigger` > 0 throttles to that many files per
+    * micro-batch (tests use 1 to force the cross-batch state path). */
+  def readDocStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(docSchema)
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
+    r2.json(dir)
+  }
+
+  /** Watermarked first-occurrence keep over the chunk-sig stream.
+    * Emits one [[KeptChunk]] per signature — the minimum
+    * (doc_id, chunk_id) occurrence within the first micro-batch that
+    * carries the sig. */
+  def chunkDedupStream(docs: DataFrame,
+      delayMs: Long = 10L * 60 * 1000): Dataset[KeptChunk] = {
+    val chunks = graft.operators.Corpus.chunkSigs(docs, Seq("ts"))
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("sig"), col("doc_id"), col("chunk_id"), col("ts"))
+      .as[ChunkArrival]
+    chunks.groupByKey(_.sig)
+      .flatMapGroupsWithState[Boolean, KeptChunk](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (sig: String, rows: Iterator[ChunkArrival], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last-sight + delay: forget the sig so
+            // state stays bounded (the dropDuplicatesWithinWatermark
+            // GC contract).
+            state.remove()
+            Iterator.empty
+          } else {
+            // One pass over the batch's occurrences: deterministic
+            // min(doc_id, chunk_id) — the batch q117 keeper order —
+            // plus max event time for the state-retention clock.
+            var minDoc = Long.MaxValue
+            var minChunk = Long.MaxValue
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              if (r.doc_id < minDoc ||
+                  (r.doc_id == minDoc && r.chunk_id < minChunk)) {
+                minDoc = r.doc_id; minChunk = r.chunk_id
+              }
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            val isFirstSight = !state.exists
+            state.update(true)
+            // Retain until the watermark passes last-sight + delay;
+            // the max() guards the "timeout must exceed the current
+            // watermark" contract when a straggler arrives just
+            // inside the window.
+            state.setTimeoutTimestamp(
+              math.max(maxTs + delayMs, state.getCurrentWatermarkMs() + 1))
+            if (isFirstSight) Iterator.single(KeptChunk(sig, minDoc, minChunk))
+            else Iterator.empty
+          }
+      }
+  }
+}

@@ -209,6 +209,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk dedup (q117 twin) reproduces the batch first-occurrence kept-set across micro-batches") {
+    import graft.streaming.CorpusStreams
+    // Replay the corpus in doc_id order as TWO files read one per
+    // trigger (the second written after a beat so the file source's
+    // modification-time ordering is unambiguous): cross-batch state
+    // must drop batch-2 copies of sigs first seen in batch 1. Event
+    // times ascend with doc_id and span far less than the watermark
+    // delay, so no state times out mid-replay.
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunkdedup").toString + "/in"
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"), col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100) // distinct mtime even on 1s-granularity filesystems
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = CorpusStreams.readDocStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = graft.streaming.EventStreams.runToMemory(
+      CorpusStreams.chunkDedupStream(stream).toDF(), "chunk_dedup_out",
+      outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2,
+        s"expected >=2 micro-batches, got ${q.recentProgress.length} — cross-batch path not exercised")
+      val got = spark.table("chunk_dedup_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // batch truth: q117's keeper aggregate over the same corpus
+      val want = graft.operators.Corpus
+        .chunkSigs(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+        .groupBy("sig")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+        .select(col("sig"), col("k.doc_id"), col("k.chunk_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, "streaming kept-set diverged from the batch first-occurrence set")
+    } finally q.stop()
+  }
+
   test("custom bounded top-k aggregator accumulates across micro-batches to the batch answer") {
     // The claim: TopKPostings (the q87 skew-safe posting-list head) is
     // not just map-side mergeable — its merge() is correct across
