@@ -82,7 +82,10 @@ object StressGen {
       val shifted = shiftKeys(d, Map("doc_id" -> dStride), i)
       if (i == 0) shifted
       else shifted.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", "$1" + i.toString))
+          regexp_replace(col("text"), "(\\S+)", "$1" + i.toString))
+        // keep the derived column consistent with the suffixed text
+        // (each token grew by len(str(i)) chars)
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 
     // Embeddings: shifted ids + circular rotation by replica index —

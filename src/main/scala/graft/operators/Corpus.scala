@@ -343,22 +343,6 @@ object Corpus {
     * wants paragraphs, not overlapping windows). */
   private val DedupChunkW = 40
 
-  /** q117 — chunk-level (sub-document) deduplication: split every
-    * document into disjoint 40-token chunks, keep only the FIRST
-    * occurrence of each distinct chunk corpus-wide (first = lowest
-    * (doc_id, chunk_id)), and report per-document retention — the
-    * FineWeb/RefinedWeb-style stage that removes boilerplate
-    * paragraphs repeated across pages without dropping whole
-    * documents.
-    *
-    * Skew discipline: first-occurrence selection is NOT a window
-    * (`row_number over (partition by sig)` puts every copy of a hot
-    * boilerplate chunk in one partition — the q87 lesson); it is
-    * `min(struct(doc_id, chunk_id))` — a mergeable aggregate that
-    * partially reduces map-side, so a chunk repeated a billion times
-    * costs one row per map task. The join back is on the 32-byte md5
-    * sig (never chunk text), and the per-doc rollup shuffles doc_id
-    * only. */
   /** Shared chunk→sig expansion — batch q117 AND its streaming twin
     * (streaming/CorpusStreams.chunkDedupStream) call THIS, so the two
     * paths cannot silently chunk or hash differently: disjoint
@@ -378,6 +362,22 @@ object Corpus {
         ++ keep: _*)
   }
 
+  /** q117 — chunk-level (sub-document) deduplication: split every
+    * document into disjoint 40-token chunks, keep only the FIRST
+    * occurrence of each distinct chunk corpus-wide (first = lowest
+    * (doc_id, chunk_id)), and report per-document retention — the
+    * FineWeb/RefinedWeb-style stage that removes boilerplate
+    * paragraphs repeated across pages without dropping whole
+    * documents.
+    *
+    * Skew discipline: first-occurrence selection is NOT a window
+    * (`row_number over (partition by sig)` puts every copy of a hot
+    * boilerplate chunk in one partition — the q87 lesson); it is
+    * `min(struct(doc_id, chunk_id))` — a mergeable aggregate that
+    * partially reduces map-side, so a chunk repeated a billion times
+    * costs one row per map task. The join back is on the 32-byte md5
+    * sig (never chunk text), and the per-doc rollup shuffles doc_id
+    * only. */
   def q117(spark: SparkSession, sfDir: String): DataFrame = {
     // Both the firsts aggregate and the join-back consume the SAME
     // full chunk row set (not disjoint subsets as in q68/q101), and

@@ -520,18 +520,25 @@ object TextAnalysis {
     * signal.
     *
     * Everything derives from ONE bigram relation, and the corpus is
-    * exploded exactly TWICE (model build + scoring side — deliberately
-    * not cached, it is corpus-sized; the q68 lesson): c2 is the
-    * (w1,w2) aggregate of the explode, and both c1 and v derive from
-    * the SMALL c2 relation, not from a re-explode — c1 = Σc2 grouped
-    * by w1 (counts of w1 AS CONTEXT — not raw unigram counts, which
-    * would overcount document-final tokens) and v = its distinct-w2
-    * count. The LM-side joins are vocabulary²-bounded, NOT pinned to
-    * broadcast: a web-corpus vocabulary (10⁷–10⁸ contexts) would OOM
-    * the driver under a forced broadcast hint, so AQE picks
-    * broadcast-vs-shuffle from measured sizes (spec-exercised both
-    * ways). The 1-row v scalar stays an explicit broadcast. Either
-    * way the per-doc reduction is a DECIMAL sum of ln-guarded terms. */
+    * exploded exactly TWICE — a structural guarantee, not optimizer
+    * luck: c2 (the (w1,w2) aggregate, vocabulary²-bounded = SMALL) is
+    * eagerly localCheckpoint'ed and its three consumers — the scoring
+    * join, c1 = Σc2 grouped by w1 (counts of w1 AS CONTEXT, not raw
+    * unigram counts, which would overcount document-final tokens),
+    * and v = its distinct-w2 count — all read the checkpointed rows.
+    * This is the cache-vs-branch rule's shared-small-result case
+    * (q119's checkpoint-not-persist lesson: no caller-visible release
+    * point); relying on exchange reuse instead was MEASURED to run
+    * the corpus explode 4× — the three aggregate subtrees don't
+    * canonicalize equal — so the two-pass claim is plan-pinned in
+    * PlanShapeSpec. The corpus-sized bigram explode itself is
+    * deliberately not cached (the q68 lesson); pass two is the
+    * scoring side. The LM-side joins are NOT pinned to broadcast: a
+    * web-corpus vocabulary (10⁷–10⁸ contexts) would OOM the driver
+    * under a forced broadcast hint, so AQE picks broadcast-vs-shuffle
+    * from measured sizes (spec-exercised both ways). The 1-row v
+    * scalar stays an explicit broadcast. Either way the per-doc
+    * reduction is a DECIMAL sum of ln-guarded terms. */
   def q122(spark: SparkSession, sfDir: String): DataFrame = {
     def bigrams = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
@@ -546,6 +553,7 @@ object TextAnalysis {
         .as("bg"))
       .select(col("doc_id"), col("source"), col("bg.w1"), col("bg.w2"))
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = c2.agg(countDistinct("w2").as("v"))
     val ds = bigrams
@@ -591,18 +599,22 @@ object TextAnalysis {
 
   /** q123 cutoff rank k = ceil(n/10), the ONE shared-formula string
     * both engines evaluate (restoring the shared-threshold
-    * discipline): exact integer arithmetic via floor((n+9)/10.0).
-    * n+9 and 10.0 are exact doubles; the correctly-rounded quotient's
-    * fractional part is either 0 (exactly representable for
-    * 10·k ≤ 2^53) or ≥ 0.1 — never within an ulp of an integer
-    * boundary for n < 2^49 — so floor() of the double quotient equals
-    * integer (n+9) div 10 on BOTH engines, with no dependence on
-    * either engine's DECIMAL-vs-binary literal typing. The final CAST
-    * matters: a bare double→BIGINT cast truncates in Spark but rounds
-    * half-to-even in DuckDB, so the explicit floor() is what keeps
-    * the cast exact on both. */
+    * discipline). Every leaf is CAST(... AS DOUBLE) per the round-5
+    * decimal-literal rule — a bare `10.0` literal parses as
+    * DECIMAL(3,1) in Spark but DOUBLE in DuckDB, which would make the
+    * "one shared string" run decimal division on one engine and
+    * binary on the other. With both sides in DOUBLE the exactness
+    * argument is one argument: n+9 and 10 are exact doubles; the
+    * correctly-rounded quotient's fractional part is either 0
+    * (exactly representable for 10·k ≤ 2^53) or ≥ 0.1 — never within
+    * an ulp of an integer boundary for n < 2^49 — so floor() of the
+    * quotient equals integer (n+9) div 10 on BOTH engines. The final
+    * CAST matters too: a bare double→BIGINT cast truncates in Spark
+    * but rounds half-to-even in DuckDB, so the explicit floor() is
+    * what keeps the cast exact on both. */
   private val calibKFormula =
-    s"CAST(floor((n + ${CalibDropDenom - 1}) / $CalibDropDenom.0) AS BIGINT)"
+    s"CAST(floor(CAST(n + ${CalibDropDenom - 1} AS DOUBLE) / " +
+      s"CAST($CalibDropDenom AS DOUBLE)) AS BIGINT)"
 
   /** q123 — per-source quality-threshold calibration: instead of one
     * global cutoff (which silently over-filters whole domains whose

@@ -209,6 +209,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"checkpointed CC labels missing from the plan:\n$p")
   }
 
+  test("q122: the corpus explodes exactly twice — scoring-side Generate + the checkpointed c2") {
+    // The two-pass claim is structural: c2 is eagerly checkpointed, so
+    // the final plan must show exactly ONE corpus scan and ONE bigram
+    // Generate (the scoring side); c1/v/join all read the ExistingRDD.
+    // Without the checkpoint the three c2 consumers were MEASURED to
+    // re-explode the corpus 4x (their subtrees don't canonicalize
+    // equal, so exchange reuse never fires).
+    val p = plan("q122_bigram_lm_xent")
+    val scans = "Scan parquet\\s+\\(\\d+\\)".r.findAllIn(p).size
+    val gens = "Generate \\(\\d+\\)".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    assert(gens == 1, s"expected 1 bigram Generate, got $gens:\n$p")
+    assert(p.contains("ExistingRDD"), s"checkpointed c2 missing:\n$p")
+  }
+
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
     // A Window.partitionBy(term) fully sorts each term's posting list
     // — a skew cliff on hot stop-terms at scale. The bounded

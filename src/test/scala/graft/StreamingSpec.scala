@@ -232,8 +232,14 @@ class StreamingSpec extends AnyFunSuite {
     try {
       assert(q.recentProgress.length >= 2,
         s"expected >=2 micro-batches, got ${q.recentProgress.length} — cross-batch path not exercised")
-      val got = spark.table("chunk_dedup_out")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val rows = spark.table("chunk_dedup_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val got = rows.toSet
+      // a sig must be ADMITTED once, not once per micro-batch — a
+      // re-emission bug with an identical keeper row would vanish in
+      // the Set compare, so pin no-duplicates explicitly
+      assert(rows.length === got.size,
+        s"${rows.length - got.size} duplicate emissions — first-occurrence contract broken")
       // batch truth: q117's keeper aggregate over the same corpus
       val want = graft.operators.Corpus
         .chunkSigs(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
