@@ -39,6 +39,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query without an oracle is a DECLARED rows-only sketch, never an accidental omission") {
+    // The driver's weaker rows-only check is a deliberate ceiling for
+    // engine-specific sketch bits (each carries its own guarantee
+    // spec). A new query landing without an oracle must show up here
+    // and be justified, not silently downgrade the correctness gate.
+    val declaredRowsOnly = Set(
+      "q32_media_decode_stub",   // typed mapPartitions decode (stub codec)
+      "q33_approx_distinct",     // HLL++ sketch ≠ DuckDB's sketch; 2·rsd spec
+      "q63_approx_percentiles",  // mergeable quantile sketch; rank-error spec
+      "q66_freq_items",          // Misra-Gries; no-false-negative spec
+      "q76_bloom_decontam",      // bloom false-positive set engine-specific
+      "q104_hll_sketch_union")   // DataSketches HLL union rollup
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual === declaredRowsOnly,
+      s"undeclared rows-only queries: ${actual -- declaredRowsOnly}; " +
+        s"stale declarations: ${declaredRowsOnly -- actual}")
+  }
+
   test("entry (flagship) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
