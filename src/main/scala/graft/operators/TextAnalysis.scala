@@ -708,6 +708,102 @@ object TextAnalysis {
        |FROM scored s JOIN cutoffs c ON s.source = c.source
        |GROUP BY s.source ORDER BY s.source""".stripMargin
 
+  /** q125 shared ln leaf: ln of an integer column, CAST-every-leaf +
+    * floorRound(12) before any product/sum (the q114 libm-ulp and
+    * round-5 decimal-literal rules). */
+  private def lnLeaf(c: String): String =
+    floorRoundSql(s"ln(CAST($c AS DOUBLE))", 12)
+
+  /** q125 OLS pieces over the spectrum moments (nd, sx, sx2, sy, sy2,
+    * sxy — all DOUBLE): shared verbatim with the oracle, zero-guarded
+    * so a degenerate 1-point spectrum yields 0, identically, instead
+    * of an engine-specific inf/NULL. */
+  private val zipfNum = "(nd * sxy - sx * sy)"
+  private val zipfDenX = "(nd * sx2 - sx * sx)"
+  private val zipfDenY = "(nd * sy2 - sy * sy)"
+  private val zipfSlopeF =
+    s"CASE WHEN $zipfDenX = 0 THEN 0 ELSE $zipfNum / $zipfDenX END"
+  private val zipfR2F =
+    s"CASE WHEN $zipfDenX * $zipfDenY = 0 THEN 0 ELSE " +
+      s"($zipfNum * $zipfNum) / ($zipfDenX * $zipfDenY) END"
+
+  /** q125 — Zipf frequency-spectrum diagnostic per source: the corpus
+    * QA check that catches templated/machine-generated sources by
+    * their token-frequency SHAPE rather than any per-document signal.
+    * Natural text follows Zipf's law, so the frequency spectrum (how
+    * many types occur exactly f times) is near log-log linear with a
+    * characteristic negative slope; keyword-stuffed or boilerplate
+    * sources bend or flatten it. Reported per source: token/type
+    * totals, spectrum size, and the closed-form OLS fit (slope + R²)
+    * of ln(n_types) on ln(freq) — the q89 "regression without
+    * gradient descent" discipline applied one aggregate higher.
+    * (The synthetic test corpus demonstrates the flag live: its
+    * near-uniform word soup fits POSITIVE slopes on 16/20 sources —
+    * precisely the non-Zipfian signature this check exists to catch;
+    * natural text sits strongly negative.)
+    *
+    * Scale shape: ONE corpus pass (token explode → map-combined
+    * (source, tok) counts), then a frequency-of-frequencies rollup —
+    * O(vocabulary) in, O(sources × distinct frequencies) out, with
+    * the distinct-frequency count bounded by √(2·tokens) per source
+    * (f·n_f ≤ N forces few distinct f) — so the OLS moments aggregate
+    * over a provably TINY relation; token totals derive from the
+    * spectrum itself (Σ f·n_f), costing no extra pass.
+    *
+    * Determinism: ln leaves floorRound to 12 (libm ulp skew), x·y /
+    * x² products of bit-identical doubles are correctly-rounded IEEE
+    * (the q119 argument) and sum in DECIMAL(28,12); the final slope /
+    * R² algebra runs in DOUBLE through ONE shared formula string with
+    * a shared zero-guard. */
+  def q125(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+    val spec = tf.groupBy("source", "freq").agg(count(lit(1)).as("n_types"))
+      .select(col("source"), col("freq"), col("n_types"),
+        expr(lnLeaf("freq")).as("x"), expr(lnLeaf("n_types")).as("y"))
+    val m = spec.groupBy("source").agg(
+      count(lit(1)).cast("double").as("nd"),
+      sum(col("freq") * col("n_types")).as("n_tokens"),
+      sum(col("n_types")).as("n_types_total"),
+      sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+      sum(expr("CAST(x * x AS DECIMAL(28,12))")).cast("double").as("sx2"),
+      sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+      sum(expr("CAST(y * y AS DECIMAL(28,12))")).cast("double").as("sy2"),
+      sum(expr("CAST(x * y AS DECIMAL(28,12))")).cast("double").as("sxy"))
+    m.select(col("source"), col("n_tokens"),
+        col("n_types_total").as("n_types"), col("nd").cast("long").as("n_freqs"),
+        floorRound(expr(zipfSlopeF), 6).as("zipf_slope"),
+        floorRound(expr(zipfR2F), 6).as("r2"))
+      .orderBy("source")
+  }
+
+  val q125Sql: String =
+    s"""WITH tf AS (
+       |  SELECT source, tok, count(*) AS freq FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY source, tok),
+       |spec AS (
+       |  SELECT source, freq, count(*) AS n_types,
+       |    ${lnLeaf("freq")} AS x, ${lnLeaf("count(*)")} AS y
+       |  FROM tf GROUP BY source, freq),
+       |m AS (
+       |  SELECT source,
+       |    CAST(count(*) AS DOUBLE) AS nd,
+       |    CAST(sum(freq * n_types) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_types) AS BIGINT) AS n_types_total,
+       |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sx2,
+       |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS sy2,
+       |    CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+       |  FROM spec GROUP BY source)
+       |SELECT source, n_tokens, n_types_total AS n_types,
+       |  CAST(nd AS BIGINT) AS n_freqs,
+       |  ${floorRoundSql(zipfSlopeF, 6)} AS zipf_slope,
+       |  ${floorRoundSql(zipfR2F, 6)} AS r2
+       |FROM m ORDER BY source""".stripMargin
+
   /** q118 cascade thresholds (Gopher-rule shapes, tuned to be
     * non-degenerate on the synthetic corpus: each rule drops a
     * measurable slice at sf0.01). */
@@ -807,6 +903,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_bigram_lm_xent" -> q122 _,
     "q123_quality_calibration" -> q123 _,
+    "q125_zipf_spectrum" -> q125 _,
     "q118_filter_cascade" -> q118 _,
     "q107_lm_xent_score" -> q107 _,
     "q53_llm_pipeline" -> q53 _,
@@ -823,6 +920,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q122_bigram_lm_xent" -> q122Sql,
     "q123_quality_calibration" -> q123Sql,
+    "q125_zipf_spectrum" -> q125Sql,
     "q118_filter_cascade" -> q118Sql,
     "q107_lm_xent_score" -> q107Sql,
     "q53_llm_pipeline" -> q53Sql,

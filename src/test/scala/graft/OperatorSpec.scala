@@ -447,6 +447,45 @@ class OperatorSpec extends AnyFunSuite {
       s"cutoff paths disagree: hist=$hist window=$window")
   }
 
+  test("q125 Zipf spectrum matches a local reference fit and conserves token totals") {
+    val rows = SparkEntry.queries("q125_zipf_spectrum")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+    def r12(v: Double): Double = math.floor(v * 1e12 + 0.5) / 1e12
+    docs.groupBy(_.getString(0)).foreach { case (src, ds) =>
+      val toks = ds.flatMap(_.getString(1).split(' '))
+      val tf = toks.groupBy(identity).map(_._2.length).toSeq
+      val spec = tf.groupBy(identity).map { case (f, g) => (f, g.size) }.toSeq
+      val (nTokens, nTypes, nFreqs, slope, r2) = rows(src)
+      assert(nTokens === toks.length.toLong, s"$src token total")
+      assert(nTypes === tf.length.toLong, s"$src type total")
+      assert(nFreqs === spec.length.toLong, s"$src spectrum size")
+      val pts = spec.map { case (f, n) => (r12(math.log(f)), r12(math.log(n))) }
+      val nd = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sx2 = pts.map(p => p._1 * p._1).sum
+      val sy2 = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val denX = nd * sx2 - sx * sx; val denY = nd * sy2 - sy * sy
+      val num = nd * sxy - sx * sy
+      val refSlope = if (denX == 0) 0.0 else num / denX
+      val refR2 = if (denX * denY == 0) 0.0 else num * num / (denX * denY)
+      assert(math.abs(slope - refSlope) < 1e-4, s"$src slope $slope vs $refSlope")
+      assert(math.abs(r2 - refR2) < 1e-4, s"$src r2 $r2 vs $refR2")
+    }
+    // No directional claim on the synthetic corpus: near-uniform word
+    // soup is exactly the NON-Zipfian shape the diagnostic exists to
+    // flag, and it does — 16/20 sources fit a positive slope at
+    // sf0.001 (natural text would be strongly negative). Pin fit
+    // validity instead: R² is a proper squared correlation.
+    rows.values.foreach { case (_, _, _, slope, r2) =>
+      assert(!slope.isNaN && !slope.isInfinite, "slope must be finite")
+      assert(r2 >= 0 && r2 <= 1 + 1e-9, s"r2 $r2 out of [0,1]")
+    }
+  }
+
   test("q121 canonicalization: exactly one canonical per cluster, consistent with q62") {
     val decisions = SparkEntry.queries("q121_cluster_canonical")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
