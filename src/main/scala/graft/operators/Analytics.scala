@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleRound.{floorRound, floorRoundSql, exactSum, exactSumSql}
+import graft.functions.Ols
 import graft.sources.Tables
 
 /** Statistical / warehouse-analytics operators — the fourth wave:
@@ -125,7 +126,7 @@ object Analytics {
     * dimension broadcasts; the fact table is read once; state is
     * O(brands). */
   def q89(spark: SparkSession, sfDir: String): DataFrame = {
-    val slope = "(n * sxy - s1 * sy) / (n * s2 - s1 * s1)"
+    val slope = Ols.slope("n", "s1", "s2", "sy", "sxy")
     val icept = s"(sy - ($slope) * s1) / n"
     val r2 = {
       val c = corrF("n", "s1", "s2", "sy", "sy2", "sxy")
@@ -151,7 +152,7 @@ object Analytics {
   }
 
   val q89Sql: String = {
-    val slope = "(n * sxy - s1 * sy) / (n * s2 - s1 * s1)"
+    val slope = Ols.slope("n", "s1", "s2", "sy", "sxy")
     val icept = s"(sy - ($slope) * s1) / n"
     val c = corrF("n", "s1", "s2", "sy", "sy2", "sxy")
     s"""WITH m AS (

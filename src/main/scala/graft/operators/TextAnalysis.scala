@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleRound.{floorRound, floorRoundSql}
+import graft.functions.Ols
 import graft.sources.Tables
 
 /** Text-analysis operators over `documents` (SURVEY.md §7.1 B4):
@@ -714,18 +715,16 @@ object TextAnalysis {
   private def lnLeaf(c: String): String =
     floorRoundSql(s"ln(CAST($c AS DOUBLE))", 12)
 
-  /** q125 OLS pieces over the spectrum moments (nd, sx, sx2, sy, sy2,
-    * sxy — all DOUBLE): shared verbatim with the oracle, zero-guarded
-    * so a degenerate 1-point spectrum yields 0, identically, instead
-    * of an engine-specific inf/NULL. */
-  private val zipfNum = "(nd * sxy - sx * sy)"
-  private val zipfDenX = "(nd * sx2 - sx * sx)"
-  private val zipfDenY = "(nd * sy2 - sy * sy)"
-  private val zipfSlopeF =
-    s"CASE WHEN $zipfDenX = 0 THEN 0 ELSE $zipfNum / $zipfDenX END"
-  private val zipfR2F =
-    s"CASE WHEN $zipfDenX * $zipfDenY = 0 THEN 0 ELSE " +
-      s"($zipfNum * $zipfNum) / ($zipfDenX * $zipfDenY) END"
+  /** q125 OLS fit over the spectrum moments (nd, sx, sx2, sy, sy2,
+    * sxy — all DOUBLE): the shared [[Ols]] formulas (same strings as
+    * q89's fit), degenerate-guarded on the POINT COUNT `nd <= 1` —
+    * not on `denX = 0`, which a 1-point spectrum at freq ≥ 2 misses
+    * by a ~1e-13 rounding residual (see [[Ols]] scaladoc) — so a
+    * source whose types all share one frequency reports slope 0 /
+    * R² 0 identically on both engines, and R² is range-clamped to
+    * its mathematical [0,1]. */
+  private val zipfSlopeF = Ols.slopeGuarded("nd", "sx", "sx2", "sy", "sxy")
+  private val zipfR2F = Ols.r2Guarded("nd", "sx", "sx2", "sy", "sy2", "sxy")
 
   /** q125 — Zipf frequency-spectrum diagnostic per source: the corpus
     * QA check that catches templated/machine-generated sources by
@@ -753,8 +752,8 @@ object TextAnalysis {
     * Determinism: ln leaves floorRound to 12 (libm ulp skew), x·y /
     * x² products of bit-identical doubles are correctly-rounded IEEE
     * (the q119 argument) and sum in DECIMAL(28,12); the final slope /
-    * R² algebra runs in DOUBLE through ONE shared formula string with
-    * a shared zero-guard. */
+    * R² algebra runs in DOUBLE through the ONE shared [[Ols]] formula
+    * string with its count-based degenerate guard. */
   def q125(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = Tables.documents(spark, sfDir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))

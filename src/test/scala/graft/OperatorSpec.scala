@@ -455,7 +455,10 @@ class OperatorSpec extends AnyFunSuite {
       .select("source", "text").collect()
     def r12(v: Double): Double = math.floor(v * 1e12 + 0.5) / 1e12
     docs.groupBy(_.getString(0)).foreach { case (src, ds) =>
-      val toks = ds.flatMap(_.getString(1).split(' '))
+      // limit -1 keeps trailing empty tokens, matching BOTH engines:
+      // Spark's split(text, " ") and DuckDB's string_split keep them;
+      // Scala's default split(' ') would silently drop them.
+      val toks = ds.flatMap(_.getString(1).split(" ", -1))
       val tf = toks.groupBy(identity).map(_._2.length).toSeq
       val spec = tf.groupBy(identity).map { case (f, g) => (f, g.size) }.toSeq
       val (nTokens, nTypes, nFreqs, slope, r2) = rows(src)
@@ -470,8 +473,10 @@ class OperatorSpec extends AnyFunSuite {
       val sxy = pts.map(p => p._1 * p._2).sum
       val denX = nd * sx2 - sx * sx; val denY = nd * sy2 - sy * sy
       val num = nd * sxy - sx * sy
-      val refSlope = if (denX == 0) 0.0 else num / denX
-      val refR2 = if (denX * denY == 0) 0.0 else num * num / (denX * denY)
+      val refSlope = if (nd <= 1 || denX == 0) 0.0 else num / denX
+      val refR2 = math.min(math.max(
+        if (nd <= 1 || denX * denY == 0) 0.0
+        else num * num / (denX * denY), 0.0), 1.0)
       assert(math.abs(slope - refSlope) < 1e-4, s"$src slope $slope vs $refSlope")
       assert(math.abs(r2 - refR2) < 1e-4, s"$src r2 $r2 vs $refR2")
     }
@@ -484,6 +489,36 @@ class OperatorSpec extends AnyFunSuite {
       assert(!slope.isNaN && !slope.isInfinite, "slope must be finite")
       assert(r2 >= 0 && r2 <= 1 + 1e-9, s"r2 $r2 out of [0,1]")
     }
+  }
+
+  test("q125 degenerate one-point spectra report slope 0 / r2 0 (count guard, not denX=0)") {
+    // A source whose types ALL share one frequency f >= 2 produces a
+    // single spectrum point at x = ln(f) != 0, where nd*sx2 - sx*sx
+    // is a ~1e-13 double->DECIMAL rounding residual, NOT exact zero —
+    // an exact-zero guard misses it and the slope/R² become amplified
+    // rounding noise (observed R² up to 287 before the fix). The
+    // count-based guard must report 0/0 for it, and 0/0 for the
+    // f = 1 one-point source (x = ln(1) = 0) too.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf_degen").toString
+    Seq(
+      (1L, "a a b b c c d d e e f f g g", "xx", "degen_f2", 27L),
+      (2L, "p q r s t", "xx", "degen_f1", 9L),
+      (3L, "w w w x x y z z z z", "xx", "mixed", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q125_zipf_spectrum")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out("degen_f2") === ((1L, 0.0, 0.0)), "f=2 one-point spectrum")
+    assert(out("degen_f1") === ((1L, 0.0, 0.0)), "f=1 one-point spectrum")
+    // The non-degenerate source still gets a real fit: w:3 x:2 y:1 z:4
+    // -> spectrum {(1,1),(2,1),(3,1),(4,1)} is 4 points with varying
+    // x and CONSTANT y = ln(1) = 0, so slope = 0 via the algebra (not
+    // the guard) and R² = 0 via the exact-zero denY (y sums are
+    // exactly 0, no rounding residual).
+    assert(out("mixed")._1 === 4L)
+    assert(math.abs(out("mixed")._2) < 1e-9 && out("mixed")._3 === 0.0)
   }
 
   test("q121 canonicalization: exactly one canonical per cluster, consistent with q62") {
