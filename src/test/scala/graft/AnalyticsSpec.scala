@@ -428,7 +428,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val terms = Set("hash", "join", "scan")
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(' '))
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
     val n = docs.length.toDouble
     val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
     val df = terms.map(t => t -> docs.count(_._2.contains(t))).toMap

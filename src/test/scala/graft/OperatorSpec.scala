@@ -95,7 +95,7 @@ class OperatorSpec extends AnyFunSuite {
     val sets = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map { r =>
-        val t = r.getString(1).split(' ')
+        val t = r.getString(1).split(" ", -1)
         r.getLong(0) -> (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
       }.filter(_._2.nonEmpty)
     val truth = (for {
@@ -370,7 +370,7 @@ class OperatorSpec extends AnyFunSuite {
     val scored = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()
       .map { r =>
-        val t = r.getString(2).split(' ')
+        val t = r.getString(2).split(" ", -1)
         (r.getLong(0), r.getString(1),
           math.floor(t.count(stop).toDouble / t.length * 1e6 + 0.5) / 1e6)
       }
@@ -390,7 +390,7 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(' ')))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
     val bigrams = docs.flatMap { case (_, _, t) => t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))) }
     val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
     val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length }
@@ -627,7 +627,7 @@ class OperatorSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q118_filter_cascade")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val docs = graft.sources.Tables.documents(spark, sf)
-      .select("text").collect().map(_.getString(0).split(' '))
+      .select("text").collect().map(_.getString(0).split(" ", -1))
     val stop = Set("the", "a", "of", "and", "to", "in")
     def p1(t: Array[String]) = t.length >= 20 && t.length <= 90
     def p2(t: Array[String]) = t.count(stop) .toDouble / t.length >= 0.02
