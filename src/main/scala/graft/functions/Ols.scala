@@ -1,17 +1,26 @@
 package graft.functions
 
-/** Closed-form ordinary-least-squares algebra over raw power sums —
-  * the ONE place the determinism-sensitive fit formulas live, shared
-  * verbatim (same string → same bits) between the Spark `expr` path
-  * and each DuckDB oracle, and between the queries that fit lines
-  * from mergeable moments (q89 price-on-quantity per brand,
-  * q125 Zipf log-log spectrum per source).
+/** Closed-form ordinary-least-squares / correlation algebra over raw
+  * power sums — the shared home of the slope, R², and Pearson
+  * formula strings, shared verbatim (same string → same bits)
+  * between the Spark `expr` path and each DuckDB oracle, and between
+  * the queries that fit lines from mergeable moments (q88 moment
+  * stats, q89 price-on-quantity per brand, q125 Zipf log-log
+  * spectrum per source). Derived pieces that are query-local algebra
+  * over these (q89's intercept, its corr²-form R²) stay at the call
+  * site.
   *
-  * All arguments are column/alias NAMES; the caller owns getting the
-  * moments themselves bit-identical across engines (DECIMAL sums of
-  * floorRound-ed leaves — the q88/q114 discipline). The formulas run
-  * in DOUBLE, where products and quotients of bit-identical inputs
-  * are correctly-rounded IEEE on every engine.
+  * All arguments are column/alias NAMES in the CANONICAL MOMENT
+  * ORDER (n, sx, sx2, sy, sy2, sxy), with each helper simply
+  * omitting the moments it doesn't use — keep call sites in that
+  * order, because every parameter is a String and a transposed call
+  * compiles silently into plausible-but-wrong SQL on BOTH engines at
+  * once (the cross-engine hash cannot catch a shared wrong formula).
+  * The caller owns getting the moments themselves bit-identical
+  * across engines (DECIMAL sums of floorRound-ed leaves — the
+  * q88/q114 discipline). The formulas run in DOUBLE, where products
+  * and quotients of bit-identical inputs are correctly-rounded IEEE
+  * on every engine.
   *
   * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) — the textbook normal-
   * equation solution, "distributed linear regression without
@@ -54,6 +63,15 @@ object Ols {
   /** (nΣy² − (Σy)²) — y-variance term of R². */
   def denY(n: String, sy: String, sy2: String): String =
     s"($n * $sy2 - $sy * $sy)"
+
+  /** Pearson correlation from bivariate raw moments — the
+    * covariance/std form (q88's corr, squared by q89 for its R²;
+    * distinct from [[r2Guarded]]'s num²/(denX·denY) form, which
+    * avoids sqrt for the guard algebra). */
+  def corr(n: String, sx: String, sx2: String,
+           sy: String, sy2: String, sxy: String): String =
+    s"($sxy - $sx * $sy / $n) / " +
+      s"(sqrt($sx2 - $sx * $sx / $n) * sqrt($sy2 - $sy * $sy / $n))"
 
   /** Unguarded slope — for fits whose regressor provably varies
     * within every group (q89: l_quantity spans 1..50 per brand). */

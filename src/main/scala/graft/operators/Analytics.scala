@@ -61,11 +61,13 @@ object Analytics {
     s"$m4 / ($m2 * $m2) - 3.0"
   }
 
-  /** Pearson correlation from bivariate raw moments. */
+  /** Pearson correlation from bivariate raw moments — delegates to
+    * the shared [[Ols.corr]] string (byte-identical to the formula
+    * that lived here through r5, so the q88/q89 oracle hashes are
+    * unchanged). */
   private def corrF(n: String, s1: String, s2: String,
                     sy: String, sy2: String, sxy: String): String =
-    s"($sxy - $s1 * $sy / $n) / " +
-      s"(sqrt($s2 - $s1 * $s1 / $n) * sqrt($sy2 - $sy * $sy / $n))"
+    Ols.corr(n, s1, s2, sy, sy2, sxy)
 
   /** q88 — descriptive moment statistics: mean, sample stddev,
     * skewness, excess kurtosis of `l_quantity` and its Pearson

@@ -57,7 +57,7 @@ object Dedup {
     val raw = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split(' ')
+        val t = text.split(" ", -1)
         if (t.length < ShingleK) Iterator.empty
         else (0 to t.length - ShingleK).iterator
           .map(i => (id, t.slice(i, i + ShingleK).mkString(" ")))
@@ -68,8 +68,11 @@ object Dedup {
   /** Distinct (doc_id, source, sh) shingles — the [[shingles]] shape
     * widened with the source column for consumers that split the
     * corpus by provenance (TextAnalysis q68 decontamination). Lives
-    * here so the Scala `split(' ')` ↔ DuckDB `string_split` pairing
-    * stays single-sourced. */
+    * here so the Scala `split(" ", -1)` ↔ DuckDB `string_split`
+    * pairing stays single-sourced (limit -1 keeps trailing empty
+    * tokens exactly like `string_split` and Catalyst `split` do —
+    * Scala's default limit-0 split would silently drop them,
+    * diverging from the oracle on any trailing-space text). */
   private[operators] def shinglesWithSource(spark: SparkSession,
       sfDir: String, rowFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
@@ -81,7 +84,7 @@ object Dedup {
     rowFilter.fold(docs)(docs.filter)
       .as[(Long, String, String)]
       .flatMap { case (id, src, text) =>
-        val t = text.split(' ')
+        val t = text.split(" ", -1)
         if (t.length < ShingleK) Iterator.empty
         else (0 to t.length - ShingleK).iterator
           .map(i => (id, src, t.slice(i, i + ShingleK).mkString(" ")))

@@ -157,7 +157,7 @@ object TextAnalysis {
     val fp = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split(' ')
+        val t = text.split(" ", -1)
         if (t.length < 4) Iterator.empty
         else (0 to t.length - 4).iterator
           .map(i => (id, t.slice(i, i + 4).mkString(" ")))
