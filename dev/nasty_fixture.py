@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Build an adversarially-perturbed copy of an sf dir for tokenizer
+edge-case sweeps: same tables, same row counts, but documents.text
+gains trailing / leading / doubled interior spaces on deterministic
+doc_id strata (n_chars recomputed to keep the n_chars = len(text)
+generator invariant). Running dev/check.py against the output proves
+the Spark engine and the DuckDB oracle agree on empty-token
+semantics — the divergence class the round-6 split(" ", -1) fix
+closed — instead of relying on the clean fixtures never exercising it.
+
+Usage: python3 dev/nasty_fixture.py [srcSfDir] [outDir]
+"""
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_nasty"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "embeddings"]
+
+os.makedirs(OUT, exist_ok=True)
+for t in TABLES:
+    shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+tab = pq.read_table(f"{SRC}/documents.parquet")
+cols = {name: tab.column(name).to_pylist() for name in tab.column_names}
+
+n_perturbed = 0
+for i, (doc_id, text) in enumerate(zip(cols["doc_id"], cols["text"])):
+    orig = text
+    if doc_id % 7 == 0:
+        text = text + " "          # trailing empty token
+    if doc_id % 11 == 0:
+        text = " " + text          # leading empty token
+    if doc_id % 5 == 0 and " " in text:
+        text = text.replace(" ", "  ", 1)  # interior empty token
+    if text != orig:
+        n_perturbed += 1
+        cols["text"][i] = text
+        cols["n_chars"][i] = len(text)
+
+out = pa.table(
+    {name: pa.array(cols[name], type=tab.schema.field(name).type)
+     for name in tab.column_names})
+pq.write_table(out, f"{OUT}/documents.parquet")
+print(f"perturbed {n_perturbed}/{len(cols['doc_id'])} documents -> {OUT}")
