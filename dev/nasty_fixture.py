@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Build an adversarially-perturbed copy of an sf dir for tokenizer
 edge-case sweeps: same tables, same row counts, but documents.text
-gains trailing / leading / doubled interior spaces on deterministic
+gains trailing / leading / doubled interior spaces, a non-ASCII
+(BMP-only) token, and one fully-empty document on deterministic
 doc_id strata (n_chars recomputed to keep the n_chars = len(text)
-generator invariant). Running dev/check.py against the output proves
-the Spark engine and the DuckDB oracle agree on empty-token
-semantics — the divergence class the round-6 split(" ", -1) fix
-closed — instead of relying on the clean fixtures never exercising it.
+generator invariant; Python len counts code points, matching Spark's
+UTF8String.numChars and DuckDB's len — astral-plane chars are
+deliberately excluded since they'd also have to survive parquet
+round-trips identically). Running dev/check.py against the output
+proves the Spark engine and the DuckDB oracle agree on empty-token,
+Unicode-length, and empty-string-split semantics — the divergence
+class the round-6 split(" ", -1) fix closed — instead of relying on
+the clean fixtures never exercising them.
 
 Usage: python3 dev/nasty_fixture.py [srcSfDir] [outDir]
 """
@@ -39,6 +44,10 @@ for i, (doc_id, text) in enumerate(zip(cols["doc_id"], cols["text"])):
         text = " " + text          # leading empty token
     if doc_id % 5 == 0 and " " in text:
         text = text.replace(" ", "  ", 1)  # interior empty token
+    if doc_id % 13 == 0:
+        text = text + " naïve-日本語"       # non-ASCII token (BMP only)
+    if doc_id == 250:
+        text = ""                          # fully-empty document
     if text != orig:
         n_perturbed += 1
         cols["text"][i] = text
