@@ -38,14 +38,19 @@ cols = {name: tab.column(name).to_pylist() for name in tab.column_names}
 n_perturbed = 0
 for i, (doc_id, text) in enumerate(zip(cols["doc_id"], cols["text"])):
     orig = text
-    if doc_id % 7 == 0:
-        text = text + " "          # trailing empty token
-    if doc_id % 11 == 0:
-        text = " " + text          # leading empty token
-    if doc_id % 5 == 0 and " " in text:
-        text = text.replace(" ", "  ", 1)  # interior empty token
+    # Order keeps each stratum pure under overlap: the Unicode append
+    # and interior doubling run first (on original text), the leading
+    # prepend next, and the trailing append LAST — so a %7 doc always
+    # ends with a space even when it is also %13, and a %5 doc's
+    # doubled space is a genuine interior one even when it is also %11.
     if doc_id % 13 == 0:
         text = text + " naïve-日本語"       # non-ASCII token (BMP only)
+    if doc_id % 5 == 0 and " " in text:
+        text = text.replace(" ", "  ", 1)  # interior empty token
+    if doc_id % 11 == 0:
+        text = " " + text          # leading empty token
+    if doc_id % 7 == 0:
+        text = text + " "          # trailing empty token
     if doc_id == 250:
         text = ""                          # fully-empty document
     if text != orig:
