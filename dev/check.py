@@ -85,11 +85,23 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
-    names = ONLY or sorted(os.listdir(OUT_DIR))
+    # Iterate the REGISTERED roster, not the outDir listing: a query
+    # that failed Spark-side leaves no output dir, and skipping it
+    # would under-count failures (that blind spot hid 19 breakages
+    # when the events fixture changed physical ts type).
+    reg_path = os.path.join(OUT_DIR, "_registered.json")
+    if os.path.exists(reg_path):
+        registered = json.load(open(reg_path))
+    else:
+        registered = sorted(n for n in os.listdir(OUT_DIR)
+                            if os.path.isdir(os.path.join(OUT_DIR, n)))
+    names = ONLY or registered
     n_pass = n_fail = 0
     for name in names:
         d = os.path.join(OUT_DIR, name)
         if not os.path.isdir(d):
+            print(f"FAIL {name}: no output dir (Spark-side failure)")
+            n_fail += 1
             continue
         files = glob.glob(d + "/*.parquet")
         if not files:

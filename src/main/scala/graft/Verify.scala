@@ -46,6 +46,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The full registered-query roster, so the comparer can detect a
+    // query that failed Spark-side (its output dir is deleted above):
+    // without this, a comparer that iterates outDir silently skips
+    // failures instead of counting them — the gap that let a fixture
+    // schema change break 19 events queries invisibly.
+    Files.writeString(Paths.get(s"$outDir/_registered.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -419,6 +419,102 @@ object Corpus {
             "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS kept_ratio
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q127 — target-mixture rebalancing by deterministic downsampling:
+    * bring every source to an EQUAL token share (the flatten-to-
+    * uniform target; q72's α-temperature is the planning view, this
+    * is the enforcement view) by computing per-source keep rates
+    * min(1, target_share / actual_share) and keeping exactly the
+    * documents whose [[graft.functions.HashBucket]] uniform falls
+    * under their source's rate. No RNG: the same documents survive
+    * on any engine, partitioning, or retry — the reproducibility
+    * property a 100 TB rebalancing job actually needs, and the same
+    * primitive q50/q80/q102 already share.
+    *
+    * Scale shape: two corpus passes are inherent (keep rates depend
+    * on global per-source totals; any one-pass scheme would need the
+    * future). Pass 1 is a narrow (source, n_tokens) rollup —
+    * map-side partial, O(sources) result. The rate table then
+    * BROADCASTS (sources are bounded, ~20); pass 2 is one codegen'd
+    * scan with the md5 test fused — no shuffle of document rows at
+    * all, only the O(sources) kept-rollup exchange. Reported
+    * achieved_share proves the rebalance worked (≈ target for
+    * downsampled sources; < target only where rate capped at 1).
+    *
+    * Numerics: token totals are exact BIGINT sums; shares and rates
+    * divide those in DOUBLE (bit-identical on both engines given
+    * identical operand trees); presentation doubles floorRound-ed. */
+  def q127(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+    val tot = per.agg(sum("src_tokens").as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("actual_share",
+        col("src_tokens").cast("double") / col("tot_tokens").cast("double"))
+      .withColumn("keep_rate",
+        least(lit(1.0),
+          lit(1.0) / col("n_sources").cast("double") / col("actual_share")))
+    val kept = docs
+      .join(broadcast(rates.select("source", "keep_rate")), Seq("source"))
+      .filter(expr(graft.functions.HashBucket.rawExpr("doc_id"))
+        .cast("double") / 4294967296.0 < col("keep_rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
+    val keptTot = kept.agg(sum("kept_tokens").as("kt"))
+    rates.join(kept, Seq("source"), "left").crossJoin(broadcast(keptTot))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        floorRound(col("actual_share"), 6).as("actual_share"),
+        floorRound(col("keep_rate"), 6).as("keep_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        floorRound(coalesce(col("kept_tokens"), lit(0L)).cast("double")
+          / col("kt").cast("double"), 6).as("achieved_share"))
+      .orderBy("source")
+  }
+
+  val q127Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM d GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+       |    count(*) AS n_sources
+       |  FROM per),
+       |rates AS (
+       |  SELECT p.source, p.n_docs, p.src_tokens,
+       |    CAST(p.src_tokens AS DOUBLE) / CAST(t.tot_tokens AS DOUBLE)
+       |      AS actual_share,
+       |    least(1.0, 1.0 / CAST(t.n_sources AS DOUBLE)
+       |      / (CAST(p.src_tokens AS DOUBLE) / CAST(t.tot_tokens AS DOUBLE)))
+       |      AS keep_rate
+       |  FROM per p, tot t),
+       |kept AS (
+       |  SELECT d.source, count(*) AS n_kept,
+       |    CAST(sum(d.n_tokens) AS BIGINT) AS kept_tokens
+       |  FROM d JOIN rates r ON d.source = r.source
+       |  WHERE CAST(${graft.functions.HashBucket.rawSql("d.doc_id")} AS DOUBLE)
+       |    / 4294967296.0 < r.keep_rate
+       |  GROUP BY d.source),
+       |kt AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS kt FROM kept)
+       |SELECT r.source, r.n_docs, r.src_tokens,
+       |  ${floorRoundSql("r.actual_share", 6)} AS actual_share,
+       |  ${floorRoundSql("r.keep_rate", 6)} AS keep_rate,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  coalesce(k.kept_tokens, 0) AS kept_tokens,
+       |  ${floorRoundSql(
+            "CAST(coalesce(k.kept_tokens, 0) AS DOUBLE) / CAST(kt.kt AS DOUBLE)", 6)}
+       |    AS achieved_share
+       |FROM rates r LEFT JOIN kept k ON r.source = k.source, kt
+       |ORDER BY r.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_doc_chunking" -> q69 _,
     "q70_repetition_score" -> q70 _,
@@ -427,7 +523,8 @@ object Corpus {
     "q76_bloom_decontam" -> q76 _,
     "q78_regex_scrub" -> q78 _,
     "q113_bm25_retrieval" -> q113 _,
-    "q117_chunk_dedup" -> q117 _)
+    "q117_chunk_dedup" -> q117 _,
+    "q127_mixture_rebalance" -> q127 _)
 
   val oracles: Map[String, String] = Map(
     "q69_doc_chunking" -> q69Sql,
@@ -436,5 +533,6 @@ object Corpus {
     "q72_domain_mixture" -> q72Sql,
     "q78_regex_scrub" -> q78Sql,
     "q113_bm25_retrieval" -> q113Sql,
-    "q117_chunk_dedup" -> q117Sql)
+    "q117_chunk_dedup" -> q117Sql,
+    "q127_mixture_rebalance" -> q127Sql)
 }

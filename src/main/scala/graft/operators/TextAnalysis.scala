@@ -803,6 +803,138 @@ object TextAnalysis {
        |  ${floorRoundSql(zipfR2F, 6)} AS r2
        |FROM m ORDER BY source""".stripMargin
 
+  /** q126 head size: the merge table a BPE trainer would act on. */
+  private val BpeTopPairs = 30
+
+  /** q126 — BPE merge-pair statistics: corpus-weighted counts of
+    * adjacent CHARACTER pairs inside tokens — exactly the statistic a
+    * byte-pair-encoding tokenizer trainer maximizes on its first
+    * merge round (Sennrich et al. 2016's count table). Reported per
+    * pair: the occurrence count weighted by token frequency (a pair
+    * occurring twice in one token type counts twice per occurrence of
+    * that token) and the number of distinct token types containing
+    * it; head = top 30 by weighted count.
+    *
+    * Scale shape — the real BPE-trainer trick: the corpus is touched
+    * ONCE (token explode → map-combined vocabulary counts), and the
+    * quadratic-ish work — expanding every within-token character
+    * pair — runs over the VOCABULARY relation (O(|V|·len), millions
+    * of rows at web scale), never the corpus (trillions of tokens).
+    * A naive per-document character explode would generate ~n_chars
+    * rows per document corpus-wide; aggregating first makes the
+    * expansion cost independent of corpus size for a fixed
+    * vocabulary. PlanShapeSpec pins the Generate above the vocab
+    * Aggregate. Head selection is TakeOrdered (no global sort).
+    *
+    * Determinism: counts are exact integers; ordering ties break on
+    * the pair string itself. Both engines index substrings by
+    * codepoint, so the pair table agrees under the non-ASCII BMP
+    * fixtures exercised by dev/nasty_fixture.py. */
+  def q126(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(length(col("tok")) >= 2)
+    vocab
+      .select(col("tok"), col("freq"),
+        explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").as("n_weighted"), countDistinct(col("tok")).as("n_types"))
+      .orderBy(col("n_weighted").desc, col("pair"))
+      .limit(BpeTopPairs)
+  }
+
+  val q126Sql: String =
+    s"""WITH vocab AS (
+       |  SELECT tok, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+       |  GROUP BY tok HAVING len(tok) >= 2),
+       |pairs AS (
+       |  SELECT tok, freq,
+       |    unnest(list_transform(range(1, len(tok)), i -> tok[i:i+1])) AS pair
+       |  FROM vocab)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_weighted,
+       |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+       |FROM pairs GROUP BY pair
+       |ORDER BY n_weighted DESC, pair LIMIT $BpeTopPairs""".stripMargin
+
+  /** q128 — quality-signal correlation audit: the Pearson matrix
+    * between the three cheap per-document signals every filter
+    * cascade leans on — token count, character count, distinct-token
+    * (type) count — per source. The audit a pipeline owner runs
+    * BEFORE tuning q118-style cascade thresholds: two signals
+    * correlating ≈1 within a source are redundant rules (one can be
+    * dropped); a source whose token/char correlation diverges from
+    * the fleet signals a tokenization anomaly.
+    *
+    * Scale shape: all three signals are doc-local expressions
+    * (`size(split)`, the stored n_chars, `size(array_distinct)`), so
+    * the whole query is ONE codegen'd corpus pass feeding a map-side
+    * partial DECIMAL moment aggregate — O(sources) rows ever cross
+    * the wire, no joins, no windows. The Pearson algebra runs in
+    * DOUBLE over the shared [[graft.functions.Ols]] formula strings
+    * (same string → same bits on both engines — the q88/q125
+    * discipline), and the moments are exact: integer-valued signals
+    * summed in DECIMAL(28,10), associative under any aggregation
+    * tree or retry order. */
+  def q128(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        col("n_chars").as("y"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("z"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(28,10)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(28,10)")).cast("double").as("sx2"),
+        sum(col("y").cast("decimal(28,10)")).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast("decimal(28,10)")).cast("double").as("sy2"),
+        sum(col("z").cast("decimal(28,10)")).cast("double").as("sz"),
+        sum((col("z") * col("z")).cast("decimal(28,10)")).cast("double").as("sz2"),
+        sum((col("x") * col("y")).cast("decimal(28,10)")).cast("double").as("sxy"),
+        sum((col("x") * col("z")).cast("decimal(28,10)")).cast("double").as("sxz"),
+        sum((col("y") * col("z")).cast("decimal(28,10)")).cast("double").as("syz"))
+    m.select(col("source"), col("n").cast("long").as("n_docs"),
+        floorRound(expr(Ols.corr("n", "sx", "sx2", "sy", "sy2", "sxy")), 6)
+          .as("corr_tokens_chars"),
+        floorRound(expr(Ols.corr("n", "sx", "sx2", "sz", "sz2", "sxz")), 6)
+          .as("corr_tokens_types"),
+        floorRound(expr(Ols.corr("n", "sy", "sy2", "sz", "sz2", "syz")), 6)
+          .as("corr_chars_types"))
+      .orderBy("source")
+  }
+
+  val q128Sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+       |    n_chars AS y,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS z
+       |  FROM documents),
+       |m AS (
+       |  SELECT source,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sx2,
+       |    CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS sy2,
+       |    CAST(sum(CAST(z AS DECIMAL(28,10))) AS DOUBLE) AS sz,
+       |    CAST(sum(CAST(z * z AS DECIMAL(28,10))) AS DOUBLE) AS sz2,
+       |    CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(x * z AS DECIMAL(28,10))) AS DOUBLE) AS sxz,
+       |    CAST(sum(CAST(y * z AS DECIMAL(28,10))) AS DOUBLE) AS syz
+       |  FROM d GROUP BY source)
+       |SELECT source, CAST(n AS BIGINT) AS n_docs,
+       |  ${floorRoundSql(Ols.corr("n", "sx", "sx2", "sy", "sy2", "sxy"), 6)}
+       |    AS corr_tokens_chars,
+       |  ${floorRoundSql(Ols.corr("n", "sx", "sx2", "sz", "sz2", "sxz"), 6)}
+       |    AS corr_tokens_types,
+       |  ${floorRoundSql(Ols.corr("n", "sy", "sy2", "sz", "sz2", "syz"), 6)}
+       |    AS corr_chars_types
+       |FROM m ORDER BY source""".stripMargin
+
   /** q118 cascade thresholds (Gopher-rule shapes, tuned to be
     * non-degenerate on the synthetic corpus: each rule drops a
     * measurable slice at sf0.01). */
@@ -903,6 +1035,8 @@ object TextAnalysis {
     "q122_bigram_lm_xent" -> q122 _,
     "q123_quality_calibration" -> q123 _,
     "q125_zipf_spectrum" -> q125 _,
+    "q126_bpe_merge_pairs" -> q126 _,
+    "q128_signal_correlation" -> q128 _,
     "q118_filter_cascade" -> q118 _,
     "q107_lm_xent_score" -> q107 _,
     "q53_llm_pipeline" -> q53 _,
@@ -920,6 +1054,8 @@ object TextAnalysis {
     "q122_bigram_lm_xent" -> q122Sql,
     "q123_quality_calibration" -> q123Sql,
     "q125_zipf_spectrum" -> q125Sql,
+    "q126_bpe_merge_pairs" -> q126Sql,
+    "q128_signal_correlation" -> q128Sql,
     "q118_filter_cascade" -> q118Sql,
     "q107_lm_xent_score" -> q107Sql,
     "q53_llm_pipeline" -> q53Sql,

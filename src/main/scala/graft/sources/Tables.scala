@@ -32,21 +32,39 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark 4.1.2
-    * rejects natively; `nanosAsLong` reads it as epoch-nanos long
-    * (verified on this image — see FIXTURES.md). The driver's sessions
-    * do not set the flag, so it is set here, inside the query path.
-    * The resulting `ts` column is a plain long (epoch nanoseconds, UTC),
-    * truncated to microsecond precision: DuckDB's parquet reader
-    * truncates TIMESTAMP_NS to µs, so the oracle only ever sees
-    * µs-resolution values — truncating here keeps every downstream
-    * comparison (gaps, buckets, raw output) bit-identical on both
-    * sides (verified: without this, sub-µs digits hash-mismatch).
+  /** Canonical `events.ts` contract for every downstream query: a
+    * plain BIGINT of epoch NANOseconds (UTC), truncated to microsecond
+    * precision. The fixture's physical type has varied across driver
+    * regenerations, so the loader normalizes adaptively:
+    *
+    *  - INT64 TIMESTAMP(NANOS) (early fixtures): Spark 4.1.2 rejects
+    *    it natively; `nanosAsLong` reads it as epoch-nanos long, then
+    *    truncate to µs — DuckDB's parquet reader truncates
+    *    TIMESTAMP_NS to µs, so the oracle only ever sees µs values,
+    *    and truncating here keeps gaps/buckets/raw output
+    *    bit-identical on both sides.
+    *  - timestamp[us] (current fixtures): Spark reads TIMESTAMP_NTZ;
+    *    `unix_micros(cast(.. as timestamp)) * 1000` recovers the same
+    *    epoch-nanos long. The NTZ→timestamp cast interprets wall time
+    *    in the session timezone, so it is pinned to UTC here — the
+    *    same naive-as-UTC reading DuckDB applies — making the result
+    *    independent of the host session's zone.
+    *
+    * Either way the oracle side is unchanged: DuckDB sees a µs
+    * timestamp in both generations and the oracle SQLs convert with
+    * epoch_ns()/epoch-style arithmetic as each query documents.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("(ts DIV 1000) * 1000"))
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("(ts DIV 1000) * 1000"))
+      case _ =>
+        raw.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+    }
   }
 
   /** Register every fixture table as a temp view (events with the

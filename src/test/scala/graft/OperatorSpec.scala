@@ -672,4 +672,26 @@ class OperatorSpec extends AnyFunSuite {
       assert(math.abs(gs - rs) < 1e-4, s"vec $gid: engine $gs vs reference $rs")
     }
   }
+
+  test("events loader contract: ts is epoch-nanos BIGINT, µs-truncated, whatever the fixture's physical type") {
+    // The fixture's physical ts type has changed across driver
+    // regenerations (INT64 TIMESTAMP(NANOS) → timestamp[us]); every
+    // downstream query assumes the loader's normalized contract. A
+    // fixture change that breaks normalization must fail HERE, not as
+    // 19 opaque query failures (which is what happened when the
+    // timestamp[us] generation landed).
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+      s"ts must normalize to BIGINT, got ${ev.schema("ts").dataType}")
+    val r = ev.agg(count(lit(1)), sum(expr("CAST(ts % 1000 != 0 AS INT)")),
+      min("ts"), max("ts")).head
+    assert(r.getLong(0) > 0)
+    assert(r.getLong(1) == 0, "ts must be truncated to µs precision")
+    // 2024-dated fixture ⇒ epoch-nanos magnitude ~1.7e18; an
+    // accidental µs or ms interpretation is off by 10^3+ and fails.
+    assert(r.getLong(2) > 1_600_000_000_000_000_000L &&
+      r.getLong(3) < 1_800_000_000_000_000_000L,
+      s"ts magnitude not epoch-nanos: [${r.getLong(2)}, ${r.getLong(3)}]")
+  }
 }

@@ -236,4 +236,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_topkpostings") || p.contains("partial_TopKPostings"),
       s"posting-list top-k is not map-side partial:\n$p")
   }
+
+  test("q126: pair expansion runs over the vocabulary aggregate, never the corpus") {
+    // The BPE-trainer scale trick (TextAnalysis.q126 scaladoc): the
+    // corpus is exploded to tokens ONCE and aggregated to vocab
+    // counts; the within-token character-pair Generate consumes that
+    // aggregate, so its cost is O(|V|·len) regardless of corpus size.
+    // If a refactor moved the pair explode corpus-side, the quadratic
+    // work would scale with tokens, not types — this pin catches it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val qe = SparkEntry.queries("q126_bpe_merge_pairs")(spark, sf).queryExecution
+    val pairGens = qe.optimizedPlan.collect {
+      case g: Generate if g.generatorOutput.exists(_.name == "pair") => g
+    }
+    assert(pairGens.size == 1,
+      s"expected exactly one pair Generate:\n${qe.optimizedPlan}")
+    assert(pairGens.head.collect { case a: Aggregate => a }.nonEmpty,
+      s"pair Generate must sit ABOVE the vocab Aggregate:\n${qe.optimizedPlan}")
+    val p = plan("q126_bpe_merge_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"head selection must be TakeOrdered, not a global sort:\n$p")
+  }
 }
