@@ -103,7 +103,13 @@ object Multimodal {
       }
       .toDF()
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-        col("n_frames"), round(element_at(col("feat"), 1).cast("double"), 6).as("f0"))
+        // try_element_at, not element_at: a zero-byte payload decodes
+        // to an EMPTY feature vector (StubCodec.take(4) of nothing — a
+        // real codec finds no features in an empty blob either), and
+        // ANSI element_at throws on the empty array. NULL f0 is the
+        // honest output for a featureless blob; the adversarial sweep
+        // (dev/nasty_fixture.py's empty document) exercises it.
+        col("n_frames"), round(expr("try_element_at(feat, 1)").cast("double"), 6).as("f0"))
       .orderBy("doc_id")
   }
 

@@ -673,6 +673,73 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q128 signal correlations match a mean-centered local reference") {
+    // q128's engine and oracle share the Ols.corr formula STRING, so
+    // the cross-engine hash cannot catch a wrong shared formula (the
+    // documented Ols blind spot). This reference computes Pearson the
+    // structurally different way — mean-centered covariance over
+    // plain doubles — so a transposed-moment bug fails here.
+    val rows = SparkEntry.queries("q128_signal_correlation")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text", "n_chars").collect()
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length.toDouble
+      val ma = a.sum / n; val mb = b.sum / n
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val va = a.map(x => (x - ma) * (x - ma)).sum
+      val vb = b.map(y => (y - mb) * (y - mb)).sum
+      cov / math.sqrt(va * vb)
+    }
+    docs.groupBy(_.getString(0)).foreach { case (src, ds) =>
+      val sig = ds.toSeq.map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        (toks.length.toDouble, r.getLong(2).toDouble, toks.distinct.length.toDouble)
+      }
+      val (n, cxy, cxz, cyz) = rows(src)
+      assert(n === ds.length.toLong, s"$src doc count")
+      assert(math.abs(cxy - corr(sig.map(_._1), sig.map(_._2))) < 1e-4, s"$src tokens~chars")
+      assert(math.abs(cxz - corr(sig.map(_._1), sig.map(_._3))) < 1e-4, s"$src tokens~types")
+      assert(math.abs(cyz - corr(sig.map(_._2), sig.map(_._3))) < 1e-4, s"$src chars~types")
+    }
+  }
+
+  test("q127 rebalance: kept sets replay exactly under a local md5 reference; rates hit the target") {
+    // End-to-end independent replay: JVM MessageDigest md5 (a third
+    // implementation, independent of both engines') decides keeps
+    // locally; counts must match EXACTLY — pinning HashBucket's
+    // hex-prefix arithmetic and the rate algebra together.
+    val rows = SparkEntry.queries("q127_mixture_rebalance")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4),
+        r.getLong(5), r.getLong(6))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    val bySrc = docs.groupBy(_._2)
+    val tot = docs.map(_._3).sum.toDouble
+    val target = 1.0 / bySrc.size
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+    }
+    bySrc.foreach { case (src, ds) =>
+      val srcTokens = ds.map(_._3).sum
+      val rate = math.min(1.0, target / (srcTokens / tot))
+      val kept = ds.filter(d => u(d._1) < rate)
+      val (nDocs, srcTok, keepRate, nKept, keptTok) = rows(src)
+      assert(nDocs === ds.length.toLong, s"$src n_docs")
+      assert(srcTok === srcTokens, s"$src src_tokens")
+      assert(math.abs(keepRate - rate) < 1e-6, s"$src keep_rate")
+      assert(nKept === kept.length.toLong, s"$src n_kept: engine $nKept vs replay ${kept.length}")
+      assert(keptTok === kept.map(_._3).sum, s"$src kept_tokens")
+      // under-represented sources must not be downsampled at all
+      if (srcTokens / tot <= target) assert(keepRate === 1.0, s"$src rate cap")
+    }
+  }
+
   test("events loader contract: ts is epoch-nanos BIGINT, µs-truncated, whatever the fixture's physical type") {
     // The fixture's physical ts type has changed across driver
     // regenerations (INT64 TIMESTAMP(NANOS) → timestamp[us]); every
