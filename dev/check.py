@@ -93,6 +93,9 @@ def main():
     if os.path.exists(reg_path):
         registered = json.load(open(reg_path))
     else:
+        print("WARNING: no _registered.json in outDir (pre-roster Verify "
+              "build or interrupted run) — Spark-side failures are "
+              "UNDETECTABLE in this mode")
         registered = sorted(n for n in os.listdir(OUT_DIR)
                             if os.path.isdir(os.path.join(OUT_DIR, n)))
     names = ONLY or registered
@@ -110,8 +113,14 @@ def main():
         gcols, gtypes = got.columns, got.types
         grows = got.fetchall()
         if name not in oracle:
-            print(f"ROWS-ONLY {name}: {len(grows)} rows "
-                  + ("OK" if grows else "EMPTY!"))
+            # An empty rows-only result is a broken query, not a pass:
+            # the driver's weaker rows-only check requires rows > 0,
+            # so mirror that here instead of alarming without failing.
+            if grows:
+                print(f"ROWS-ONLY {name}: {len(grows)} rows OK")
+            else:
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+                n_fail += 1
             continue
         try:
             exp = con.sql(oracle[name])

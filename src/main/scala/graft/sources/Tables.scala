@@ -44,26 +44,31 @@ object Tables {
     *    and truncating here keeps gaps/buckets/raw output
     *    bit-identical on both sides.
     *  - timestamp[us] (current fixtures): Spark reads TIMESTAMP_NTZ;
-    *    `unix_micros(cast(.. as timestamp)) * 1000` recovers the same
-    *    epoch-nanos long. The NTZ→timestamp cast interprets wall time
-    *    in the session timezone, so it is pinned to UTC here — the
-    *    same naive-as-UTC reading DuckDB applies — making the result
-    *    independent of the host session's zone.
+    *    `timestampdiff(MICROSECOND, NTZ-epoch, ts) * 1000` recovers
+    *    the same epoch-nanos long with NO session-timezone dependence
+    *    — NTZ−NTZ arithmetic is pure wall-clock, the same
+    *    naive-as-UTC reading DuckDB applies. (A cast through
+    *    TIMESTAMP would go via the session zone, turning the loader
+    *    into an order-dependent global for non-UTC sessions.)
+    *  - TIMESTAMP (tz-adjusted, would appear if a future generation
+    *    writes isAdjustedToUTC): `unix_micros` directly — absolute
+    *    instants need no zone.
     *
     * Either way the oracle side is unchanged: DuckDB sees a µs
     * timestamp in both generations and the oracle SQLs convert with
     * epoch_ns()/epoch-style arithmetic as each query documents.
-    */
+    * OperatorSpec pins the contract AND its session-zone
+    * independence. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("(ts DIV 1000) * 1000"))
-      case _ =>
-        raw.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+      case TimestampNTZType => raw.withColumn("ts", expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000L"))
+      case _ => raw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
     }
   }
 

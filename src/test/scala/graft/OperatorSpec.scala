@@ -760,5 +760,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getLong(2) > 1_600_000_000_000_000_000L &&
       r.getLong(3) < 1_800_000_000_000_000_000L,
       s"ts magnitude not epoch-nanos: [${r.getLong(2)}, ${r.getLong(3)}]")
+    // Session-zone independence: the NTZ conversion must be pure
+    // wall-clock arithmetic, not a session-zone cast — a loader that
+    // silently depended on the session zone would only work because
+    // every current entry point happens to pin UTC.
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      val r2 = graft.sources.Tables.events(spark, sf)
+        .agg(min("ts"), max("ts")).head
+      assert(r2.getLong(0) == r.getLong(2) && r2.getLong(1) == r.getLong(3),
+        "events ts depends on the session timezone")
+    } finally spark.conf.set(tzKey, saved)
   }
 }
