@@ -464,7 +464,9 @@ object Corpus {
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
     val keptTot = kept.agg(sum("kept_tokens").as("kt"))
-    rates.join(kept, Seq("source"), "left").crossJoin(broadcast(keptTot))
+    // kept is O(sources) by construction — broadcast the presentation
+    // join too, so the whole plan stays sort-merge-free (pinned).
+    rates.join(broadcast(kept), Seq("source"), "left").crossJoin(broadcast(keptTot))
       .select(col("source"), col("n_docs"), col("src_tokens"),
         floorRound(col("actual_share"), 6).as("actual_share"),
         floorRound(col("keep_rate"), 6).as("keep_rate"),

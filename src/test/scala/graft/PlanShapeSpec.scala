@@ -257,4 +257,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"head selection must be TakeOrdered, not a global sort:\n$p")
   }
+
+  test("q127: the corpus-side rate join broadcasts — document rows never shuffle") {
+    // The scale claim: pass 2 is one codegen'd scan with the md5 test
+    // fused, joined to the O(sources) rate table by BROADCAST; the
+    // only exchanges carry O(sources) rollups. A sort-merge or
+    // shuffled-hash join here would shuffle the full corpus on
+    // `source` — ~20 hot keys, the worst possible skew.
+    val p = plan("q127_mixture_rebalance")
+    assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled on the ~20-key source column:\n$p")
+  }
+
+  test("q128: one corpus pass — moments aggregate map-side with a single source exchange") {
+    // All three signals are doc-local, so the whole query must be a
+    // single scan feeding a two-phase aggregate; more than one scan
+    // or a join would mean a signal left the codegen'd pass.
+    val p = plan("q128_signal_correlation")
+    assert(p.contains("partial_"), s"no map-side partial moments:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    // formatted explain prints each node twice (tree + details) — the
+    // tree line is "Scan parquet  (<id>)", the detail header is
+    // "(<id>) Scan parquet"; count tree lines only (q37/q54 pattern).
+    val scans = "Scan parquet\\s*\\(\\d+\\)".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+  }
 }
