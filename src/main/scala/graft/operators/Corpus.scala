@@ -443,24 +443,39 @@ object Corpus {
     * Numerics: token totals are exact BIGINT sums; shares and rates
     * divide those in DOUBLE (bit-identical on both engines given
     * identical operand trees); presentation doubles floorRound-ed. */
-  def q127(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val per = docs.groupBy("source")
+  /** The calibrate-offline half of q127, factored so the batch query
+    * and the streaming enforcement twin
+    * ([[graft.streaming.CorpusStreams.rebalanceStream]]) consume ONE
+    * rate definition and cannot drift: per-source token rollup →
+    * broadcastable (source, shares, keep_rate) table. Input must
+    * carry (source, n_tokens). */
+  def mixtureRates(perDoc: DataFrame): DataFrame = {
+    val per = perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
     val tot = per.agg(sum("src_tokens").as("tot_tokens"),
       count(lit(1)).as("n_sources"))
-    val rates = per.crossJoin(broadcast(tot))
+    per.crossJoin(broadcast(tot))
       .withColumn("actual_share",
         col("src_tokens").cast("double") / col("tot_tokens").cast("double"))
       .withColumn("keep_rate",
         least(lit(1.0),
           lit(1.0) / col("n_sources").cast("double") / col("actual_share")))
+  }
+
+  /** The enforce half: the deterministic md5 keep test, ONE
+    * definition for batch and stream. */
+  val keepTest: Column =
+    expr(graft.functions.HashBucket.rawExpr("doc_id"))
+      .cast("double") / 4294967296.0 < col("keep_rate")
+
+  def q127(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val rates = mixtureRates(docs)
     val kept = docs
       .join(broadcast(rates.select("source", "keep_rate")), Seq("source"))
-      .filter(expr(graft.functions.HashBucket.rawExpr("doc_id"))
-        .cast("double") / 4294967296.0 < col("keep_rate"))
+      .filter(keepTest)
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
     val keptTot = kept.agg(sum("kept_tokens").as("kt"))

@@ -63,6 +63,37 @@ object CorpusStreams {
     r2.json(dir)
   }
 
+  /** Schema of the SOURCED document stream (rebalance enforcement
+    * needs the source label on every arriving document). */
+  val sourcedDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  /** Streaming twin of the mixture rebalance (Corpus.q127) — the
+    * calibrate-offline / enforce-online pattern a production ingest
+    * actually runs: keep rates are computed ONCE on the reference
+    * batch corpus (`Corpus.mixtureRates`, O(sources), broadcast) and
+    * every arriving document is admitted iff its md5 uniform falls
+    * under its source's rate (`Corpus.keepTest` — the SAME expression
+    * as batch; neither the rate algebra nor the hash test can drift
+    * between the two paths because both are single definitions).
+    *
+    * The filter is STATELESS — no watermark, no state store, exactly
+    * the property that makes hash-based sampling the right enforcement
+    * primitive for an unbounded stream: the keep decision depends only
+    * on (doc_id, rate), so retries, reordering, and micro-batch
+    * boundaries cannot change the admitted set (StreamingSpec pins
+    * stream ≡ batch kept-set equality over a 2-batch replay). A
+    * stream-static broadcast join is re-resolved per micro-batch, so
+    * a nightly rate recalibration lands without restarting the query
+    * when `rates` reads from a refreshable table. */
+  def rebalanceStream(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates.select(col("source"), col("keep_rate"))), Seq("source"))
+      .filter(graft.operators.Corpus.keepTest)
+      .select(col("doc_id"), col("source"))
+
   /** Watermarked first-occurrence keep over the chunk-sig stream.
     * Emits one [[KeptChunk]] per signature — the minimum
     * (doc_id, chunk_id) occurrence within the first micro-batch that

@@ -251,6 +251,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mixture rebalance (q127 twin): stream-admitted set ≡ batch kept set, any batching") {
+    import graft.streaming.CorpusStreams
+    // Calibrate offline on the full batch corpus, enforce online over
+    // a 2-micro-batch replay: the admitted doc set must equal the
+    // batch filter EXACTLY — the md5 keep test is stateless, so
+    // micro-batch boundaries cannot change decisions by construction,
+    // and this pins that the stream path consumes the SAME rate table
+    // and hash expression (a drifted rate formula or hash string
+    // fails here).
+    val batchDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val rates = graft.operators.Corpus.mixtureRates(batchDocs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebal").toString + "/in"
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("source"), col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = spark.readStream.schema(CorpusStreams.sourcedDocSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = graft.streaming.EventStreams.runToMemory(
+      CorpusStreams.rebalanceStream(stream, rates), "rebalance_out",
+      outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2,
+        s"expected >=2 micro-batches, got ${q.recentProgress.length}")
+      val got = spark.table("rebalance_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = batchDocs
+        .join(broadcast(rates.select(col("source"), col("keep_rate"))), Seq("source"))
+        .filter(graft.operators.Corpus.keepTest)
+        .select(col("doc_id"), col("source")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === want, "stream-admitted set diverged from the batch kept set")
+      // non-degenerate: something admitted, something dropped
+      assert(got.nonEmpty && got.size < 500, s"degenerate admit count ${got.size}")
+    } finally q.stop()
+  }
+
   test("custom bounded top-k aggregator accumulates across micro-batches to the batch answer") {
     // The claim: TopKPostings (the q87 skew-safe posting-list head) is
     // not just map-side mergeable — its merge() is correct across
