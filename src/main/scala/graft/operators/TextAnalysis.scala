@@ -803,6 +803,84 @@ object TextAnalysis {
        |  ${floorRoundSql(zipfR2F, 6)} AS r2
        |FROM m ORDER BY source""".stripMargin
 
+  /** q129 Heaps fit formulas — the same shared [[Ols]] strings and
+    * count-based degeneracy guard as the q125 Zipf fit (a 1-source
+    * corpus reports beta 0 / r2 0 on both engines identically). */
+  private val heapsBetaF = Ols.slopeGuarded("nd", "sx", "sx2", "sy", "sxy")
+  private val heapsR2F = Ols.r2Guarded("nd", "sx", "sx2", "sy", "sy2", "sxy")
+
+  /** q129 — Heaps-law vocabulary growth + hapax diagnostic: the
+    * second corpus-shape QA check alongside q125's Zipf spectrum.
+    * Per source: token/type totals, hapax count (types occurring
+    * exactly once) and hapax ratio — the classic OOV-risk /
+    * crawl-noise signal (a source whose vocabulary is mostly
+    * singletons is boilerplate-ridden or mis-tokenized); across
+    * sources: the Heaps exponent β from fitting ln V on ln N
+    * (V = k·N^β, β ≈ 0.4–0.6 for natural text) with the shared
+    * guarded [[Ols]] algebra — a β near 1 means vocabulary grows as
+    * fast as the corpus, i.e. the "tokens" are mostly unique noise.
+    *
+    * Scale shape: ONE corpus explode into the map-combined
+    * (source, tok) frequency relation (the identical first stage as
+    * q125 — at 100 TB a nightly corpus-QA suite would share it);
+    * everything after is O(sources). The fit consumes ln-leaves
+    * floorRound-ed to 12 decimals before DECIMAL summation (the
+    * codified libm-skew rule), and the O(sources) fit row broadcasts
+    * back onto the per-source report. */
+  def q129(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+    val per = tf.groupBy("source").agg(
+        sum("freq").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("freq") === 1, 1)).as("n_hapax"))
+      .withColumn("x", expr(lnLeaf("n_tokens")))
+      .withColumn("y", expr(lnLeaf("n_types")))
+    val fit = per.agg(
+      count(lit(1)).cast("double").as("nd"),
+      sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+      sum(expr("CAST(x * x AS DECIMAL(28,12))")).cast("double").as("sx2"),
+      sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+      sum(expr("CAST(y * y AS DECIMAL(28,12))")).cast("double").as("sy2"),
+      sum(expr("CAST(x * y AS DECIMAL(28,12))")).cast("double").as("sxy"))
+    per.crossJoin(broadcast(fit))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        floorRound(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_ratio"),
+        floorRound(expr(heapsBetaF), 6).as("heaps_beta"),
+        floorRound(expr(heapsR2F), 6).as("heaps_r2"))
+      .orderBy("source")
+  }
+
+  val q129Sql: String =
+    s"""WITH tf AS (
+       |  SELECT source, tok, count(*) AS freq FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY source, tok),
+       |per AS (
+       |  SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(count(CASE WHEN freq = 1 THEN 1 END) AS BIGINT) AS n_hapax
+       |  FROM tf GROUP BY source),
+       |pl AS (
+       |  SELECT source, n_tokens, n_types, n_hapax,
+       |    ${lnLeaf("n_tokens")} AS x, ${lnLeaf("n_types")} AS y
+       |  FROM per),
+       |fit AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sx2,
+       |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS sy2,
+       |    CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+       |  FROM pl)
+       |SELECT source, n_tokens, n_types, n_hapax,
+       |  ${floorRoundSql("CAST(n_hapax AS DOUBLE) / n_types", 6)} AS hapax_ratio,
+       |  ${floorRoundSql(heapsBetaF, 6)} AS heaps_beta,
+       |  ${floorRoundSql(heapsR2F, 6)} AS heaps_r2
+       |FROM pl, fit ORDER BY source""".stripMargin
+
   /** q126 head size: the merge table a BPE trainer would act on. */
   private val BpeTopPairs = 30
 
@@ -1037,6 +1115,7 @@ object TextAnalysis {
     "q125_zipf_spectrum" -> q125 _,
     "q126_bpe_merge_pairs" -> q126 _,
     "q128_signal_correlation" -> q128 _,
+    "q129_heaps_hapax" -> q129 _,
     "q118_filter_cascade" -> q118 _,
     "q107_lm_xent_score" -> q107 _,
     "q53_llm_pipeline" -> q53 _,
@@ -1056,6 +1135,7 @@ object TextAnalysis {
     "q125_zipf_spectrum" -> q125Sql,
     "q126_bpe_merge_pairs" -> q126Sql,
     "q128_signal_correlation" -> q128Sql,
+    "q129_heaps_hapax" -> q129Sql,
     "q118_filter_cascade" -> q118Sql,
     "q107_lm_xent_score" -> q107Sql,
     "q53_llm_pipeline" -> q53Sql,

@@ -673,6 +673,44 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q129 Heaps fit and hapax stats match a local reference; beta is the cross-source slope") {
+    // The Heaps fit shares the Ols formula strings with its oracle, so
+    // only a structurally different local reference can catch a wrong
+    // shared formula (q125/q128 precedent). Totals replay exactly;
+    // the fit replays via mean-centered least squares.
+    val rows = SparkEntry.queries("q129_heaps_hapax")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+    def r12(v: Double): Double = math.floor(v * 1e12 + 0.5) / 1e12
+    val per = docs.groupBy(_.getString(0)).map { case (src, ds) =>
+      val tf = ds.flatMap(_.getString(1).split(" ", -1))
+        .groupBy(identity).map(_._2.length)
+      (src, tf.sum.toLong, tf.size.toLong, tf.count(_ == 1).toLong)
+    }.toSeq
+    per.foreach { case (src, nTok, nTyp, nHap) =>
+      val (gTok, gTyp, gHap, gRatio, _, _) = rows(src)
+      assert(gTok === nTok, s"$src n_tokens")
+      assert(gTyp === nTyp, s"$src n_types")
+      assert(gHap === nHap, s"$src n_hapax")
+      assert(math.abs(gRatio - nHap.toDouble / nTyp) < 1e-6, s"$src hapax_ratio")
+    }
+    val pts = per.map(p => (r12(math.log(p._2.toDouble)), r12(math.log(p._3.toDouble))))
+    val n = pts.length.toDouble
+    val mx = pts.map(_._1).sum / n; val my = pts.map(_._2).sum / n
+    val cov = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val vx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val vy = pts.map(p => (p._2 - my) * (p._2 - my)).sum
+    val refBeta = cov / vx
+    val refR2 = cov * cov / (vx * vy)
+    rows.values.foreach { case (_, _, _, _, beta, r2) =>
+      assert(math.abs(beta - refBeta) < 1e-4, s"beta $beta vs $refBeta")
+      assert(math.abs(r2 - refR2) < 1e-4, s"r2 $r2 vs $refR2")
+      assert(r2 >= 0 && r2 <= 1 + 1e-9)
+    }
+  }
+
   test("q128 signal correlations match a mean-centered local reference") {
     // q128's engine and oracle share the Ols.corr formula STRING, so
     // the cross-engine hash cannot catch a wrong shared formula (the
