@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.OracleRound.floorRoundSql
+import graft.functions.OracleRound.{floorRound, floorRoundSql}
 import graft.sources.Tables
 
 /** Similarity search over `embeddings` (SURVEY.md §7.1 B4):
@@ -662,6 +662,82 @@ object Similarity {
        |    AS accuracy
        |FROM voted GROUP BY true_label ORDER BY label""".stripMargin
 
+  /** q130 shared formula strings (the q115 discipline: every integer
+    * leaf CAST to DOUBLE, population variance clamped at 0 before
+    * use — a near-constant dimension can round a hair negative and
+    * the two engines must stay on the same legal path). */
+  private val labMeanF = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+  private val globMeanF = "CAST(s1g AS DOUBLE) / CAST(ng AS DOUBLE)"
+  private val withinDimF =
+    "greatest(0.0, CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+      "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+  private val betweenDimF = s"(($labMeanF) - ($globMeanF)) * (($labMeanF) - ($globMeanF))"
+
+  /** q130 — per-label centroid separation (Fisher-style audit): for
+    * each label, the squared distance between its centroid and the
+    * global centroid (between-class scatter) against its mean
+    * within-class variance summed over dimensions, and their ratio —
+    * the closed-form embedding-space separability screen that
+    * complements q116's k-NN accuracy (q116 measures separability
+    * empirically by votes; this measures it analytically from
+    * moments, so it also localizes WHICH classes collapsed after an
+    * encoder retrain).
+    *
+    * Scale shape: ONE pass over the exploded corpus into map-combined
+    * (label, pos) DECIMAL power sums — O(labels·dim) rows, eagerly
+    * localCheckpoint-ed (tiny) because two consumers derive from it:
+    * the per-label view and the global view (re-aggregating the SAME
+    * sums, so global ≡ pooled by construction, no second corpus
+    * read). Everything downstream is O(labels·dim) algebra with the
+    * per-dim doubles cast to DECIMAL(28,12) before the over-dims sum
+    * (order-independent — the q115 zSq pattern). */
+  def q130(spark: SparkSession, sfDir: String): DataFrame = {
+    val sums = Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "x")))
+      .select(col("label"), (col("pos0") + 1).cast("long").as("pos"), col("x"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).as("s2"))
+      .localCheckpoint(true)
+    val glob = sums.groupBy("pos")
+      .agg(sum("n").as("ng"), sum("s1").as("s1g"))
+    sums.join(broadcast(glob), "pos")
+      .withColumn("b", expr(s"CAST(($betweenDimF) AS DECIMAL(28,12))"))
+      .withColumn("w", expr(s"CAST(($withinDimF) AS DECIMAL(28,12))"))
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        floorRound(sum(col("b")).cast("double"), 6).as("between_sq"),
+        floorRound(sum(col("w")).cast("double"), 6).as("within_var"),
+        floorRound(sum(col("b")).cast("double") / sum(col("w")).cast("double"), 6)
+          .as("fisher_ratio"))
+      .orderBy("label")
+  }
+
+  val q130Sql: String =
+    s"""WITH e AS (
+       |  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) p),
+       |sums AS (
+       |  SELECT label, pos, count(*) AS n,
+       |    sum(CAST(x AS DECIMAL(28,12))) AS s1,
+       |    sum(CAST(x * x AS DECIMAL(28,12))) AS s2
+       |  FROM e GROUP BY label, pos),
+       |gstats AS (
+       |  SELECT pos, sum(n) AS ng, sum(s1) AS s1g FROM sums GROUP BY pos),
+       |d AS (
+       |  SELECT s.label, s.n,
+       |    CAST(($betweenDimF) AS DECIMAL(28,12)) AS b,
+       |    CAST(($withinDimF) AS DECIMAL(28,12)) AS w
+       |  FROM sums s JOIN gstats g ON s.pos = g.pos)
+       |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       |  ${floorRoundSql("CAST(sum(b) AS DOUBLE)", 6)} AS between_sq,
+       |  ${floorRoundSql("CAST(sum(w) AS DOUBLE)", 6)} AS within_var,
+       |  ${floorRoundSql("CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE)", 6)}
+       |    AS fisher_ratio
+       |FROM d GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans_train" -> q77 _,
     "q58_knn_l2" -> q58 _,
@@ -672,7 +748,8 @@ object Similarity {
     "q36_embed_neardup" -> q36 _,
     "q37_srp_lsh_neardup" -> q37 _,
     "q115_embed_outliers" -> q115 _,
-    "q116_knn_label_eval" -> q116 _)
+    "q116_knn_label_eval" -> q116 _,
+    "q130_label_separation" -> q130 _)
 
   val oracles: Map[String, String] = Map(
     "q77_kmeans_train" -> q77Sql,
@@ -684,5 +761,6 @@ object Similarity {
     "q36_embed_neardup" -> q36Sql,
     "q37_srp_lsh_neardup" -> q37Sql,
     "q115_embed_outliers" -> q115Sql,
-    "q116_knn_label_eval" -> q116Sql)
+    "q116_knn_label_eval" -> q116Sql,
+    "q130_label_separation" -> q130Sql)
 }

@@ -673,6 +673,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 label separation matches a centroid-based local reference") {
+    // The between/within formulas are shared strings across engines
+    // (Ols-style blind spot) — this reference computes them the
+    // definitional way: explicit centroids and deviations over the
+    // collected vectors.
+    val rows = SparkEntry.queries("q130_label_separation")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dim = vecs.head._2.length
+    val globalMean = Array.tabulate(dim)(d => vecs.map(_._2(d)).sum / vecs.length)
+    vecs.groupBy(_._1).foreach { case (label, vs) =>
+      val n = vs.length
+      val cent = Array.tabulate(dim)(d => vs.map(_._2(d)).sum / n)
+      val between = (0 until dim).map(d =>
+        (cent(d) - globalMean(d)) * (cent(d) - globalMean(d))).sum
+      val within = (0 until dim).map(d =>
+        vs.map(v => (v._2(d) - cent(d)) * (v._2(d) - cent(d))).sum / n).sum
+      val (gn, gb, gw, gr) = rows(label)
+      assert(gn === n.toLong, s"label $label n_vecs")
+      assert(math.abs(gb - between) < 1e-4, s"label $label between $gb vs $between")
+      assert(math.abs(gw - within) < 1e-4, s"label $label within $gw vs $within")
+      assert(math.abs(gr - between / within) < 1e-4, s"label $label ratio")
+    }
+  }
+
   test("q129 Heaps fit and hapax stats match a local reference; beta is the cross-source slope") {
     // The Heaps fit shares the Ols formula strings with its oracle, so
     // only a structurally different local reference can catch a wrong
