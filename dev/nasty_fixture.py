@@ -26,7 +26,7 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_nasty"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "embeddings"]
+          "lineitem", "events"]
 
 os.makedirs(OUT, exist_ok=True)
 for t in TABLES:
@@ -63,3 +63,19 @@ out = pa.table(
      for name in tab.column_names})
 pq.write_table(out, f"{OUT}/documents.parquet")
 print(f"perturbed {n_perturbed}/{len(cols['doc_id'])} documents -> {OUT}")
+
+# Embeddings stratum: vec_id 123 becomes the all-zero vector (a failed
+# encoder output). The cosine family must EXCLUDE it identically on
+# both engines (Spark orders NaN above every double, so an unguarded
+# 0/0 cosine passes >= t filters there and not in DuckDB — the
+# divergence the cvecs/normedSql nrm > 0 guard closes); the L2 and
+# moment queries (q58/q77/q115/q130) must keep it and still agree.
+etab = pq.read_table(f"{SRC}/embeddings.parquet")
+ecols = {name: etab.column(name).to_pylist() for name in etab.column_names}
+zi = ecols["vec_id"].index(123)
+ecols["embedding"][zi] = [0.0] * len(ecols["embedding"][0])
+eout = pa.table(
+    {name: pa.array(ecols[name], type=etab.schema.field(name).type)
+     for name in etab.column_names})
+pq.write_table(eout, f"{OUT}/embeddings.parquet")
+print("zeroed embedding vec_id=123")

@@ -33,12 +33,31 @@ object Similarity {
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** COSINE-SPACE reader: [[vecs]] minus zero-norm vectors. A
+    * zero-norm embedding (a failed encoder output) has no direction;
+    * cosine against it is 0/0, and the two engines disagree on what
+    * NaN then does (Spark orders NaN above every double and passes
+    * `>= t` filters; DuckDB does not) — so the similarity layer
+    * EXCLUDES such records up front on both engines (`WHERE nrm > 0`
+    * in [[normedSql]]), the same validation a production ingest
+    * applies. The filter is the native codegen'd `dot_product(v,v)`.
+    * L2-space consumers (q58 k-NN, q77 k-means) keep the raw
+    * [[vecs]]: distance to a zero vector is well-defined and both
+    * engines agree. Exercised by the adversarial zero-vector fixture
+    * (dev/nasty_fixture.py --embeddings). */
+  private def cvecs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    vecs(spark, sfDir).filter(dot_product(col("v"), col("v")) > 0.0)
+  }
+
   private val normedSql: String =
     """n AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-      |    sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-      |      x -> x * x), 'sum')) AS nrm
-      |  FROM embeddings
+      |  SELECT vec_id, v, nrm FROM (
+      |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |      sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+      |        x -> x * x), 'sum')) AS nrm
+      |    FROM embeddings) t0
+      |  WHERE nrm > 0
       |)""".stripMargin
 
   /** q29 — brute-force cosine k-NN: top-5 neighbors for each of the
@@ -47,7 +66,7 @@ object Similarity {
     * pass over the data and no shuffle until the per-query top-k,
     * which TakeOrdered-style windows keep at O(Q×k) rows. */
   def q29(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = vecs(spark, sfDir)
+    val n = cvecs(spark, sfDir)
     val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .filter(col("q_id") < 20)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -80,7 +99,7 @@ object Similarity {
     * 100 TB ANN shape: the corpus is partitioned by cluster id, so a
     * probe touches 1/nlist of the data instead of all of it. */
   def q30(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = vecs(spark, sfDir)
+    val n = cvecs(spark, sfDir)
     val cent = n.select(col("vec_id").as("c_id"), col("v").as("qv"))
       .filter(col("c_id") < 8)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
@@ -143,7 +162,7 @@ object Similarity {
     * broadcasts, the corpus streams once, and the native cosine keeps
     * the pair loop inside WholeStageCodegen. */
   def q36(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = vecs(spark, sfDir)
+    val n = cvecs(spark, sfDir)
     val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     n.select(col("vec_id").as("vec_a"), col("v").as("va"))
       .join(broadcast(b), col("vec_a") < col("vec_b"))
@@ -242,7 +261,7 @@ object Similarity {
     * downstream of the deterministic planes is exact, so the oracle
     * reproduces it. */
   def q37(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = vecs(spark, sfDir)
+    val n = cvecs(spark, sfDir)
     lshCandidates(spark, sfDir)
       .join(broadcast(n.select(col("vec_id").as("vec_a"), col("v").as("va"))), "vec_a")
       .join(broadcast(n.select(col("vec_id").as("vec_b"), col("v").as("vb"))), "vec_b")
@@ -304,7 +323,7 @@ object Similarity {
     * see [[NumPlanes]]); the oracle reproduces the identical
     * candidate set, so the comparison stays bit-exact. */
   def q54(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = vecs(spark, sfDir)
+    val n = cvecs(spark, sfDir)
     val dupIds = lshCandidates(spark, sfDir)
       .join(broadcast(n.select(col("vec_id").as("vec_a"), col("v").as("va"))), "vec_a")
       .join(broadcast(n.select(col("vec_id").as("vec_b"), col("v").as("vb"))), "vec_b")
@@ -604,6 +623,7 @@ object Similarity {
     val n = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label").cast("long").as("label"))
+      .filter(graft.functions.DotProduct.dot_product(col("v"), col("v")) > 0.0)
     val probes = n.filter(col("vec_id") < KnnEvalProbes)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("label").as("true_label"))
