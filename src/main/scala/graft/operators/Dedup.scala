@@ -866,6 +866,73 @@ object Dedup {
        |WHERE levenshtein(x.pfx, y.pfx) <= $FuzzyMaxDist
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q131 flag threshold — tuned non-degenerate on the synthetic
+    * corpus (small shared vocabulary → cross-doc 3-grams are common,
+    * mean frac ≈ 0.63 at sf0.01; 0.5 would flag nearly everything).
+    * On natural text the conventional cut is lower. */
+  private val DupFracFlag = 0.75
+
+  /** q131 — cross-document duplicated n-gram fraction: for each
+    * document, the share of its distinct 3-gram shingles that also
+    * occur in at least one OTHER document, rolled up per source —
+    * the RefinedWeb/Gopher cross-document repetition rule that
+    * q118's cascade deliberately lacks (its four signals are all
+    * doc-LOCAL; this one needs the corpus). q70 measures repetition
+    * WITHIN a document, q21/q22 catch whole/near duplicates — this
+    * scores partial boilerplate (shared headers, templates, licence
+    * blocks) that none of those flag.
+    *
+    * Scale shape: the distinct (doc, shingle) relation comes from the
+    * shared typed-flatMap tokenizer; shingles immediately collapse to
+    * a 16-hex-char md5 sig, so BOTH shuffles (the df aggregate and
+    * the join back) carry 8-byte-entropy keys, never shingle text —
+    * the q21 "fingerprints, never bodies" rule applied to n-grams.
+    * The df aggregate is map-side combined; the per-doc rollup and
+    * per-source report are O(docs)/O(sources). Per-doc fractions are
+    * bit-identical doubles on both engines; their mean goes through
+    * the order-independent exactSum DECIMAL discipline. */
+  def q131(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.{exactSum, floorRound}
+    val sig = shingles(spark, sfDir, distinct = true)
+      .select(col("doc_id"), expr("substring(md5(sh), 1, 16)").as("sig"))
+    val dfc = sig.groupBy("sig").agg(count(lit(1)).as("df"))
+    val perDoc = sig.join(dfc, "sig")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        count(when(col("df") >= 2, 1)).as("n_dup"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("frac", col("n_dup").cast("double") / col("n_sh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_sh")).as("n_scored"),
+        floorRound(exactSum(col("frac")) / count(col("n_sh")), 6)
+          .as("avg_dup_frac"),
+        count(when(col("frac") > DupFracFlag, 1)).as("n_flagged"))
+      .orderBy("source")
+  }
+
+  val q131Sql: String =
+    s"""WITH $shinglesSql,
+       |sg AS (SELECT doc_id, substring(md5(sh), 1, 16) AS sig FROM sh),
+       |dfc AS (SELECT sig, count(*) AS df FROM sg GROUP BY sig),
+       |pd AS (
+       |  SELECT s.doc_id, count(*) AS n_sh,
+       |    count(CASE WHEN d.df >= 2 THEN 1 END) AS n_dup
+       |  FROM sg s JOIN dfc d ON s.sig = d.sig GROUP BY s.doc_id),
+       |j AS (
+       |  SELECT doc.source, pd.n_sh,
+       |    CAST(pd.n_dup AS DOUBLE) / pd.n_sh AS frac
+       |  FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(count(n_sh) AS BIGINT) AS n_scored,
+       |  ${graft.functions.OracleRound.floorRoundSql(
+            graft.functions.OracleRound.exactSumSql("frac") + " / count(n_sh)", 6)}
+       |    AS avg_dup_frac,
+       |  CAST(count(CASE WHEN frac > $DupFracFlag THEN 1 END) AS BIGINT)
+       |    AS n_flagged
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
@@ -875,7 +942,8 @@ object Dedup {
     "q62_dedup_clusters" -> q62 _,
     "q64_fuzzy_blocked" -> q64 _,
     "q121_cluster_canonical" -> q121 _,
-    "q124_dedup_capstone" -> q124 _)
+    "q124_dedup_capstone" -> q124 _,
+    "q131_crossdoc_ngram_dup" -> q131 _)
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" -> q21Sql,
@@ -886,5 +954,6 @@ object Dedup {
     "q62_dedup_clusters" -> q62Sql,
     "q64_fuzzy_blocked" -> q64Sql,
     "q121_cluster_canonical" -> q121Sql,
-    "q124_dedup_capstone" -> q124Sql)
+    "q124_dedup_capstone" -> q124Sql,
+    "q131_crossdoc_ngram_dup" -> q131Sql)
 }

@@ -673,6 +673,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q131 cross-doc dup fractions match a local shingle-set replay") {
+    // Replays the whole pipeline with plain Scala collections and NO
+    // md5 (raw shingle strings as keys), so the 16-hex-char sig
+    // compression is also validated: a sig collision or a tokenizer
+    // drift between engine and replay would skew a fraction here.
+    val rows = SparkEntry.queries("q131_crossdoc_ngram_dup")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sh(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val perDoc = docs.map(d => (d._1, d._2, sh(d._3)))
+    val docFreq = perDoc.flatMap(d => d._3.map(_ -> d._1))
+      .groupBy(_._1).map { case (s, g) => s -> g.size }
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    perDoc.groupBy(_._2).foreach { case (src, ds) =>
+      val scored = ds.filter(_._3.nonEmpty)
+      val fracs = scored.map(d => d._3.count(s => docFreq(s) >= 2).toDouble / d._3.size)
+      val (gn, gScored, gAvg, gFlag) = rows(src)
+      assert(gn === ds.length.toLong, s"$src n_docs")
+      assert(gScored === scored.length.toLong, s"$src n_scored")
+      assert(math.abs(gAvg - fracs.map(r6).sum / scored.length) < 2e-6,
+        s"$src avg_dup_frac")
+      assert(gFlag === fracs.count(_ > 0.75).toLong, s"$src n_flagged")
+    }
+  }
+
   test("q130 label separation matches a centroid-based local reference") {
     // The between/within formulas are shared strings across engines
     // (Ols-style blind spot) — this reference computes them the
