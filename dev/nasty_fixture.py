@@ -72,10 +72,25 @@ print(f"perturbed {n_perturbed}/{len(cols['doc_id'])} documents -> {OUT}")
 # moment queries (q58/q77/q115/q130) must keep it and still agree.
 etab = pq.read_table(f"{SRC}/embeddings.parquet")
 ecols = {name: etab.column(name).to_pylist() for name in etab.column_names}
-zi = ecols["vec_id"].index(123)
+try:
+    zi = ecols["vec_id"].index(123)
+except ValueError:
+    sys.exit(f"probe vec_id 123 not in {SRC}/embeddings.parquet - "
+             "pick an existing id for the zero-vector stratum")
 ecols["embedding"][zi] = [0.0] * len(ecols["embedding"][0])
+# NULL and ragged (truncated) vectors — failed/partial encoder outputs.
+# The similarity layer's dimension contract (vecs / len(embedding)=Dim
+# in every oracle CTE) must exclude both identically on both engines;
+# unguarded, DuckDB's list_inner_product hard-errors on ragged input
+# while Spark silently computes over whatever is there.
+try:
+    ecols["embedding"][ecols["vec_id"].index(222)] = None
+    ecols["embedding"][ecols["vec_id"].index(333)] =         ecols["embedding"][ecols["vec_id"].index(333)][:10]
+except ValueError:
+    sys.exit("probe vec_ids 222/333 not in embeddings - "
+             "pick existing ids for the null/ragged strata")
 eout = pa.table(
     {name: pa.array(ecols[name], type=etab.schema.field(name).type)
      for name in etab.column_names})
 pq.write_table(eout, f"{OUT}/embeddings.parquet")
-print("zeroed embedding vec_id=123")
+print("embeddings strata: zeroed 123, nulled 222, truncated 333")

@@ -419,32 +419,8 @@ object Corpus {
             "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS kept_ratio
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** q127 — target-mixture rebalancing by deterministic downsampling:
-    * bring every source to an EQUAL token share (the flatten-to-
-    * uniform target; q72's α-temperature is the planning view, this
-    * is the enforcement view) by computing per-source keep rates
-    * min(1, target_share / actual_share) and keeping exactly the
-    * documents whose [[graft.functions.HashBucket]] uniform falls
-    * under their source's rate. No RNG: the same documents survive
-    * on any engine, partitioning, or retry — the reproducibility
-    * property a 100 TB rebalancing job actually needs, and the same
-    * primitive q50/q80/q102 already share.
-    *
-    * Scale shape: two corpus passes are inherent (keep rates depend
-    * on global per-source totals; any one-pass scheme would need the
-    * future). Pass 1 is a narrow (source, n_tokens) rollup —
-    * map-side partial, O(sources) result. The rate table then
-    * BROADCASTS (sources are bounded, ~20); pass 2 is one codegen'd
-    * scan with the md5 test fused — no shuffle of document rows at
-    * all, only the O(sources) kept-rollup exchange. Reported
-    * achieved_share proves the rebalance worked (≈ target for
-    * downsampled sources; < target only where rate capped at 1).
-    *
-    * Numerics: token totals are exact BIGINT sums; shares and rates
-    * divide those in DOUBLE (bit-identical on both engines given
-    * identical operand trees); presentation doubles floorRound-ed. */
-  /** The calibrate-offline half of q127, factored so the batch query
-    * and the streaming enforcement twin
+  /** The calibrate-offline half of [[q127]], factored so the batch
+    * query and the streaming enforcement twin
     * ([[graft.streaming.CorpusStreams.rebalanceStream]]) consume ONE
     * rate definition and cannot drift: per-source token rollup →
     * broadcastable (source, shares, keep_rate) table. Input must
@@ -468,6 +444,31 @@ object Corpus {
     expr(graft.functions.HashBucket.rawExpr("doc_id"))
       .cast("double") / 4294967296.0 < col("keep_rate")
 
+  /** q127 — target-mixture rebalancing by deterministic downsampling:
+    * bring every source to an EQUAL token share (the flatten-to-
+    * uniform target; q72's α-temperature is the planning view, this
+    * is the enforcement view) by computing per-source keep rates
+    * min(1, target_share / actual_share) ([[mixtureRates]]) and
+    * keeping exactly the documents whose
+    * [[graft.functions.HashBucket]] uniform falls under their
+    * source's rate ([[keepTest]]). No RNG: the same documents survive
+    * on any engine, partitioning, or retry — the reproducibility
+    * property a 100 TB rebalancing job actually needs, and the same
+    * primitive q50/q80/q102 already share.
+    *
+    * Scale shape: two corpus passes are inherent (keep rates depend
+    * on global per-source totals; any one-pass scheme would need the
+    * future). Pass 1 is a narrow (source, n_tokens) rollup —
+    * map-side partial, O(sources) result. The rate table then
+    * BROADCASTS (sources are bounded, ~20); pass 2 is one codegen'd
+    * scan with the md5 test fused — no shuffle of document rows at
+    * all, only the O(sources) kept-rollup exchange. Reported
+    * achieved_share proves the rebalance worked (≈ target for
+    * downsampled sources; < target only where rate capped at 1).
+    *
+    * Numerics: token totals are exact BIGINT sums; shares and rates
+    * divide those in DOUBLE (bit-identical on both engines given
+    * identical operand trees); presentation doubles floorRound-ed. */
   def q127(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),

@@ -23,14 +23,30 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Fixture embedding dimensionality — the dimension CONTRACT every
+    * reader in this file pins (declared first: vals initialize in
+    * order, and the oracle CTE strings below interpolate it; a
+    * forward reference would silently interpolate 0). */
+  private val Dim = 64
+
   import graft.functions.CosineSimilarity.cosine_sim
 
   /** Embeddings with double-cast vectors (a codegen'd Cast — floats
     * widen exactly). Cosine itself is the native graft expression
     * `cosine_sim` (tight codegen loop; see functions/CosineSimilarity),
-    * which computes dot and both norms in one pass per pair. */
+    * which computes dot and both norms in one pass per pair.
+    *
+    * Dimension contract: NULL or ragged vectors (failed/truncated
+    * encoder output) are excluded HERE, at the shared reader — dot
+    * products and distances are undefined across unequal dims,
+    * DuckDB's list_inner_product/list_distance hard-error on them
+    * (killing a whole oracle query), and Spark's loop would silently
+    * compute something instead. Every oracle CTE applies the twin
+    * `len(embedding) = Dim` filter. Exercised by the ragged/NULL
+    * adversarial probe (dev notes). */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** COSINE-SPACE reader: [[vecs]] minus zero-norm vectors. A
@@ -43,20 +59,20 @@ object Similarity {
     * applies. The filter is the native codegen'd `dot_product(v,v)`.
     * L2-space consumers (q58 k-NN, q77 k-means) keep the raw
     * [[vecs]]: distance to a zero vector is well-defined and both
-    * engines agree. Exercised by the adversarial zero-vector fixture
-    * (dev/nasty_fixture.py --embeddings). */
+    * engines agree. Exercised by the adversarial zero-vector stratum
+    * dev/nasty_fixture.py always applies to embeddings. */
   private def cvecs(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.DotProduct.dot_product
     vecs(spark, sfDir).filter(dot_product(col("v"), col("v")) > 0.0)
   }
 
   private val normedSql: String =
-    """n AS (
+    s"""n AS (
       |  SELECT vec_id, v, nrm FROM (
       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |      sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
       |        x -> x * x), 'sum')) AS nrm
-      |    FROM embeddings) t0
+      |    FROM embeddings WHERE len(embedding) = $Dim) t0
       |  WHERE nrm > 0
       |)""".stripMargin
 
@@ -386,7 +402,8 @@ object Similarity {
   }
 
   val q56Sql: String =
-    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE len(embedding) = $Dim)
       |SELECT vec_id,
       | CAST(len(v) AS BIGINT) AS dim,
       | floor(v[1] * 1000000 + 0.5) / 1000000 AS first_val,
@@ -415,7 +432,8 @@ object Similarity {
   }
 
   val q58Sql: String =
-    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE len(embedding) = $Dim),
       |q AS (SELECT vec_id AS q_id, v AS qv FROM n WHERE vec_id < 20),
       |pairs AS (
       |  SELECT q_id, vec_id, list_distance(qv, v) AS dist
@@ -432,7 +450,6 @@ object Similarity {
     * point; IVF index builds converge in single-digit iterations. */
   private val KmeansK = 8
   private val KmeansIters = 3
-  private val Dim = 64
 
   /** q77 — k-means (Lloyd's) over the embedding corpus: the TRAINED
     * centroid path that q30's IVF index assumes (q30 seeds its cells
@@ -512,7 +529,8 @@ object Similarity {
          |  FROM a$i, (SELECT unnest(generate_series(1, $Dim)) AS pos) p
          |  GROUP BY cluster, pos) e GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = $Dim),
        |c0 AS (SELECT vec_id AS c_id, v AS cv FROM n WHERE vec_id < $KmeansK),
        |$iters,
        |fin AS (SELECT vec_id, cluster, dist FROM (
@@ -562,6 +580,11 @@ object Similarity {
     * dividing by zero. */
   def q115(spark: SparkSession, sfDir: String): DataFrame = {
     def exploded = Tables.embeddings(spark, sfDir)
+      // Dimension contract made explicit: the engine's posexplode
+      // emits size(embedding) rows while the oracle's generate_series
+      // always emits Dim — a NULL or ragged vector would diverge the
+      // two silently. Both sides therefore pin len = Dim.
+      .filter(size(col("embedding")) === Dim)
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "x")))
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"), col("x"))
@@ -585,7 +608,8 @@ object Similarity {
   val q115Sql: String =
     s"""WITH e AS (
        |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) p),
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) p
+       |  WHERE len(embedding) = $Dim),
        |stats0 AS (
        |  SELECT pos, count(*) AS n,
        |    sum(CAST(x AS DECIMAL(28,12))) AS s1d,
@@ -713,6 +737,7 @@ object Similarity {
     * (order-independent — the q115 zSq pattern). */
   def q130(spark: SparkSession, sfDir: String): DataFrame = {
     val sums = Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === Dim) // q115's dimension contract
       .select(col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "x")))
       .select(col("label"), (col("pos0") + 1).cast("long").as("pos"), col("x"))
@@ -730,7 +755,10 @@ object Similarity {
       .agg(max("n").as("n_vecs"),
         floorRound(sum(col("b")).cast("double"), 6).as("between_sq"),
         floorRound(sum(col("w")).cast("double"), 6).as("within_var"),
-        floorRound(sum(col("b")).cast("double") / sum(col("w")).cast("double"), 6)
+        floorRound(
+          when(sum(col("w")) > 0,
+            sum(col("b")).cast("double") / sum(col("w")).cast("double"))
+            .otherwise(lit(0.0)), 6)
           .as("fisher_ratio"))
       .orderBy("label")
   }
@@ -738,7 +766,8 @@ object Similarity {
   val q130Sql: String =
     s"""WITH e AS (
        |  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) p),
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) p
+       |  WHERE len(embedding) = $Dim),
        |sums AS (
        |  SELECT label, pos, count(*) AS n,
        |    sum(CAST(x AS DECIMAL(28,12))) AS s1,
@@ -754,7 +783,9 @@ object Similarity {
        |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
        |  ${floorRoundSql("CAST(sum(b) AS DOUBLE)", 6)} AS between_sq,
        |  ${floorRoundSql("CAST(sum(w) AS DOUBLE)", 6)} AS within_var,
-       |  ${floorRoundSql("CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE)", 6)}
+       |  ${floorRoundSql(
+            "CASE WHEN sum(w) > 0 THEN CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE) " +
+            "ELSE 0.0 END", 6)}
        |    AS fisher_ratio
        |FROM d GROUP BY label ORDER BY label""".stripMargin
 

@@ -754,10 +754,25 @@ object TextAnalysis {
     * (the q119 argument) and sum in DECIMAL(28,12); the final slope /
     * R² algebra runs in DOUBLE through the ONE shared [[Ols]] formula
     * string with its count-based degenerate guard. */
-  def q125(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = Tables.documents(spark, sfDir)
+  /** The shared (source, tok) frequency relation both corpus-shape
+    * diagnostics (q125 Zipf, q129 Heaps/hapax) derive from — ONE
+    * definition per engine (the mixtureRates/keepTest discipline), so
+    * a tokenizer-semantics change can never desynchronize the two
+    * reports that the docs present as sharing one stage. */
+  private def sourceTokenFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+
+  /** DuckDB twin of [[sourceTokenFreq]] — the `tf` CTE. */
+  private val tfSql: String =
+    """tf AS (
+      |  SELECT source, tok, count(*) AS freq FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY source, tok)""".stripMargin
+
+  def q125(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = sourceTokenFreq(spark, sfDir)
     val spec = tf.groupBy("source", "freq").agg(count(lit(1)).as("n_types"))
       .select(col("source"), col("freq"), col("n_types"),
         expr(lnLeaf("freq")).as("x"), expr(lnLeaf("n_types")).as("y"))
@@ -778,10 +793,7 @@ object TextAnalysis {
   }
 
   val q125Sql: String =
-    s"""WITH tf AS (
-       |  SELECT source, tok, count(*) AS freq FROM (
-       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
-       |  GROUP BY source, tok),
+    s"""WITH $tfSql,
        |spec AS (
        |  SELECT source, freq, count(*) AS n_types,
        |    ${lnLeaf("freq")} AS x, ${lnLeaf("count(*)")} AS y
@@ -828,9 +840,7 @@ object TextAnalysis {
     * codified libm-skew rule), and the O(sources) fit row broadcasts
     * back onto the per-source report. */
   def q129(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = Tables.documents(spark, sfDir)
-      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+    val tf = sourceTokenFreq(spark, sfDir)
     val per = tf.groupBy("source").agg(
         sum("freq").as("n_tokens"),
         count(lit(1)).as("n_types"),
@@ -854,10 +864,7 @@ object TextAnalysis {
   }
 
   val q129Sql: String =
-    s"""WITH tf AS (
-       |  SELECT source, tok, count(*) AS freq FROM (
-       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
-       |  GROUP BY source, tok),
+    s"""WITH $tfSql,
        |per AS (
        |  SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
        |    CAST(count(*) AS BIGINT) AS n_types,

@@ -326,6 +326,10 @@ object Training {
     * Floats widen to double exactly on both engines. */
   def q85(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
+      // Similarity's dimension contract: NULL/ragged vectors would
+      // diverge posexplode (size rows) from the oracle's fixed
+      // generate_series(1, Dim) expansion.
+      .filter(size(col("embedding")) === Dim)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos0", "xf")))
       .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
@@ -350,7 +354,8 @@ object Training {
   val q85Sql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) p),
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) p
+       |  WHERE len(embedding) = $Dim),
        |stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos),
        |q AS (
        |  SELECT e.vec_id, e.label, e.x, s.mn, (s.mx - s.mn) / 255.0 AS scale

@@ -88,9 +88,19 @@ object CorpusStreams {
     * stream ≡ batch kept-set equality over a 2-batch replay). A
     * stream-static broadcast join is re-resolved per micro-batch, so
     * a nightly rate recalibration lands without restarting the query
-    * when `rates` reads from a refreshable table. */
+    * when `rates` reads from a refreshable table.
+    *
+    * Admit policy for a source ABSENT from the rate table (a new
+    * crawl onboarded after calibration): LEFT join + rate 1.0 —
+    * admit everything until the next recalibration assigns it a real
+    * rate. The conservative default for an enforcement filter is to
+    * let data through visibly, not to silently discard a whole new
+    * source (an inner join would); the spec pins this with an
+    * unknown-source document. */
   def rebalanceStream(docs: DataFrame, rates: DataFrame): DataFrame =
-    docs.join(broadcast(rates.select(col("source"), col("keep_rate"))), Seq("source"))
+    docs.join(broadcast(rates.select(col("source"), col("keep_rate"))),
+        Seq("source"), "left")
+      .withColumn("keep_rate", coalesce(col("keep_rate"), lit(1.0)))
       .filter(graft.operators.Corpus.keepTest)
       .select(col("doc_id"), col("source"))
 

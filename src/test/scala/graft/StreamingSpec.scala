@@ -272,7 +272,16 @@ class StreamingSpec extends AnyFunSuite {
     val mid = 250L
     docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
     Thread.sleep(1100)
-    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    // Batch 2 also carries a document from a source UNKNOWN to the
+    // calibration table (a crawl onboarded mid-stream): the admit
+    // policy must let it through at rate 1.0, not drop it silently.
+    docs.filter(col("doc_id") >= mid)
+      .unionByName(spark.range(1).select(
+        lit(999999L).as("doc_id"),
+        timestamp_seconds(lit(1700000999L)).as("ts"),
+        lit("src_new_crawl").as("source"),
+        lit("fresh onboarded text").as("text")))
+      .coalesce(1).write.mode("append").json(dir)
     val stream = spark.readStream.schema(CorpusStreams.sourcedDocSchema)
       .option("maxFilesPerTrigger", 1).json(dir)
     val q = graft.streaming.EventStreams.runToMemory(
@@ -283,11 +292,13 @@ class StreamingSpec extends AnyFunSuite {
         s"expected >=2 micro-batches, got ${q.recentProgress.length}")
       val got = spark.table("rebalance_out").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got.contains((999999L, "src_new_crawl")),
+        "unknown-source document must be admitted at rate 1.0, not dropped")
       val want = batchDocs
         .join(broadcast(rates.select(col("source"), col("keep_rate"))), Seq("source"))
         .filter(graft.operators.Corpus.keepTest)
         .select(col("doc_id"), col("source")).collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSet
+        .map(r => (r.getLong(0), r.getString(1))).toSet + ((999999L, "src_new_crawl"))
       assert(got === want, "stream-admitted set diverged from the batch kept set")
       // non-degenerate: something admitted, something dropped
       assert(got.nonEmpty && got.size < 500, s"degenerate admit count ${got.size}")
