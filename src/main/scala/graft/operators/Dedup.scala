@@ -893,8 +893,17 @@ object Dedup {
     * the order-independent exactSum DECIMAL discipline. */
   def q131(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.{exactSum, floorRound}
+    // The df aggregate and the join-back both consume sig with
+    // different exchange shapes (partial-agg vs plain sig shuffle),
+    // so exchange reuse cannot apply — without the persist the
+    // corpus-wide tokenize+md5 flatMap runs twice (the q117/q68
+    // lesson; PlanShapeSpec pins one flatMap). The cached relation is
+    // (doc_id, 16-hex sig) — a fraction of corpus bytes. Eager count
+    // materializes before the two consumers race.
     val sig = shingles(spark, sfDir, distinct = true)
       .select(col("doc_id"), expr("substring(md5(sh), 1, 16)").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
     val dfc = sig.groupBy("sig").agg(count(lit(1)).as("df"))
     val perDoc = sig.join(dfc, "sig")
       .groupBy("doc_id")

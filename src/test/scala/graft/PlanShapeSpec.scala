@@ -270,6 +270,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus shuffled on the ~20-key source column:\n$p")
   }
 
+  test("q131: the corpus is tokenized once — both sig consumers read the persisted relation") {
+    // sig (the distinct shingle relation) is consumed by the df
+    // aggregate AND the join-back with different exchange shapes, so
+    // exchange reuse can't fire; without the persist the corpus-wide
+    // tokenize+md5 flatMap ran twice (measured: 2 SerializeFromObject
+    // subtrees). The pin: every consumer reads the InMemory cache,
+    // and no flatMap runs OUTSIDE a cached-relation rendering.
+    val p = plan("q131_crossdoc_ngram_dup")
+    val scans = "InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size
+    assert(scans >= 2, s"expected both sig consumers on the cache:\n$p")
+    spark.catalog.clearCache() // drop the query-local persist
+  }
+
   test("q128: one corpus pass — moments aggregate map-side with a single source exchange") {
     // All three signals are doc-local, so the whole query must be a
     // single scan feeding a two-phase aggregate; more than one scan
