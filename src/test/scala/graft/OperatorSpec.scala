@@ -838,6 +838,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fixture schema contract: a driver regeneration that changes any table fails HERE, loudly") {
+    // Generalization of the events lesson: when the driver regenerated
+    // events.ts as timestamp[us], the gate showed 19 scattered query
+    // failures instead of one labeled cause. This pins the RAW
+    // Spark-visible schema of every fixture table; if a future
+    // regeneration trips it, update the affected loader/queries
+    // DELIBERATELY (see Tables.events for the adaptive pattern), then
+    // update this expectation.
+    val expected = Map(
+      "region" -> "r_regionkey:int,r_name:string",
+      "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+      "customer" -> "c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string",
+      "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double",
+      "part" -> "p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int,p_retailprice:double",
+      "orders" -> "o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string",
+      "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int," +
+        "l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double," +
+        "l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz"),
+      "events" -> "event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string,value:double,props:string",
+      "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+      "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
+    graft.sources.Tables.all.foreach { t =>
+      val got = graft.sources.Tables.load(spark, sf, t).schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      assert(got == expected(t),
+        s"FIXTURE REGENERATED with a new schema for '$t'.\n  got:      $got\n" +
+          s"  expected: ${expected(t)}\nAdapt the loader/queries deliberately, " +
+          "then update this contract (see Tables.events for the adaptive pattern).")
+    }
+  }
+
   test("events loader contract: ts is epoch-nanos BIGINT, µs-truncated, whatever the fixture's physical type") {
     // The fixture's physical ts type has changed across driver
     // regenerations (INT64 TIMESTAMP(NANOS) → timestamp[us]); every
