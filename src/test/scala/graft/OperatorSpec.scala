@@ -859,6 +859,10 @@ class OperatorSpec extends AnyFunSuite {
       "events" -> "event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string,value:double,props:string",
       "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
       "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
+    assert(graft.sources.Tables.all.toSet == expected.keySet,
+      "Tables.all and this contract drifted apart — update both together: " +
+        s"missing=${graft.sources.Tables.all.toSet -- expected.keySet} " +
+        s"stale=${expected.keySet -- graft.sources.Tables.all.toSet}")
     graft.sources.Tables.all.foreach { t =>
       val got = graft.sources.Tables.load(spark, sf, t).schema.fields
         .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
