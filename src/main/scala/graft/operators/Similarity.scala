@@ -138,6 +138,73 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** q132 probe width: each query searches its 2 nearest centroids'
+    * posting lists instead of 1. */
+  private val NProbe = 2
+
+  /** q132 — multi-probe IVF (nprobe = 2): the standard ANN
+    * recall-vs-cost knob q30's single-probe path lacks. A query whose
+    * true neighbors straddle a Voronoi boundary misses them under
+    * nprobe = 1 (the dominant IVF error mode); probing the 2 nearest
+    * centroids' lists recovers exactly those — at 2/nlist of the
+    * corpus touched instead of 1/nlist. OperatorSpec pins the
+    * semantics: q132's recall vs the q29 brute-force truth is ≥
+    * q30's, with everything else identical.
+    *
+    * Scale shape: identical to q30 — centroids broadcast twice (the
+    * assignment argmax and the probe-list rank), the corpus streams
+    * once per stage with the codegen'd cosine, the probe fan-out
+    * multiplies only the QUERY side (×nprobe), and the final head is
+    * a per-query window over O(queries × lists) candidates. */
+  def q132(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = cvecs(spark, sfDir)
+    val cent = n.select(col("vec_id").as("c_id"), col("v").as("qv"))
+      .filter(col("c_id") < 8)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
+    val ranked = n.join(broadcast(cent), lit(true))
+      .withColumn("cos", cosine_sim(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(wAssign))
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    // queries keep their nprobe nearest centroids — the only change
+    // from q30, and it multiplies the query side alone
+    val queries = ranked.filter(col("rk") <= NProbe)
+      .filter(col("vec_id") >= 8 && col("vec_id") < 28)
+      .select(col("vec_id").as("q_id"), col("v").as("qv2"),
+        col("c_id").as("cluster"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(queries, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine_sim(col("qv2"), col("v")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q132Sql: String =
+    s"""WITH $normedSql,
+       |cent AS (SELECT vec_id AS c_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       |ranked AS (
+       |  SELECT n.vec_id, n.v, n.nrm, cent.c_id,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_inner_product(cent.qv, n.v) / (cent.qn * n.nrm) DESC,
+       |               cent.c_id) AS rk
+       |  FROM n, cent),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id AS cluster FROM ranked WHERE rk = 1),
+       |queries AS (
+       |  SELECT vec_id AS q_id, v AS qv2, nrm AS qn2, c_id AS cluster
+       |  FROM ranked WHERE rk <= $NProbe AND vec_id >= 8 AND vec_id < 28)
+       |SELECT q_id, rank, neighbor_id FROM (
+       |  SELECT q.q_id, a.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_inner_product(q.qv2, a.v) / (q.qn2 * a.nrm) DESC,
+       |               a.vec_id) AS rank
+       |  FROM assigned a JOIN queries q ON a.cluster = q.cluster
+       |  WHERE a.vec_id <> q.q_id) t
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val q30Sql: String =
     s"""WITH $normedSql,
        |cent AS (SELECT vec_id AS c_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
@@ -800,7 +867,8 @@ object Similarity {
     "q37_srp_lsh_neardup" -> q37 _,
     "q115_embed_outliers" -> q115 _,
     "q116_knn_label_eval" -> q116 _,
-    "q130_label_separation" -> q130 _)
+    "q130_label_separation" -> q130 _,
+    "q132_ann_ivf_multiprobe" -> q132 _)
 
   val oracles: Map[String, String] = Map(
     "q77_kmeans_train" -> q77Sql,
@@ -813,5 +881,6 @@ object Similarity {
     "q37_srp_lsh_neardup" -> q37Sql,
     "q115_embed_outliers" -> q115Sql,
     "q116_knn_label_eval" -> q116Sql,
-    "q130_label_separation" -> q130Sql)
+    "q130_label_separation" -> q130Sql,
+    "q132_ann_ivf_multiprobe" -> q132Sql)
 }

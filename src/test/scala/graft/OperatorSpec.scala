@@ -673,6 +673,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q132 multi-probe IVF recall vs brute-force truth is >= single-probe q30's") {
+    // Probing 2 centroid lists gives each query a candidate SUPERSET
+    // of q30's, so its top-3 can only improve against the q29 exact
+    // truth — the monotonicity that makes nprobe a recall knob.
+    def nbrs(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val truth = SparkEntry.queries("q29_knn_brute")(spark, sf).collect()
+      .filter(r => r.getLong(1) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val p1 = nbrs("q30_ann_ivf"); val p2 = nbrs("q132_ann_ivf_multiprobe")
+    val shared = truth.keySet intersect p1.keySet intersect p2.keySet
+    assert(shared.nonEmpty, "no overlapping probe queries")
+    def recall(g: Map[Long, Set[Long]]): Double =
+      shared.toSeq.map(q => (g(q) & truth(q)).size.toDouble / truth(q).size)
+        .sum / shared.size
+    val (r1, r2) = (recall(p1), recall(p2))
+    assert(r2 >= r1, s"multi-probe recall $r2 below single-probe $r1")
+    assert(r2 > 0.3, s"degenerate multi-probe recall $r2")
+  }
+
   test("q131 cross-doc dup fractions match a local shingle-set replay") {
     // Replays the whole pipeline with plain Scala collections and NO
     // md5 (raw shingle strings as keys), so the 16-hex-char sig
