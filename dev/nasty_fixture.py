@@ -83,14 +83,30 @@ ecols["embedding"][zi] = [0.0] * len(ecols["embedding"][0])
 # in every oracle CTE) must exclude both identically on both engines;
 # unguarded, DuckDB's list_inner_product hard-errors on ragged input
 # while Spark silently computes over whatever is there.
+#
+# The strata land on BOTH sides of every query/probe-id threshold:
+# 222/333 sit above all of them (corpus/neighbor side), while 13/17
+# sit inside the kNN/IVF query sets (q29/q58 use vec_id < 20,
+# q30/q132 < 28) and 42/77 inside q116's probe set (vec_id < 100) —
+# so the sweep also proves query-side exclusion agrees between
+# engines (the gap a corpus-only stratum structurally cannot see:
+# an unfiltered ragged PROBE gets all-NULL cosines on Spark and
+# votes via the vec_id tiebreak while the oracle drops it). All ids
+# stay >= 8 so the (pre-r7) centroid seed set is untouched.
+ragged_ids = [333, 13, 77]
+null_ids = [222, 17, 42]
 try:
-    ecols["embedding"][ecols["vec_id"].index(222)] = None
-    ecols["embedding"][ecols["vec_id"].index(333)] =         ecols["embedding"][ecols["vec_id"].index(333)][:10]
+    for vid in null_ids:
+        ecols["embedding"][ecols["vec_id"].index(vid)] = None
+    for vid in ragged_ids:
+        i = ecols["vec_id"].index(vid)
+        ecols["embedding"][i] = ecols["embedding"][i][:10]
 except ValueError:
-    sys.exit("probe vec_ids 222/333 not in embeddings - "
-             "pick existing ids for the null/ragged strata")
+    sys.exit(f"probe vec_ids {null_ids + ragged_ids} not all in embeddings"
+             " - pick existing ids for the null/ragged strata")
 eout = pa.table(
     {name: pa.array(ecols[name], type=etab.schema.field(name).type)
      for name in etab.column_names})
 pq.write_table(eout, f"{OUT}/embeddings.parquet")
-print("embeddings strata: zeroed 123, nulled 222, truncated 333")
+print(f"embeddings strata: zeroed 123, nulled {null_ids}, "
+      f"truncated {ragged_ids}")

@@ -711,7 +711,13 @@ object Similarity {
     * are double-deterministic: neighbor rank ties break on vec_id,
     * vote ties on (count DESC, label ASC). */
   def q116(spark: SparkSession, sfDir: String): DataFrame = {
+    // Dimension contract FIRST (same as [[vecs]]): a ragged probe-side
+    // vector would otherwise pass the norm filter, get all-NULL cosines
+    // (cosine_sim returns NULL on length mismatch) and vote via the
+    // vec_id tiebreak, while the oracle's `len(embedding) = Dim` drops
+    // the probe entirely — diverging n_probes between engines.
     val n = Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label").cast("long").as("label"))
       .filter(graft.functions.DotProduct.dot_product(col("v"), col("v")) > 0.0)
