@@ -1113,8 +1113,9 @@ object Analytics {
     * arithmetic in Spark SQL (decimal literals), and decimal
     * division scale rules differ between engines — observed as a
     * BigDecimal `p` and a wrong KL before the casts. */
-  private val klProbFormula =
-    "(CAST(c AS DOUBLE) + 1.0) / (CAST(ntok AS DOUBLE) + CAST(v AS DOUBLE))"
+  private def klProb(c: String, ntok: String): String =
+    s"(CAST($c AS DOUBLE) + 1.0) / (CAST($ntok AS DOUBLE) + CAST(v AS DOUBLE))"
+  private val klProbFormula = klProb("c", "ntok")
 
   /** Per-token KL contribution over the two sides' smoothed
     * probabilities. `ln` is NOT correctly-rounded-identical across
@@ -1135,52 +1136,89 @@ object Analytics {
     * vocabulary, so every (source, token) cell — including zero
     * counts — has mass and the divergence is finite.
     *
-    * Scale shape: the corpus collapses to per-(source, token) counts
-    * first (one map-side-combined aggregate — the only corpus-sized
-    * stage), and everything after operates on the vocabulary-sized
-    * grid: sources × vocab densified with a left join, then a
-    * self-join on token that yields |sources|² rows per token. At a
-    * 10M-token vocabulary and 20 sources that is 200M grid rows and
-    * 4B join rows of three narrow columns — shuffle-friendly and
-    * embarrassingly parallel. (If vocab × sources² ever outgrows
-    * that, the zero-zero cells factor out in closed form — both
-    * sides' smoothed p are constants for tokens absent from both —
-    * so the grid can stay sparse; at this vocabulary the dense grid
-    * is simpler and exact.) The DECIMAL sum keeps the per-pair
-    * reduction order-independent. */
+    * Scale shape — SPARSE: the corpus collapses to per-(source,
+    * token) counts first (one map-side-combined aggregate — the only
+    * corpus-sized stage). The KL sum then splits by support:
+    *
+    *  - tokens present in a OR b: each observed (source, tok) count
+    *    is expanded against the other S-1 sources and the two
+    *    directions FULL-OUTER-joined on (src_a, src_b, tok) — that is
+    *    2·|observed|·(S-1) narrow rows, partitioned by the join key,
+    *    never the |V|·S² dense product (at a 10M-token vocabulary and
+    *    20 sources: ~40M·2 rows instead of 4B).
+    *  - tokens absent from BOTH: their smoothed p_a, p_b are the
+    *    per-pair constants 1/(ntok+v), so the whole tail collapses to
+    *    the closed form z_ab · term0_ab with z_ab = v − |supp_a ∪
+    *    supp_b| — O(S²) driver-sized arithmetic, no rows at all.
+    *
+    * The oracle twin deliberately KEEPS the dense sources×vocab grid
+    * (cheap in DuckDB at test scale): the hash-match then proves the
+    * closed form bitwise — term0 is rounded to 12 decimals BEFORE the
+    * z· multiply, exactly as the dense sum rounds each zero-zero cell
+    * before adding z identical copies, and the DECIMAL multiply
+    * (20,12)×(14,0) → (35,12) is exact, so sparse and dense totals
+    * are equal as decimals, not just approximately. */
   def q114(spark: SparkSession, sfDir: String): DataFrame = {
-    // `counts` is the query's ONLY corpus-sized stage, and five
-    // differently-pruned subtrees consume it (source list, vocab,
-    // vstat, totals, the grid left-join side — and grid itself sits
-    // on both sides of the a/b self-join); column pruning makes each
-    // exchange canonically different, so ReuseExchange cannot dedupe
-    // and without a persist the corpus explode+aggregate would run
-    // ~5x. The RESULT is vocabulary x sources rows — tiny — so this
-    // is the cheap-cache case (the opposite of q68/q101, whose
-    // branches were disjoint row subsets of a corpus-sized table);
+    // `counts` is the query's ONLY corpus-sized stage with four
+    // differently-pruned consumers (vstat, totals, and the two
+    // expansion directions); column pruning makes each exchange
+    // canonically different, so ReuseExchange cannot dedupe and
+    // without a persist the corpus explode+aggregate would run ~4x.
+    // The RESULT is observed-vocabulary-sized — the cheap-cache case;
     // eager count() materializes before the consumers race it.
     val counts = Tables.documents(spark, sfDir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     counts.count()
-    val vocab = counts.select("tok").distinct()
-    val vstat = vocab.agg(count(lit(1)).as("v"))
+    val vstat = counts.select("tok").distinct().agg(count(lit(1)).as("v"))
     val totals = counts.groupBy("source").agg(sum("c").as("ntok"))
-    val grid = counts.select("source").distinct()
-      .crossJoin(vocab)
-      .join(counts, Seq("source", "tok"), "left")
-      .na.fill(0L, Seq("c"))
-      .join(broadcast(totals), "source")
-      .crossJoin(broadcast(vstat))
-      .withColumn("p", expr(klProbFormula))
-    val a = grid.select(col("source").as("src_a"), col("tok"), col("p").as("p_a"))
-    val b = grid.select(col("source").as("src_b"), col("tok"), col("p").as("p_b"))
-    a.join(b, "tok")
+    val srcA = totals.select(col("source").as("src_a"), col("ntok").as("ntok_a"))
+    val srcB = totals.select(col("source").as("src_b"), col("ntok").as("ntok_b"))
+    // Union-support cells: observed a-side counts against every other
+    // b (and symmetrically), full-outer on (pair, tok) so a token in
+    // exactly one support still yields its row, c coalesced to 0 on
+    // the absent side. n_union = |supp_a ∪ supp_b| rides along for
+    // the zero-tail count — one aggregate, no second pass.
+    val ga = counts
+      .select(col("source").as("src_a"), col("tok"), col("c").as("c_a"))
+      .crossJoin(broadcast(srcB.select("src_b")))
       .filter(col("src_a") =!= col("src_b"))
+    val gb = counts
+      .select(col("source").as("src_b"), col("tok"), col("c").as("c_b"))
+      .crossJoin(broadcast(srcA.select("src_a")))
+      .filter(col("src_a") =!= col("src_b"))
+    val unionAgg = ga.join(gb, Seq("src_a", "src_b", "tok"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .join(broadcast(srcA), "src_a")
+      .join(broadcast(srcB), "src_b")
+      .crossJoin(broadcast(vstat))
+      .withColumn("p_a", expr(klProb("c_a", "ntok_a")))
+      .withColumn("p_b", expr(klProb("c_b", "ntok_b")))
       .withColumn("term", expr(klTermFormula))
       .groupBy("src_a", "src_b")
-      .agg(floorRound(sum(col("term")).cast("double"), 6).as("kl_divergence"))
+      .agg(sum(col("term")).as("t_union"), count(lit(1)).as("n_union"))
+    // Zero-zero tail, closed form per ordered pair (S² rows total).
+    // The c=0 probabilities go through the SAME klProb shape so the
+    // double is bit-identical to what the oracle's dense grid
+    // computes for an absent token.
+    unionAgg
+      .join(broadcast(srcA), "src_a")
+      .join(broadcast(srcB), "src_b")
+      .crossJoin(broadcast(vstat))
+      .withColumn("p_a", expr(klProb("0", "ntok_a")))
+      .withColumn("p_b", expr(klProb("0", "ntok_b")))
+      .withColumn("term0", expr(klTermFormula).cast("decimal(20,12)"))
+      .withColumn("z", (col("v") - col("n_union")).cast("decimal(14,0)"))
+      // Both addends fit in 13 integer digits with room to spare
+      // (|KL partial| < ~100), so the down-casts are exact; WITHOUT
+      // them DECIMAL(38,12)+DECIMAL(35,12) overflows precision 38 and
+      // Spark shrinks the scale to 11 — a rounding step the oracle's
+      // straight scale-12 sum never takes.
+      .withColumn("kl", (col("t_union").cast("decimal(25,12)") +
+        (col("z") * col("term0")).cast("decimal(25,12)")).cast("double"))
+      .select(col("src_a"), col("src_b"),
+        floorRound(col("kl"), 6).as("kl_divergence"))
       .orderBy("src_a", "src_b")
   }
 

@@ -305,4 +305,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = "Scan parquet\\s*\\(\\d+\\)".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
+
+  test("q114: sparse KL — full-outer union join on (pair, tok), never the dense |V|·S² grid") {
+    // The zero-zero tail is closed-form (z·term0), so the plan must
+    // carry only OBSERVED (source, tok) rows: the union-support cells
+    // come from one FULL-OUTER join keyed (src_a, src_b, tok). The
+    // dense formulation's signatures were (a) a sources×vocab
+    // cross-expansion densified by a LEFT join and (b) an a/b
+    // self-join keyed on tok ALONE — |V|·S² rows; neither may return.
+    val p = plan("q114_source_kl")
+    assert(p.contains("FullOuter"), s"sparse union join gone:\n$p")
+    assert(!"keys \\[1\\]: \\[tok#".r.findFirstIn(p).isDefined,
+      s"a join keyed on tok alone = the dense self-join is back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q114 cartesian:\n$p")
+  }
 }
