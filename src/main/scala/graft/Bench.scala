@@ -117,13 +117,34 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The driver archives only a bounded TAIL of this output; with
-    // 120+ per-query entries the leading "metric":"total" line falls
-    // off it. Echo a compact total LAST so every archived tail
-    // self-contains the headline number (n_failed > 0 flags any -1
-    // sentinel rows hiding inside the truncated per-query map).
+    // Drift triage (self-reporting): compare each timing against the
+    // committed quiet-host reference run and flag >1.5x moves, so a
+    // single noisy bench run TELLS the reader which queries moved
+    // instead of leaving the per-query diff to archaeology. The
+    // absolute floor (0.3 s) keeps 50ms->90ms scheduling jitter out of
+    // the flag; the documented 52-78 s host band means a handful of
+    // flagged queries on a loaded host is drift, not regression —
+    // the signature of a real plan regression is the SAME query
+    // flagged across runs.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "dev/bench_reference.json")
+    val reference: Map[String, Double] = {
+      val f = new java.io.File(refPath)
+      if (!f.isFile) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f)
+        val s = try txt.mkString finally txt.close()
+        "\"(q[0-9][A-Za-z0-9_]*)\"\\s*:\\s*([0-9.]+)".r
+          .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val regressed = results.filter { case (name, dt) =>
+      dt > 0.3 && reference.get(name).exists(ref => ref > 0 && dt > 1.5 * ref)
+    }
+    val regJson = regressed.map { case (name, dt) =>
+      f""""$name":[${reference(name)}%.3f,$dt%.3f]"""
+    }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total_echo","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_echo","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_regressed":${regressed.size},"regressed":$regJson,"ref":"${if (reference.isEmpty) "none" else refPath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

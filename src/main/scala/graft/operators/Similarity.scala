@@ -27,7 +27,7 @@ object Similarity {
     * reader in this file pins (declared first: vals initialize in
     * order, and the oracle CTE strings below interpolate it; a
     * forward reference would silently interpolate 0). */
-  private val Dim = 64
+  private[graft] val Dim = 64
 
   /** k-means parameters: k=8 coarse cells (q30/q132's nlist) and 3
     * Lloyd iterations — enough to move every centroid off its seed
@@ -365,8 +365,9 @@ object Similarity {
   /** Embedding-cosine near-duplicate threshold. The corpus has no
     * planted exact duplicates (max pairwise cos ≈ 0.51 at sf0.01);
     * 0.4 marks the measurably-correlated tail (59 pairs at sf0.01,
-    * 920 at sf0.1). */
-  private val NearDupCos = 0.4
+    * 920 at sf0.1). `private[graft]`: the streaming near-dup twin
+    * (streaming/VectorStreams) enforces the same threshold. */
+  private[graft] val NearDupCos = 0.4
 
   /** q36 — embedding-cosine near-dup, exact: every unordered pair
     * with cosine ≥ threshold. VERIFIER, SMALL-N ONLY: inherently
@@ -439,17 +440,28 @@ object Similarity {
     * corpus) lives until `spark.catalog.clearCache()`; Bench/Verify
     * clear between queries, and library callers running many queries
     * in one session should do the same. */
-  private def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = vecs(spark, sfDir)
+  /** Banded SRP signature expansion — the SHARED definition behind
+    * the batch candidate stage ([[lshCandidates]]) and the streaming
+    * near-dup twin (streaming/VectorStreams.nearDupPairStream): input
+    * must expose `v: array<double>`; output carries the `keep`
+    * columns plus one (band_idx, band_val) row per band. One
+    * definition, so batch and stream cannot band, plane, or hash
+    * differently (the chunkSigs precedent). */
+  private[graft] def bandSigs(df: DataFrame, keep: Seq[String]): DataFrame = {
     val bits = (0 until NumPlanes).map(p =>
       when(dot_product(col("v"), typedlit(planes(p).toSeq)) >= 0, "1")
         .otherwise("0").as(s"b$p"))
     val bandPairs = (0 until NumPlanes / BandBits)
       .map(b => s"$b, concat(${(0 until BandBits).map(i => s"b${BandBits * b + i}").mkString(", ")})")
       .mkString(", ")
-    val sig = n.select(col("vec_id") +: bits: _*)
-      .select(col("vec_id"),
-        expr(s"stack(${NumPlanes / BandBits}, $bandPairs) AS (band_idx, band_val)"))
+    df.select(keep.map(col) ++ bits: _*)
+      .select(keep.map(col) :+
+        expr(s"stack(${NumPlanes / BandBits}, $bandPairs) AS (band_idx, band_val)"): _*)
+  }
+
+  private def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = vecs(spark, sfDir)
+    val sig = bandSigs(n, Seq("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count() // eager materialization — both join sides read the cache
     // NOT distinct: a pair colliding in k bands appears k times.

@@ -251,6 +251,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup (q37 twin): stream pair-set ≡ batch pairs over a 2-batch replay") {
+    import graft.streaming.VectorStreams
+    // Replay the sf0.001 embedding corpus (500 vectors, 56 true
+    // near-dup pairs) in vec_id order as TWO micro-batches: pairs
+    // whose members straddle the batch boundary must be found via
+    // bucket STATE (the earlier member survives in its band buckets
+    // until the watermark passes), pinning the cross-batch path. The
+    // delay (1 h) far exceeds the replay's 500 s event-time span, so
+    // nothing GCs mid-replay and the stream's detect-within-window
+    // guarantee covers every batch pair — making exact set parity
+    // with q37 the correct oracle, not an approximation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshstream").toString + "/in"
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        timestamp_seconds(lit(1700000000L) + col("vec_id")).as("ts"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val mid = 250L
+    vecs.filter(col("vec_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    vecs.filter(col("vec_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = spark.readStream.schema(VectorStreams.vecSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = EventStreams.runToMemory(
+      VectorStreams.nearDupPairStream(stream, delayMs = 3600L * 1000).toDF(),
+      "lsh_neardup_out", outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2,
+        s"expected >=2 micro-batches, got ${q.recentProgress.length} — cross-batch path not exercised")
+      val got = spark.table("lsh_neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = SparkEntry.queries("q37_srp_lsh_neardup")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.size > 40, s"degenerate batch truth: ${want.size} pairs")
+      assert(got === want,
+        s"stream pair-set diverged from batch: missing ${want -- got}, extra ${got -- want}")
+    } finally q.stop()
+  }
+
   test("streaming mixture rebalance (q127 twin): stream-admitted set ≡ batch kept set, any batching") {
     import graft.streaming.CorpusStreams
     // Calibrate offline on the full batch corpus, enforce online over
