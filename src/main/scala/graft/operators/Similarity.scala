@@ -215,31 +215,49 @@ object Similarity {
        |$iters""".stripMargin
   }
 
+  /** Per-row (negcos, c_id) struct array over the trained centroid
+    * literals — the cosine twin of [[assignL2]]'s narrow argmax.
+    * `array_min` of it is the best cell (struct ordering = negcos ASC
+    * then c_id ASC ≡ the oracle's ORDER BY cos DESC, c_id);
+    * `array_sort` + slice gives the nprobe best. Negation is exact
+    * (sign-bit flip), so ties and orderings agree bitwise with the
+    * oracle's un-negated DESC sort. */
+  private def centStructs(cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+    array(cents.map { case (cId, cv) =>
+      struct(negate(cosine_sim(typedlit(cv), col("v"))).as("negcos"),
+        lit(cId).as("c_id"))
+    }: _*)
+
   /** q30 — IVF approximate nearest neighbor over TRAINED coarse
     * centroids: the k=8 cells come from q77's Lloyd training
     * ([[trainedCentroids]] — trained once per corpus, reused across
     * the index family, exactly how an ANN index is built then
-    * served); every vector is assigned to its nearest centroid
-    * (broadcast join + argmax — one pass); a query probes only its
-    * own centroid's posting list. This is the 100 TB ANN shape: the
-    * corpus is partitioned by cluster id, so a probe touches 1/nlist
-    * of the data instead of all of it, and the index build cost
-    * (iters+1 corpus scans) amortizes over every query served. */
+    * served); every vector is assigned to its nearest centroid; a
+    * query probes only its own centroid's posting list.
+    *
+    * 100 TB shape, all three legs deliberate: (1) assignment is a
+    * pure NARROW map over centroid literals ([[centStructs]] argmax —
+    * no k×N join, no per-vector window, ZERO corpus shuffles; the
+    * r7 plan audit caught the previous window formulation exchanging
+    * the corpus twice); (2) the probe side re-derives from a second,
+    * vec_id-PRUNED scan (the probe filter reaches parquet) and
+    * BROADCASTS onto the posting lists — never a shuffle join on the
+    * nlist-valued cluster key, which would cap reducer parallelism
+    * at nlist; (3) the per-query head is a WindowGroupLimit-bounded
+    * top-k. A probe touches 1/nlist of the corpus, and the index
+    * build cost (iters+1 scans) amortizes over every query served.
+    * PlanShapeSpec pins all three. */
   def q30(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    val cents = trainedCentroids(spark, sfDir)
     val n = cvecs(spark, sfDir)
-    val cent = trainedCentroids(spark, sfDir).toDF("c_id", "qv")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
-    val assigned = n.join(broadcast(cent), lit(true))
-      .withColumn("cos", cosine_sim(col("qv"), col("v")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-    val queries = assigned
-      .filter(col("vec_id") >= 8 && col("vec_id") < 28)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cluster"))
+    val assigned = n.withColumn("best", array_min(centStructs(cents)))
+      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
+    val queries = n.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+      .withColumn("best", array_min(centStructs(cents)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("best.c_id").as("cluster"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(queries, Seq("cluster"))
+    assigned.join(broadcast(queries), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine_sim(col("qv"), col("v")))
       .withColumn("rank", row_number().over(wTop).cast("long"))
@@ -267,25 +285,23 @@ object Similarity {
     * assignment argmax and the probe-list rank), the corpus streams
     * once per stage with the codegen'd cosine, the probe fan-out
     * multiplies only the QUERY side (×nprobe), and the final head is
-    * a per-query window over O(queries × lists) candidates. */
+    * a per-query window over O(queries × lists) candidates. Same
+    * narrow-argmax / pruned-probe-scan / broadcast-join legs as q30
+    * (see its scaladoc); the only delta is the probe side keeping
+    * its [[NProbe]] best cells via array_sort + slice. */
   def q132(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    val cents = trainedCentroids(spark, sfDir)
     val n = cvecs(spark, sfDir)
-    val cent = trainedCentroids(spark, sfDir).toDF("c_id", "qv")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_id"))
-    val ranked = n.join(broadcast(cent), lit(true))
-      .withColumn("cos", cosine_sim(col("qv"), col("v")))
-      .withColumn("rk", row_number().over(wAssign))
-    val assigned = ranked.filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val assigned = n.withColumn("best", array_min(centStructs(cents)))
+      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
     // queries keep their nprobe nearest centroids — the only change
     // from q30, and it multiplies the query side alone
-    val queries = ranked.filter(col("rk") <= NProbe)
-      .filter(col("vec_id") >= 8 && col("vec_id") < 28)
+    val queries = n.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+      .withColumn("best2", slice(array_sort(centStructs(cents)), 1, NProbe))
       .select(col("vec_id").as("q_id"), col("v").as("qv2"),
-        col("c_id").as("cluster"))
+        explode(col("best2.c_id")).as("cluster"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(queries, Seq("cluster"))
+    assigned.join(broadcast(queries), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine_sim(col("qv2"), col("v")))
       .withColumn("rank", row_number().over(wTop).cast("long"))

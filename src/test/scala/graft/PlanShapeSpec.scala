@@ -306,6 +306,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
+  test("q30/q132: IVF serving — narrow argmax assignment, pruned broadcast probe side, no cluster-key shuffle join") {
+    // The r7 plan audit caught the window-based assignment exchanging
+    // the corpus TWICE and the probe join degenerating to a
+    // SortMergeJoin on the nlist-valued cluster key (≤ nlist active
+    // reducers at 100 TB). The rewritten shape must hold: (a) zero
+    // SMJ/ShuffledHashJoin — the tiny probe side broadcasts; (b) the
+    // probe-side scan is vec_id-PRUNED at parquet (the probe filter
+    // pushes below the narrow assignment); (c) exactly one
+    // hashpartitioning exchange (the per-query top-k window), i.e.
+    // assignment itself shuffles nothing.
+    for (q <- Seq("q30_ann_ivf", "q132_ann_ivf_multiprobe")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q probe join must broadcast, not shuffle on the nlist-valued key:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q probe side not broadcast:\n$p")
+      assert(p.contains("GreaterThanOrEqual(vec_id,8)") && p.contains("LessThan(vec_id,28)"),
+        s"$q probe filter not pushed to the parquet scan:\n$p")
+      val hashExchanges = "hashpartitioning\\(".r.findAllIn(p).size
+      assert(hashExchanges == 1,
+        s"$q: expected 1 hash exchange (top-k window), got $hashExchanges — assignment is shuffling:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q per-query head lost the rank-limit pushdown:\n$p")
+    }
+  }
+
   test("q114: sparse KL — full-outer union join on (pair, tok), never the dense |V|·S² grid") {
     // The zero-zero tail is closed-form (z·term0), so the plan must
     // carry only OBSERVED (source, tok) rows: the union-support cells
