@@ -611,6 +611,106 @@ object Similarity {
        | min(vec_id) AS min_vec, max(vec_id) AS max_vec
        |FROM assigned GROUP BY c_id ORDER BY cluster""".stripMargin
 
+  /** q133 — SemDeDup (cluster-then-dedup semantic deduplication, the
+    * Abbas et al. 2023 recipe): assign every vector to its nearest
+    * TRAINED centroid ([[trainedCentroids]] — the same k-means cells
+    * the IVF family serves), run exact pairwise cosine only WITHIN
+    * each cluster, and drop the higher vec_id of every pair at the
+    * family's [[NearDupCos]] threshold. Output is the per-cluster
+    * dedup report (members / dup pairs / dropped / kept).
+    *
+    * Semantics vs the rest of the dedup family: q36 is the global
+    * all-pairs truth (verifier, small-N only), q37 approximates it
+    * with banded SRP-LSH; SemDeDup instead bounds the quadratic term
+    * by CLUSTER — only co-clustered pairs are ever compared, so it
+    * finds exactly the subset of q36's pairs whose endpoints share a
+    * Voronoi cell (measured 29/59 at sf0.01, 323/920 at sf0.1;
+    * OperatorSpec pins the subset property and the recall floor).
+    *
+    * 100 TB shape: the assignment leg is q30's narrow argmax — zero
+    * corpus shuffles, centroid literals broadcast. The intra-cluster
+    * self-join shuffles the corpus ONCE on the cluster key; total
+    * pairwise flops are Σ|cell|² ≈ N²/k, the SemDeDup trade (k grows
+    * with N in production — 50k cells in the paper — keeping E|cell|
+    * bounded, so the per-cell all-pairs stays a local nested loop).
+    * At local nlist=8 the cluster key caps reducer parallelism at 8;
+    * at production nlist (thousands) the same plan spreads across
+    * the cluster, and a skewed mega-cell is exactly what q54's
+    * inventory flags for re-training. */
+  def q133(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = trainedCentroids(spark, sfDir)
+    val n = cvecs(spark, sfDir)
+    // 3 consumers (both self-join sides + the membership rollup):
+    // persist so the argmax assignment runs once, not three times.
+    val assigned = n.withColumn("best", array_min(centStructs(cents)))
+      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    val dupPairs = assigned
+      .select(col("cluster"), col("vec_id").as("vec_a"), col("v").as("va"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("v").as("vb")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b") &&
+        cosine_sim(col("va"), col("vb")) >= NearDupCos)
+      .select(col("cluster"), col("vec_a"), col("vec_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dupPairs.count()
+    val drops = dupPairs.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(1))
+    val memberStats = assigned.join(drops, Seq("vec_id"), "left")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), count(col("dropped")).as("n_dropped"))
+    val pairCounts = dupPairs.groupBy("cluster")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    memberStats.join(pairCounts, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        col("n_dropped"),
+        (col("n_members") - col("n_dropped")).as("n_kept"))
+      .orderBy("cluster")
+  }
+
+  val q133Sql: String =
+    s"""WITH nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = $Dim),
+       |${kmeansCtesSql("nv")},
+       |n AS (
+       |  SELECT vec_id, v, nrm FROM (
+       |    SELECT vec_id, v,
+       |      sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+       |    FROM nv) t0
+       |  WHERE nrm > 0),
+       |cent AS (SELECT c_id, cv AS qv,
+       |    sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')) AS qn
+       |  FROM c$KmeansIters),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id AS cluster FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(cent.qv, n.v) / (cent.qn * n.nrm) DESC,
+       |                 cent.c_id) AS rk
+       |    FROM n, cent) t
+       |  WHERE rk = 1),
+       |dup_pairs AS (
+       |  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= $NearDupCos),
+       |drops AS (SELECT DISTINCT vec_b AS vec_id FROM dup_pairs),
+       |ms AS (
+       |  SELECT a.cluster, count(*) AS n_members, count(d.vec_id) AS n_dropped
+       |  FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+       |  GROUP BY a.cluster),
+       |pc AS (SELECT cluster, count(*) AS n_dup_pairs FROM dup_pairs GROUP BY cluster)
+       |SELECT CAST(ms.cluster AS BIGINT) AS cluster,
+       |  CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(coalesce(pc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  CAST(n_members - n_dropped AS BIGINT) AS n_kept
+       |FROM ms LEFT JOIN pc ON ms.cluster = pc.cluster
+       |ORDER BY cluster""".stripMargin
+
   /** q56 — array-function gauntlet over the embedding column: size,
     * element access, extrema, and the L2 norm via the native
     * dot_product expression — the per-vector feature stage (all
@@ -976,7 +1076,8 @@ object Similarity {
     "q115_embed_outliers" -> q115 _,
     "q116_knn_label_eval" -> q116 _,
     "q130_label_separation" -> q130 _,
-    "q132_ann_ivf_multiprobe" -> q132 _)
+    "q132_ann_ivf_multiprobe" -> q132 _,
+    "q133_semdedup" -> q133 _)
 
   val oracles: Map[String, String] = Map(
     "q77_kmeans_train" -> q77Sql,
@@ -990,5 +1091,6 @@ object Similarity {
     "q115_embed_outliers" -> q115Sql,
     "q116_knn_label_eval" -> q116Sql,
     "q130_label_separation" -> q130Sql,
-    "q132_ann_ivf_multiprobe" -> q132Sql)
+    "q132_ann_ivf_multiprobe" -> q132Sql,
+    "q133_semdedup" -> q133Sql)
 }

@@ -722,6 +722,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.35, f"q132 recall $recall%.3f < 0.35 at sf0.1")
   }
 
+  test("q133 SemDeDup: drops ⊆ q36 global truth, co-cluster recall ≥ 0.3, kept+dropped=members") {
+    // SemDeDup's defining property: it compares only co-clustered
+    // pairs, so every pair it acts on is a TRUE near-dup pair (subset
+    // of the q36 all-pairs truth at the same threshold), and its
+    // recall vs that truth equals the fraction of near-dup pairs
+    // whose endpoints share a Voronoi cell (measured 29/59 = 0.49 at
+    // sf0.01; 323/920 = 0.35 at sf0.1). Deterministic —
+    // margin is only against fixture regeneration.
+    val truth = SparkEntry.queries("q36_embed_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val report = SparkEntry.queries("q133_semdedup")(spark, sf).collect()
+    report.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3) + r.getLong(4),
+        s"cluster ${r.getLong(0)}: members != dropped + kept")
+      assert(r.getLong(3) <= r.getLong(2),
+        s"cluster ${r.getLong(0)}: more drops than dup pairs")
+    }
+    val nDupPairs = report.map(_.getLong(2)).sum
+    assert(nDupPairs <= truth.size,
+      s"SemDeDup found $nDupPairs pairs but global truth has ${truth.size}")
+    assert(truth.isEmpty || nDupPairs.toDouble / truth.size >= 0.3,
+      s"co-cluster recall ${nDupPairs.toDouble / truth.size} degenerate")
+  }
+
   test("q131 cross-doc dup fractions match a local shingle-set replay") {
     // Replays the whole pipeline with plain Scala collections and NO
     // md5 (raw shingle strings as keys), so the 16-hex-char sig
