@@ -214,29 +214,26 @@ object Dedup {
     * nothing at sf0.01 (max df there is 7). */
   private val MaxShingleDf = 20
 
-  /** q23 — exact n-gram Jaccard similarity: pairs sharing shingles,
-    * J = |∩| / |∪| ≥ 0.5, over df-bounded shingles (see
-    * [[MaxShingleDf]]). Pair space is bounded to docs sharing an
-    * informative shingle, and the cutoff bounds each shingle's pair
-    * fan-out to T²/2. At 100 TB this also runs well on LSH candidates
-    * (q22) only; here it doubles as the oracle-checked ground truth
-    * for them. */
-  def q23(spark: SparkSession, sfDir: String): DataFrame = {
-    // Shingles are replaced by 96-bit md5-derived (h1, h2) long pairs
-    // BEFORE the one shuffle: equality is all Jaccard needs, two
-    // longs shuffle/compare much cheaper than ~25-char strings, and
-    // 96 bits over ~10⁶ shingles makes a collision ~10⁻¹⁷. The whole
-    // dedup + df-cutoff is ONE hash aggregate on (h1, h2) with a
-    // bounded distinct-set collector (functions/BoundedDocSet): the
-    // agg buffer holds at most T+1 doc ids per shingle no matter how
-    // hot the shingle (partial aggregation bounds the shuffle the
-    // same way), buckets that overflow are exactly the df > T
-    // shingles and are dropped, and surviving buckets are complete
-    // sorted doc sets. Within-bucket pair expansion (≤ T²/2 pairs by
-    // construction) then replaces the earlier distinct → df-join →
-    // self-join chain: 4 exchanges + 2 joins became 1 exchange + 1
-    // explode — measured faster at sf0.1 and strictly safer at
-    // 100 TB (no unbounded collect, no hot-key join fan-out).
+  /** Shared overlap engine for q23 (Jaccard) and q134 (containment):
+    * (doc_a, doc_b, n_inter, sh_a, sh_b) for every pair of documents
+    * sharing at least one df-bounded informative shingle.
+    *
+    * Shingles are replaced by 96-bit md5-derived (h1, h2) long pairs
+    * BEFORE the one shuffle: equality is all set-overlap needs, two
+    * longs shuffle/compare much cheaper than ~25-char strings, and
+    * 96 bits over ~10⁶ shingles makes a collision ~10⁻¹⁷. The whole
+    * dedup + df-cutoff is ONE hash aggregate on (h1, h2) with a
+    * bounded distinct-set collector (functions/BoundedDocSet): the
+    * agg buffer holds at most T+1 doc ids per shingle no matter how
+    * hot the shingle (partial aggregation bounds the shuffle the
+    * same way), buckets that overflow are exactly the df > T
+    * shingles and are dropped, and surviving buckets are complete
+    * sorted doc sets. Within-bucket pair expansion (≤ T²/2 pairs by
+    * construction) then replaces the earlier distinct → df-join →
+    * self-join chain: 4 exchanges + 2 joins became 1 exchange + 1
+    * explode — measured faster at sf0.1 and strictly safer at
+    * 100 TB (no unbounded collect, no hot-key join fan-out). */
+  private def overlapPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val buckets = shingles(spark, sfDir, distinct = false)
       .withColumn("h", md5(col("sh")))
       .select(col("doc_id"),
@@ -259,15 +256,28 @@ object Dedup {
     inter
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a")), "doc_a")
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b")), "doc_b")
+  }
+
+  /** q23 — exact n-gram Jaccard similarity: pairs sharing shingles,
+    * J = |∩| / |∪| ≥ 0.5, over df-bounded shingles (see
+    * [[MaxShingleDf]]). Pair space is bounded to docs sharing an
+    * informative shingle, and the cutoff bounds each shingle's pair
+    * fan-out to T²/2. At 100 TB this also runs well on LSH candidates
+    * (q22) only; here it doubles as the oracle-checked ground truth
+    * for them. */
+  def q23(spark: SparkSession, sfDir: String): DataFrame =
+    overlapPairs(spark, sfDir)
       .withColumn("jaccard", graft.functions.OracleRound.floorRound(
         col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
       .orderBy("doc_a", "doc_b")
-  }
 
-  val q23Sql: String =
-    s"""WITH $shinglesSql,
+  /** CTE chain producing [[overlapPairs]]'s relation as
+    * `inter(doc_a, doc_b, n_inter)` + `sizes(doc_id, n_sh)` — shared
+    * by q23Sql and q134Sql. */
+  private val overlapCteSql: String =
+    s"""$shinglesSql,
        |shf AS (
        |  SELECT doc_id, sh FROM (
        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh) t
@@ -278,7 +288,10 @@ object Dedup {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
-       |)
+       |)""".stripMargin
+
+  val q23Sql: String =
+    s"""WITH $overlapCteSql
        |SELECT doc_a, doc_b, n_inter,
        | floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
        |FROM inter
@@ -286,6 +299,129 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Containment cutoff for q134. 0.3 is deliberately below q23's
+    * Jaccard 0.5 so the asymmetric regime is visible: a short doc
+    * fully contained in a long one maxes containment while Jaccard
+    * stays near |A|/|B|. */
+  private val ContainMin = 0.3
+
+  /** q134 — asymmetric shingle containment (Broder's C(A,B) =
+    * |A∩B| / |A|): the subset-duplicate detector Jaccard misses. A
+    * snippet pasted into a 10× longer page has J ≈ 0.1 (q23 drops
+    * it) but containment ≈ 1.0 — exactly the "quoted boilerplate /
+    * wrapped article" duplication mode in web corpora, so a training
+    * pipeline audits both. Emits every informative-shingle pair with
+    * max(C(A,B), C(B,A)) ≥ [[ContainMin]], flagging pairs whose
+    * Jaccard is below the cutoff (`is_asym` — containment-only
+    * duplicates, invisible to q23; 20 such pairs at sf0.1, 0 at
+    * sf0.01 where all duplication is whole-doc).
+    *
+    * Scale shape: identical to q23 — the same [[overlapPairs]]
+    * bounded-bucket engine (one shuffle, ≤ T²/2 pairs per shingle),
+    * only the final scalar arithmetic differs. The containment
+    * denominators come from the same broadcast `sizes` table. */
+  def q134(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    overlapPairs(spark, sfDir)
+      .withColumn("cont_a", floorRound(col("n_inter").cast("double") / col("sh_a"), 6))
+      .withColumn("cont_b", floorRound(col("n_inter").cast("double") / col("sh_b"), 6))
+      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+      .withColumn("jaccard", floorRound(
+        col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+      .filter(col("containment") >= ContainMin)
+      .withColumn("is_asym",
+        when(col("jaccard") < ContainMin, lit(1L)).otherwise(lit(0L)))
+      .select("doc_a", "doc_b", "n_inter", "cont_a", "cont_b", "jaccard", "is_asym")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q134Sql: String = {
+    val contA = "floor(CAST(n_inter AS DOUBLE) / sa.n_sh * 1000000 + 0.5) / 1000000"
+    val contB = "floor(CAST(n_inter AS DOUBLE) / sb.n_sh * 1000000 + 0.5) / 1000000"
+    val jac = "floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000"
+    s"""WITH $overlapCteSql
+       |SELECT doc_a, doc_b, n_inter,
+       | $contA AS cont_a,
+       | $contB AS cont_b,
+       | $jac AS jaccard,
+       | CAST(CASE WHEN $jac < $ContainMin THEN 1 ELSE 0 END AS BIGINT) AS is_asym
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE greatest($contA, $contB) >= $ContainMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q136 — NEAR-dup cross-split leakage: q101 audits q80's
+    * train/val/test split for *exact* shingle sharing; this is its
+    * fuzzy twin — an eval document is "leaked" if MinHash-LSH banding
+    * (q22's candidate engine, verbatim) pairs it with ANY train
+    * document. Catches the paraphrased/lightly-edited eval
+    * contamination an exact-overlap audit misses, which is the case
+    * that actually inflates benchmark scores. Per eval split: doc
+    * count, crossing candidate-pair count, leaked-doc count, ratio.
+    *
+    * Scale shape: candidate generation is q22's banded shuffle
+    * (never all-pairs); split labels are md5 arithmetic computed
+    * IN-LINE on the pair table — no join against a split table, so
+    * beyond the shared candidate engine the audit adds only an
+    * O(pairs) projection and two tiny aggregates. */
+  def q136(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{HashBucket, OracleRound}
+    val cand = minhashCandidates(spark, sfDir)
+      .withColumn("split_a", expr(HashBucket.splitExpr("doc_a")))
+      .withColumn("split_b", expr(HashBucket.splitExpr("doc_b")))
+    // Normalize each train↔eval pair to (eval doc, its split); pairs
+    // within train or within eval splits are not leakage.
+    val crossing = cand
+      .filter((col("split_a") === "train") =!= (col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+        when(col("split_a") === "train", col("split_b")).otherwise(col("split_a")).as("split"))
+    val leaked = crossing.groupBy("split")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct("doc_id").as("n_leaked"))
+    val evalDocs = Tables.documents(spark, sfDir)
+      .select(expr(HashBucket.splitExpr("doc_id")).as("split"))
+      .filter(col("split") =!= "train")
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+    evalDocs.join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        OracleRound.floorRound(
+          coalesce(col("n_leaked"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("leak_ratio"))
+      .orderBy("split")
+  }
+
+  val q136Sql: String = {
+    import graft.functions.HashBucket
+    s"""WITH $q22CandCte,
+       |sp AS (
+       |  SELECT doc_a, doc_b,
+       |    ${HashBucket.splitSql("doc_a")} AS split_a,
+       |    ${HashBucket.splitSql("doc_b")} AS split_b
+       |  FROM cand22),
+       |crossing AS (
+       |  SELECT CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS doc_id,
+       |         CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS split
+       |  FROM sp WHERE (split_a = 'train') <> (split_b = 'train')),
+       |leaked AS (
+       |  SELECT split, count(*) AS n_pairs, count(DISTINCT doc_id) AS n_leaked
+       |  FROM crossing GROUP BY split),
+       |ev AS (
+       |  SELECT split, count(*) AS n_docs FROM (
+       |    SELECT ${HashBucket.splitSql("doc_id")} AS split FROM documents) s
+       |  WHERE split <> 'train' GROUP BY split)
+       |SELECT e.split, e.n_docs,
+       |  coalesce(l.n_pairs, 0) AS n_pairs,
+       |  coalesce(l.n_leaked, 0) AS n_leaked,
+       |  ${graft.functions.OracleRound.floorRoundSql(
+             "CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / e.n_docs", 6)} AS leak_ratio
+       |FROM ev e LEFT JOIN leaked l ON e.split = l.split
+       |ORDER BY e.split""".stripMargin
+  }
 
   /** q24 — SimHash fingerprint (32-bit, over md5 hex-digit high bits of each
     * token): per bit, +1/-1 votes weighted by token frequency; the
@@ -952,7 +1088,9 @@ object Dedup {
     "q64_fuzzy_blocked" -> q64 _,
     "q121_cluster_canonical" -> q121 _,
     "q124_dedup_capstone" -> q124 _,
-    "q131_crossdoc_ngram_dup" -> q131 _)
+    "q131_crossdoc_ngram_dup" -> q131 _,
+    "q134_shingle_containment" -> q134 _,
+    "q136_neardup_split_leakage" -> q136 _)
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" -> q21Sql,
@@ -964,5 +1102,7 @@ object Dedup {
     "q64_fuzzy_blocked" -> q64Sql,
     "q121_cluster_canonical" -> q121Sql,
     "q124_dedup_capstone" -> q124Sql,
-    "q131_crossdoc_ngram_dup" -> q131Sql)
+    "q131_crossdoc_ngram_dup" -> q131Sql,
+    "q134_shingle_containment" -> q134Sql,
+    "q136_neardup_split_leakage" -> q136Sql)
 }

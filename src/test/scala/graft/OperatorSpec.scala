@@ -746,6 +746,55 @@ class OperatorSpec extends AnyFunSuite {
       s"co-cluster recall ${nDupPairs.toDouble / truth.size} degenerate")
   }
 
+  test("q134 containment: superset of q23 pairs, containment dominates jaccard, flag consistent") {
+    val jac = SparkEntry.queries("q23_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SparkEntry.queries("q134_shingle_containment")(spark, sf).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // J ≥ 0.5 implies max-containment ≥ 0.5 ≥ the 0.3 cutoff, so q23's
+    // symmetric near-dups must all reappear here, flagged symmetric.
+    assert(jac.subsetOf(pairs), s"q23 pairs missing from q134: ${jac -- pairs}")
+    rows.foreach { r =>
+      val (ca, cb, j) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(ca > 0 && ca <= 1.0 + 1e-9, s"cont_a out of range: $ca")
+      assert(cb > 0 && cb <= 1.0 + 1e-9, s"cont_b out of range: $cb")
+      assert(math.max(ca, cb) >= j - 1e-9,
+        s"containment ${math.max(ca, cb)} below jaccard $j")
+      assert(r.getLong(6) === (if (j < 0.3) 1L else 0L), "is_asym flag inconsistent")
+    }
+  }
+
+  test("q136 near-dup split leakage matches a local replay over q22 candidates") {
+    // Independent re-derivation: take q22's candidate pairs, assign
+    // splits with a plain-JVM md5 (no Spark expressions), and check
+    // the per-split pair/leak counts exactly.
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val cand = SparkEntry.queries("q22_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val crossing = cand.flatMap { case (a, b) =>
+      (splitOf(a) == "train", splitOf(b) == "train") match {
+        case (true, false) => Some((b, splitOf(b)))
+        case (false, true) => Some((a, splitOf(a)))
+        case _ => None
+      }
+    }
+    val expPairs = crossing.groupBy(_._2).view.mapValues(_.size).toMap
+    val expLeaked = crossing.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    val rows = SparkEntry.queries("q136_neardup_split_leakage")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("test", "val"))
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(2) === expPairs.getOrElse(s, 0).toLong, s"$s n_pairs")
+      assert(r.getLong(3) === expLeaked.getOrElse(s, 0).toLong, s"$s n_leaked")
+      assert(r.getLong(3) <= r.getLong(1), s"$s leaked more docs than exist")
+    }
+  }
+
   test("q131 cross-doc dup fractions match a local shingle-set replay") {
     // Replays the whole pipeline with plain Scala collections and NO
     // md5 (raw shingle strings as keys), so the 16-hex-char sig
