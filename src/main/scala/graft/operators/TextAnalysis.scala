@@ -498,6 +498,97 @@ object TextAnalysis {
        |  count(CASE WHEN xent > $LmFlagNats THEN 1 END) AS n_flagged
        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q135 feature-space size: hashed-unigram buckets. DSIR hashes
+    * features into a fixed small space so both distributions are
+    * dense, broadcastable vectors no matter the vocabulary. */
+  private val DsirBuckets = 64
+
+  /** q135 target domain: English documents (the corpus's proxy for
+    * "looks like the curated target set"). */
+  private val DsirTargetLang = "en"
+
+  /** Per-bucket smoothed log importance ratio, shared verbatim by
+    * both engines (CAST-every-leaf so each double op has identical
+    * operands → identical IEEE bits; see q114's discipline).
+    * Columns: tc = target bucket count (NULL if unseen), rc = raw
+    * bucket count, tt/rr = the two totals. */
+  private val dsirLogRatioFormula: String =
+    s"ln((CAST(coalesce(tc, 0) AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + $DsirBuckets.0)) - " +
+      s"ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(rr AS DOUBLE) + $DsirBuckets.0))"
+
+  /** q135 — DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): build
+    * hashed-unigram bag-of-words distributions for a TARGET domain
+    * ([[DsirTargetLang]] docs) and for the RAW corpus, then score
+    * every document by its log importance weight Σ_tokens
+    * log(p_target(feature)/p_raw(feature)) with add-one smoothing.
+    * Documents whose features look target-like get positive weights —
+    * the deterministic scoring half of DSIR's select-by-weight
+    * recipe (q102's md5-threshold mechanism is the resampling half).
+    * Report: per source, mean log-weight and how many docs score
+    * target-like — the domain-relevance ranking a pipeline uses to
+    * decide which sources to upweight.
+    *
+    * Shapes at 100 TB: both feature distributions partial-aggregate
+    * the token stream down to [[DsirBuckets]] rows (map-side
+    * combine), so the "models" are 64-row broadcasts regardless of
+    * corpus or vocabulary size; scoring is a broadcast join onto the
+    * token stream + one shuffle on doc_id; the report is a
+    * source-count rollup. Per-token terms sum in DECIMAL(28,18)
+    * (q107's discipline) so doc scores are bit-stable under any
+    * partitioning. */
+  def q135(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", expr(graft.functions.HashBucket.bucketExpr("tok", DsirBuckets)))
+      .select("doc_id", "source", "lang", "b")
+    val tgt = toks.filter(col("lang") === DsirTargetLang)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("rc"))
+    val totals = raw.agg(sum("rc").as("rr"))
+      .crossJoin(tgt.agg(sum("tc").as("tt")))
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("logratio", expr(dsirLogRatioFormula))
+      .select("b", "logratio")
+    val dw = toks.join(broadcast(lr), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("logratio").cast("decimal(28,18)")).cast("double").as("logw"))
+    dw.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        floorRound(sum(col("logw").cast("decimal(28,18)")).cast("double")
+          / count(lit(1)), 6).as("mean_logw"),
+        count(when(col("logw") > 0, 1)).as("n_target_like"))
+      .orderBy("source")
+  }
+
+  val q135Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, lang,
+       |    ${graft.functions.HashBucket.bucketSql("tok", DsirBuckets)} AS b
+       |  FROM (SELECT doc_id, source, lang,
+       |          unnest(string_split(text, ' ')) AS tok FROM documents) u),
+       |tgt AS (SELECT b, count(*) AS tc FROM toks
+       |        WHERE lang = '$DsirTargetLang' GROUP BY b),
+       |raw AS (SELECT b, count(*) AS rc FROM toks GROUP BY b),
+       |tot AS (SELECT (SELECT sum(tc) FROM tgt) AS tt,
+       |               (SELECT sum(rc) FROM raw) AS rr),
+       |lr AS (
+       |  SELECT r.b, $dsirLogRatioFormula AS logratio
+       |  FROM raw r LEFT JOIN tgt t ON r.b = t.b, tot),
+       |dw AS (
+       |  SELECT tk.doc_id, tk.source,
+       |    CAST(sum(CAST(lr.logratio AS DECIMAL(28,18))) AS DOUBLE) AS logw
+       |  FROM toks tk JOIN lr ON tk.b = lr.b
+       |  GROUP BY tk.doc_id, tk.source)
+       |SELECT source, count(*) AS n_docs,
+       |  ${graft.functions.OracleRound.floorRoundSql(
+            "CAST(sum(CAST(logw AS DECIMAL(28,18))) AS DOUBLE) / count(*)", 6)} AS mean_logw,
+       |  count(CASE WHEN logw > 0 THEN 1 END) AS n_target_like
+       |FROM dw GROUP BY source ORDER BY source""".stripMargin
+
   /** q122 flag threshold in nats — ~p97 of the per-doc bigram
     * cross-entropy at sf0.01 (median 3.39, p90 3.42, max 3.61), so
     * the flag marks the genuinely-unusual tail. */
@@ -1125,6 +1216,7 @@ object TextAnalysis {
     "q129_heaps_hapax" -> q129 _,
     "q118_filter_cascade" -> q118 _,
     "q107_lm_xent_score" -> q107 _,
+    "q135_dsir_weights" -> q135 _,
     "q53_llm_pipeline" -> q53 _,
     "q50_hash_sample" -> q50 _,
     "q65_stratified_sample" -> q65 _,
@@ -1145,6 +1237,7 @@ object TextAnalysis {
     "q129_heaps_hapax" -> q129Sql,
     "q118_filter_cascade" -> q118Sql,
     "q107_lm_xent_score" -> q107Sql,
+    "q135_dsir_weights" -> q135Sql,
     "q53_llm_pipeline" -> q53Sql,
     "q50_hash_sample" -> q50Sql,
     "q65_stratified_sample" -> q65Sql,

@@ -410,6 +410,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q135 DSIR weights match a local replay and separate target-lang docs") {
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 64
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1).map(bucket)))
+    val rawC = docs.flatMap(_._4).groupBy(identity).map { case (k, v) => k -> v.length }
+    val tgtC = docs.filter(_._3 == "en").flatMap(_._4)
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val (tt, rr) = (tgtC.values.sum.toDouble, rawC.values.sum.toDouble)
+    val lr = rawC.map { case (b, rc) =>
+      b -> (math.log((tgtC.getOrElse(b, 0) + 1.0) / (tt + 64.0)) -
+        math.log((rc + 1.0) / (rr + 64.0)))
+    }
+    val perDoc = docs.map { case (_, src, lang, bs) => (src, lang, bs.map(lr).sum) }
+    val bySrc = perDoc.groupBy(_._1)
+    val rows = SparkEntry.queries("q135_dsir_weights")(spark, sf).collect()
+    rows.foreach { r =>
+      val ws = bySrc(r.getString(0)).map(_._3)
+      assert(r.getLong(1) === ws.length.toLong, s"${r.getString(0)} doc count")
+      assert(math.abs(r.getDouble(2) - ws.sum / ws.length) < 1e-5,
+        s"${r.getString(0)} mean logw")
+      assert(r.getLong(3) === ws.count(_ > 0).toLong, s"${r.getString(0)} n_target_like")
+    }
+    // DSIR's point: target-domain docs must score higher than the rest.
+    val en = perDoc.filter(_._2 == "en").map(_._3)
+    val rest = perDoc.filter(_._2 != "en").map(_._3)
+    assert(en.sum / en.length > rest.sum / rest.length,
+      "target-lang docs do not out-score the rest — weighting is not discriminating")
+  }
+
   test("q122 is broadcast-agnostic: shuffle-join path returns identical rows") {
     // The LM-side joins (c2, c1) are vocabulary-sized and deliberately
     // NOT pinned to broadcast — at web-corpus vocabularies a forced
