@@ -544,13 +544,19 @@ object TextAnalysis {
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("b", expr(graft.functions.HashBucket.bucketExpr("tok", DsirBuckets)))
       .select("doc_id", "source", "lang", "b")
-    val tgt = toks.filter(col("lang") === DsirTargetLang)
-      .groupBy("b").agg(count(lit(1)).as("tc"))
-    val raw = toks.groupBy("b").agg(count(lit(1)).as("rc"))
-    val totals = raw.agg(sum("rc").as("rr"))
-      .crossJoin(tgt.agg(sum("tc").as("tt")))
-    val lr = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(totals))
+    // BOTH distributions and their totals come from ONE pass over the
+    // token stream: a conditional count inside the same 64-group
+    // aggregate, totals as windowed sums over the resulting 64-row
+    // table (single-partition window over 64 rows — free). The
+    // obvious raw/tgt/totals formulation re-tokenizes the corpus
+    // once per branch (4 scans, verified in the plan); this is 1.
+    val model = toks.groupBy("b")
+      .agg(count(lit(1)).as("rc"),
+        count(when(col("lang") === DsirTargetLang, 1)).as("tc"))
+    val wAll = Window.partitionBy(lit(1))
+    val lr = model
+      .withColumn("rr", sum("rc").over(wAll))
+      .withColumn("tt", sum("tc").over(wAll))
       .withColumn("logratio", expr(dsirLogRatioFormula))
       .select("b", "logratio")
     val dw = toks.join(broadcast(lr), "b")
