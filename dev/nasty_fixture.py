@@ -58,6 +58,27 @@ for i, (doc_id, text) in enumerate(zip(cols["doc_id"], cols["text"])):
         cols["text"][i] = text
         cols["n_chars"][i] = len(text)
 
+# Normalized-dup stratum: the clean corpus has no duplicates at all
+# (exact or normalized), so q21/q139 see only singleton groups there.
+# Rewrite doc 2k+1's text to a case/whitespace/punctuation mangle of
+# doc 2k's (k in a fixed id set) — byte-DIFFERENT (q21 keeps them
+# apart) but canonically identical (q139 must merge them, with
+# n_raw_variants = 2, on BOTH engines). Runs after the strata above so
+# the source text is the already-perturbed one (empty tokens and
+# non-ASCII bytes flow through the canonicalizer too).
+by_id = {d: i for i, d in enumerate(cols["doc_id"])}
+n_normdup = 0
+for a in (12, 34, 56, 78, 90):
+    ia, ib = by_id.get(a), by_id.get(a + 1)
+    if ia is None or ib is None:
+        sys.exit(f"normalized-dup stratum doc_ids {a}/{a+1} not in corpus")
+    mangled = "  " + cols["text"][ia].upper().replace(" ", " , ") + " !"
+    cols["text"][ib] = mangled
+    cols["n_chars"][ib] = len(mangled)
+    n_normdup += 1
+print(f"normalized-dup stratum: {n_normdup} mangled copies "
+      f"(doc pairs {[ (a, a+1) for a in (12, 34, 56, 78, 90) ]})")
+
 out = pa.table(
     {name: pa.array(cols[name], type=tab.schema.field(name).type)
      for name in tab.column_names})

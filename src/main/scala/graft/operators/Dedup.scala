@@ -121,6 +121,40 @@ object Dedup {
       | count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin
 
+  /** q139 — normalized ("fuzzy-exact") dedup: q21's first-occurrence
+    * hash dedup, but over a CANONICAL text form — lowercased,
+    * punctuation stripped, whitespace collapsed, trimmed — so byte-
+    * different reserializations of the same document (case flips,
+    * doubled spaces, stray punctuation) collapse into one group. This
+    * is the standard second dedup stage between exact (q21) and
+    * near-dup (q22/q24): `n_raw_variants > 1` marks exactly the
+    * groups exact dedup missed. Canonicalization is one shared
+    * regex recipe evaluated by BOTH engines; lowering happens BEFORE
+    * the `[^a-z0-9 ]` strip, so any non-ASCII byte is dropped
+    * identically on both sides.
+    *
+    * Scale shape: identical to q21 — only 16-byte md5 signatures (one
+    * per doc, plus the raw one for the variant count) ever shuffle,
+    * never document bodies; one map-combined aggregate. Exercised for
+    * real by the adversarial fixture's normalized-dup stratum (the
+    * clean corpus has no normalized dups, like it has no exact ones). */
+  def q139(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("raw_sig"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " "))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"),
+        countDistinct("raw_sig").cast("long").as("n_raw_variants"))
+      .orderBy("keeper_id")
+
+  val q139Sql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+      | min(doc_id) AS keeper_id, count(*) AS n_copies,
+      | count(DISTINCT md5(text)) AS n_raw_variants
+      |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin
+
   /** q22 — MinHash + LSH banding: 12 md5-based min-hashes per doc,
     * 6 bands × 2 rows; docs sharing any band signature are candidate
     * near-duplicates. Candidates come from grouping on (band_idx,
@@ -1090,7 +1124,8 @@ object Dedup {
     "q124_dedup_capstone" -> q124 _,
     "q131_crossdoc_ngram_dup" -> q131 _,
     "q134_shingle_containment" -> q134 _,
-    "q136_neardup_split_leakage" -> q136 _)
+    "q136_neardup_split_leakage" -> q136 _,
+    "q139_normalized_dedup" -> q139 _)
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" -> q21Sql,
@@ -1104,5 +1139,6 @@ object Dedup {
     "q124_dedup_capstone" -> q124Sql,
     "q131_crossdoc_ngram_dup" -> q131Sql,
     "q134_shingle_containment" -> q134Sql,
-    "q136_neardup_split_leakage" -> q136Sql)
+    "q136_neardup_split_leakage" -> q136Sql,
+    "q139_normalized_dedup" -> q139Sql)
 }

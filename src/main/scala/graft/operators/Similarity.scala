@@ -1064,6 +1064,58 @@ object Similarity {
        |    AS fisher_ratio
        |FROM d GROUP BY label ORDER BY label""".stripMargin
 
+  /** q137 probe-set size and per-probe negative count (probes always
+    * broadcast, like q29/q116). */
+  private val HardNegProbes = 20
+  private val HardNegK = 5
+
+  /** q137 — hard-negative mining for contrastive training: for each
+    * probe vector, the 5 most-cosine-similar corpus vectors carrying a
+    * DIFFERENT label — the "hard" negatives a contrastive encoder or
+    * reranker fine-tune pairs with each anchor (close in embedding
+    * space, semantically wrong). Same-label vectors are excluded up
+    * front, which also removes the probe itself.
+    *
+    * Scale shape: identical to q29/q116 — the probe set broadcasts,
+    * the corpus streams through ONE scan with the native codegen'd
+    * `cosine_sim`, and the per-probe top-k window holds only
+    * O(probes × k) rows. The label inequality is a codegen'd integer
+    * compare applied BEFORE the cosine, so the flop count is the
+    * negative-candidate count, not probes × corpus. Dimension +
+    * zero-norm contracts apply as in every cosine consumer. */
+  def q137(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === Dim)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+      .filter(graft.functions.DotProduct.dot_product(col("v"), col("v")) > 0.0)
+    val probes = n.filter(col("vec_id") < HardNegProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    n.join(broadcast(probes), col("label") =!= col("q_label"))
+      .withColumn("cos", cosine_sim(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HardNegK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q137Sql: String =
+    s"""WITH $normedSql,
+       |lab AS (SELECT n.vec_id, n.v, n.nrm, CAST(e.label AS BIGINT) AS label
+       |  FROM n JOIN embeddings e ON n.vec_id = e.vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, label AS q_label
+       |  FROM lab WHERE vec_id < $HardNegProbes)
+       |SELECT q_id, rank, neg_id, neg_label FROM (
+       |  SELECT q.q_id, lab.vec_id AS neg_id, lab.label AS neg_label,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_inner_product(q.qv, lab.v) / (q.qn * lab.nrm) DESC,
+       |               lab.vec_id) AS rank
+       |  FROM q, lab WHERE lab.label <> q.q_label) t
+       |WHERE rank <= $HardNegK ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans_train" -> q77 _,
     "q58_knn_l2" -> q58 _,
@@ -1077,7 +1129,8 @@ object Similarity {
     "q116_knn_label_eval" -> q116 _,
     "q130_label_separation" -> q130 _,
     "q132_ann_ivf_multiprobe" -> q132 _,
-    "q133_semdedup" -> q133 _)
+    "q133_semdedup" -> q133 _,
+    "q137_hard_negatives" -> q137 _)
 
   val oracles: Map[String, String] = Map(
     "q77_kmeans_train" -> q77Sql,
@@ -1092,5 +1145,6 @@ object Similarity {
     "q116_knn_label_eval" -> q116Sql,
     "q130_label_separation" -> q130Sql,
     "q132_ann_ivf_multiprobe" -> q132Sql,
-    "q133_semdedup" -> q133Sql)
+    "q133_semdedup" -> q133Sql,
+    "q137_hard_negatives" -> q137Sql)
 }

@@ -1213,6 +1213,93 @@ object TextAnalysis {
        |  ${floorRoundSql("CAST(n_dropped AS DOUBLE) / n_evaluated", 6)} AS drop_ratio
        |FROM rows_ ORDER BY rule""".stripMargin
 
+  /** q138 per-source token budget (fixed by the training run, not the
+    * corpus — bigger corpora keep a smaller greedy prefix). */
+  private val TokenBudget = 500L
+
+  /** q138 — token-budget corpus selection: per source, admit documents
+    * in quality order (stopword-ratio score DESC, doc_id ASC — the
+    * q123 score) while the running token total stays within a fixed
+    * per-source budget, and report the kept prefix (docs, tokens,
+    * cutoff score, budget utilization). This is the curation step that
+    * turns "ranked corpus" into "training mixture under a token
+    * budget".
+    *
+    * Scale shape: the obvious formulation — one window over every doc
+    * per source — range-sorts each ENTIRE source on one task (a skew
+    * bomb when one source is half the corpus). Instead this uses the
+    * q123 histogram discipline, exact here because scores are already
+    * rounded to 6 decimals: pass 1 aggregates (source, score) bucket
+    * token sums — O(sources × distinct scores) rows — and a window
+    * over that TINY table finds each source's boundary bucket (first
+    * bucket, score-descending, whose cumulative crosses the budget);
+    * pass 2 admits fully-fitting buckets with a broadcast semi-join
+    * and sorts ONLY the boundary bucket's docs to fill the remaining
+    * room. Two corpus scans, no per-source global sort. The DuckDB
+    * twin is the naive window formulation — equal by construction,
+    * which is exactly what the oracle is for.
+    *
+    * Both admission cases collapse into ONE rule: every candidate
+    * bucket carries `room = min(btoks, budget − tokens_above)` —
+    * a fully-fitting bucket's room equals its own token mass (its
+    * doc_id-prefix condition is vacuously true), the boundary
+    * bucket's is what the budget leaves. So pass 2 is a single
+    * broadcast join + a window partitioned by (source, score): sorts
+    * are bucket-local (docs sharing one rounded score in one
+    * source), never per-source. */
+  def q138(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("toks"),
+        floorRound(expr(s"size(filter(t, x -> x IN ($stopList)))")
+          .cast("double") / size(col("t")), 6).as("score"))
+    // Pass 1: bucket table — O(sources × distinct scores) rows after
+    // a map-combined aggregate. cum is monotone along the greedy
+    // (score DESC) order, so buckets with tokens_above >= budget are
+    // fully rejected and admission stops inside the first overflow.
+    val wDesc = Window.partitionBy("source").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val meta = scored.groupBy("source", "score")
+      .agg(sum("toks").as("btoks"))
+      .withColumn("cum", sum("btoks").over(wDesc))
+      .filter(col("cum") - col("btoks") < TokenBudget)
+      .select(col("source"), col("score"),
+        least(col("btoks"),
+          lit(TokenBudget) - (col("cum") - col("btoks"))).as("room"))
+    // Pass 2: one corpus scan, candidate buckets broadcast, prefix
+    // admission inside each bucket by doc_id.
+    val wIn = Window.partitionBy("source", "score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(meta), Seq("source", "score"))
+      .withColumn("wcum", sum("toks").over(wIn))
+      .filter(col("wcum") <= col("room"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("toks").as("kept_tokens"),
+        min("score").as("cutoff_score"),
+        floorRound(sum("toks").cast("double") / lit(TokenBudget.toDouble), 6)
+          .as("utilization"))
+      .orderBy("source")
+  }
+
+  val q138Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    ${floorRoundSql(
+          s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS DOUBLE) / len(string_split(text, ' '))", 6)} AS score
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, sum(toks) OVER (PARTITION BY source
+       |    ORDER BY score DESC, doc_id) AS cum FROM d)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(toks) AS BIGINT) AS kept_tokens,
+       |  min(score) AS cutoff_score,
+       |  ${floorRoundSql(s"CAST(sum(toks) AS DOUBLE) / $TokenBudget", 6)}
+       |    AS utilization
+       |FROM c WHERE cum <= $TokenBudget GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_bigram_lm_xent" -> q122 _,
     "q123_quality_calibration" -> q123 _,
@@ -1223,6 +1310,7 @@ object TextAnalysis {
     "q118_filter_cascade" -> q118 _,
     "q107_lm_xent_score" -> q107 _,
     "q135_dsir_weights" -> q135 _,
+    "q138_token_budget" -> q138 _,
     "q53_llm_pipeline" -> q53 _,
     "q50_hash_sample" -> q50 _,
     "q65_stratified_sample" -> q65 _,
@@ -1244,6 +1332,7 @@ object TextAnalysis {
     "q118_filter_cascade" -> q118Sql,
     "q107_lm_xent_score" -> q107Sql,
     "q135_dsir_weights" -> q135Sql,
+    "q138_token_budget" -> q138Sql,
     "q53_llm_pipeline" -> q53Sql,
     "q50_hash_sample" -> q50Sql,
     "q65_stratified_sample" -> q65Sql,

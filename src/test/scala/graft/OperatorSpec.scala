@@ -1064,4 +1064,83 @@ class OperatorSpec extends AnyFunSuite {
         "events ts depends on the session timezone")
     } finally spark.conf.set(tzKey, saved)
   }
+
+  test("q137 hard negatives match a brute-force different-label replay") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.getSeq[Float](1)).map(_.map(_.toDouble).toArray).orNull,
+        r.getInt(2).toLong))
+      .filter { case (_, v, _) =>
+        v != null && v.length == 64 && v.map(x => x * x).sum > 0.0 }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val expected = vecs.filter(_._1 < 20).flatMap { case (qid, qv, qlab) =>
+      vecs.filter(_._3 != qlab)
+        .map { case (id, v, lab) => (id, lab, cos(qv, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, lab, _), i) => (qid, (i + 1).toLong, id, lab) }
+    }.toSet
+    val got = SparkEntry.queries("q137_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected, "hard-negative sets diverge from the replay")
+    got.foreach { case (qid, _, _, lab) =>
+      assert(lab !== vecs.find(_._1 == qid).get._3,
+        s"probe $qid mined a SAME-label negative")
+    }
+  }
+
+  test("q138 token-budget selection equals the greedy prefix, and is maximal") {
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val t = r.getString(2).split(" ", -1)
+        (r.getLong(0), r.getString(1), t.length.toLong,
+          r6(t.count(stop).toDouble / t.length))
+      }
+    val rows = SparkEntry.queries("q138_token_budget")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val greedy = ds.sortBy(d => (-d._4, d._1))
+      var cum = 0L
+      val kept = greedy.takeWhile { d => cum += d._3; cum <= 500L }
+      val (nKept, keptToks, cutoff, util) = rows(src)
+      assert(nKept === kept.length.toLong, s"$src n_kept")
+      assert(keptToks === kept.map(_._3).sum, s"$src kept_tokens")
+      assert(keptToks <= 500L, s"$src budget exceeded")
+      assert(cutoff === kept.map(_._4).min, s"$src cutoff score")
+      assert(util === r6(keptToks.toDouble / 500.0), s"$src utilization")
+      // Maximality: the next doc in greedy order would overflow.
+      if (kept.length < greedy.length)
+        assert(keptToks + greedy(kept.length)._3 > 500L, s"$src not maximal")
+    }
+  }
+
+  test("q139 normalized dedup merges case/space/punct variants exact dedup keeps apart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_normdup").toString
+    Seq(
+      (1L, "Hello, World  foo", "en", "s0", 17L),   // group A keeper
+      (2L, "  hello world FOO !", "en", "s0", 19L), // byte-diff, canon-equal
+      (3L, "hello world foo", "en", "s1", 15L),     // third raw variant
+      (4L, "hello world foo", "en", "s1", 15L),     // exact copy of 3
+      (5L, "something else", "xx", "s1", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q139_normalized_dedup")(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(1L -> ((4L, 3L)), 5L -> ((1L, 1L))),
+      "normalized groups: {1,2,3,4} under keeper 1 (3 raw variants), {5} alone")
+    // Exact dedup on the same fixture keeps the canon-equal docs apart
+    // (that gap is exactly what q139 adds).
+    val exact = SparkEntry.queries("q21_exact_dedup")(spark, dir).collect()
+    assert(exact.length === 4, "q21 sees 4 raw-distinct texts")
+  }
 }
