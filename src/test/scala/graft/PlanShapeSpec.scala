@@ -344,4 +344,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a join keyed on tok alone = the dense self-join is back:\n$p")
     assert(!p.contains("CartesianProduct"), s"q114 cartesian:\n$p")
   }
+
+  test("q137: probe side broadcasts with the vec_id filter pushed; rank-limit pushdown holds") {
+    // The label inequality is the ONLY join condition, so this is a
+    // BroadcastNestedLoopJoin by construction — the correct shape
+    // here: ~20 probes broadcast and each corpus row loops over them
+    // (the same O(probes × corpus) the brute-force family documents);
+    // what the pin forbids is the probe side NOT broadcasting.
+    val p = plan("q137_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
+      s"probe side not broadcast:\n$p")
+    assert(p.contains("LessThan(vec_id,20)"),
+      s"probe filter not pushed to the parquet scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe head lost the rank-limit pushdown:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q137 cartesian:\n$p")
+  }
+
+  test("q138: bucket meta broadcasts; admission window is bucket-local, never per-source") {
+    // The scale point of the two-pass formulation: pass 2's window
+    // partitions by (source, score) — bucket-local sorts — and the
+    // candidate-bucket table arrives broadcast. A window partitioned
+    // by source ALONE is the per-source global sort the design avoids.
+    val p = plan("q138_token_budget")
+    assert(p.contains("BroadcastHashJoin"), s"bucket meta not broadcast:\n$p")
+    // The corpus-side admission window must key on BOTH source and
+    // score. (Pass 1's bucket-cum window keys on source alone but
+    // runs over the tiny (source, score) aggregate, below the
+    // broadcast — it never sees corpus rows.)
+    val corpusWin = "windowspecdefinition\\(source#\\d+, score#\\d+".r
+    assert(corpusWin.findFirstIn(p).isDefined,
+      s"admission window is not (source, score)-partitioned:\n$p")
+  }
+
+  test("q139: normalized dedup shuffles signatures, not bodies (map-side partials)") {
+    val p = plan("q139_normalized_dedup")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("Join"), s"q139 should be join-free:\n$p")
+  }
 }
