@@ -457,6 +457,64 @@ object Dedup {
        |ORDER BY e.split""".stripMargin
   }
 
+  /** q140 — cross-source duplication matrix: q22's LSH candidate
+    * pairs rolled up by (source, source) — which sources duplicate
+    * which. The provenance diagnostic behind mixture decisions: a hot
+    * off-diagonal cell means one source is syndicating/scraping
+    * another (its marginal contribution to the mixture is smaller
+    * than its token count suggests), while a hot diagonal cell is
+    * intra-source boilerplate. Emits per unordered source pair the
+    * candidate-pair count, the distinct docs involved, and a
+    * cross-source flag.
+    *
+    * Scale shape: candidate generation is q22's banded shuffle
+    * (never all-pairs). Source attribution is two equi-joins of the
+    * O(candidates) pair table against the (doc_id, source)
+    * projection — shuffle joins keyed on doc_id, the only
+    * corpus-sized legs, each column-pruned to 2 columns at the scan.
+    * Pair count and distinct-doc count come from ONE aggregate over
+    * the endpoint-exploded pairs (each pair contributes exactly 2
+    * rows, so n_pairs = rows/2 is exact); output is O(sources²). */
+  def q140(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val keyed = minhashCandidates(spark, sfDir)
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        col("doc_a"), col("doc_b"))
+    keyed
+      .select(col("source_lo"), col("source_hi"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("source_lo", "source_hi")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct("doc_id").cast("long").as("n_docs"))
+      .withColumn("is_cross",
+        when(col("source_lo") =!= col("source_hi"), 1L).otherwise(0L))
+      .orderBy("source_lo", "source_hi")
+  }
+
+  val q140Sql: String =
+    s"""WITH $q22CandCte,
+       |keyed AS (
+       |  SELECT least(sa.source, sb.source) AS source_lo,
+       |         greatest(sa.source, sb.source) AS source_hi,
+       |         doc_a, doc_b
+       |  FROM cand22
+       |  JOIN documents sa ON sa.doc_id = doc_a
+       |  JOIN documents sb ON sb.doc_id = doc_b),
+       |ends AS (
+       |  SELECT source_lo, source_hi, doc_a AS doc_id FROM keyed
+       |  UNION ALL
+       |  SELECT source_lo, source_hi, doc_b AS doc_id FROM keyed)
+       |SELECT source_lo, source_hi,
+       |  CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  CAST(CASE WHEN source_lo <> source_hi THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_cross
+       |FROM ends GROUP BY source_lo, source_hi
+       |ORDER BY source_lo, source_hi""".stripMargin
+
   /** q24 — SimHash fingerprint (32-bit, over md5 hex-digit high bits of each
     * token): per bit, +1/-1 votes weighted by token frequency; the
     * sign vector packs into one integer. Single shuffle on doc_id;
@@ -1125,7 +1183,8 @@ object Dedup {
     "q131_crossdoc_ngram_dup" -> q131 _,
     "q134_shingle_containment" -> q134 _,
     "q136_neardup_split_leakage" -> q136 _,
-    "q139_normalized_dedup" -> q139 _)
+    "q139_normalized_dedup" -> q139 _,
+    "q140_source_dup_matrix" -> q140 _)
 
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" -> q21Sql,
@@ -1140,5 +1199,6 @@ object Dedup {
     "q131_crossdoc_ngram_dup" -> q131Sql,
     "q134_shingle_containment" -> q134Sql,
     "q136_neardup_split_leakage" -> q136Sql,
-    "q139_normalized_dedup" -> q139Sql)
+    "q139_normalized_dedup" -> q139Sql,
+    "q140_source_dup_matrix" -> q140Sql)
 }

@@ -1143,4 +1143,28 @@ class OperatorSpec extends AnyFunSuite {
     val exact = SparkEntry.queries("q21_exact_dedup")(spark, dir).collect()
     assert(exact.length === 4, "q21 sees 4 raw-distinct texts")
   }
+
+  test("q140 source matrix is a lossless rollup of q22's candidate pairs") {
+    val srcOf = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = SparkEntry.queries("q22_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, ps) =>
+      k -> (ps.length.toLong, ps.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+    val got = SparkEntry.queries("q140_source_dup_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === expected.keySet, "source-pair cells diverge")
+    got.foreach { case (k, (nPairs, nDocs, isCross)) =>
+      assert((nPairs, nDocs) === expected(k), s"cell $k counts")
+      assert(isCross === (if (k._1 != k._2) 1L else 0L), s"cell $k flag")
+    }
+    assert(got.values.map(_._1).sum === pairs.length.toLong,
+      "matrix total must equal q22's pair count")
+  }
 }
