@@ -138,11 +138,18 @@ object Dedup {
     * never document bodies; one map-combined aggregate. Exercised for
     * real by the adversarial fixture's normalized-dup stratum (the
     * clean corpus has no normalized dups, like it has no exact ones). */
+  /** q139's canonical-form signature — ONE definition shared by the
+    * batch query and its streaming twin
+    * (streaming/CorpusStreams.normalizedDedupStream), so the two
+    * paths cannot canonicalize differently. */
+  def normSig(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text),
+      "[^a-z0-9 ]", ""), " +", " ")))
+
   def q139(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("raw_sig"),
-        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", ""), " +", " "))).as("fingerprint"))
+        normSig(col("text")).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"),
         countDistinct("raw_sig").cast("long").as("n_raw_variants"))

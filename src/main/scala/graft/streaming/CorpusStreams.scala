@@ -114,6 +114,31 @@ object CorpusStreams {
       .withWatermark("ts", s"$delayMs milliseconds")
       .select(col("sig"), col("doc_id"), col("chunk_id"), col("ts"))
       .as[ChunkArrival]
+    firstOccurrence(chunks, delayMs)
+  }
+
+  /** Streaming twin of the batch NORMALIZED dedup (Dedup.q139): one
+    * arrival per document keyed by the SHARED canonical-form
+    * signature (Dedup.normSig — the two paths cannot canonicalize
+    * differently), first occurrence kept with the batch's
+    * min(doc_id) keeper order. Same guarantee and state bound as
+    * [[chunkDedupStream]] — one boolean per sig within the watermark
+    * window; chunk_id is fixed at 0 (doc-level granularity). */
+  def normalizedDedupStream(docs: DataFrame,
+      delayMs: Long = 10L * 60 * 1000): Dataset[KeptChunk] = {
+    val arrivals = docs
+      .select(graft.operators.Dedup.normSig(col("text")).as("sig"),
+        col("doc_id"), lit(0L).as("chunk_id"), col("ts"))
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .as[ChunkArrival]
+    firstOccurrence(arrivals, delayMs)
+  }
+
+  /** The shared watermarked first-occurrence keeper: emits each sig's
+    * min(doc_id, chunk_id) occurrence from the first micro-batch that
+    * carries it; state GC'd by event-time timeout. */
+  private def firstOccurrence(chunks: Dataset[ChunkArrival],
+      delayMs: Long): Dataset[KeptChunk] =
     chunks.groupByKey(_.sig)
       .flatMapGroupsWithState[Boolean, KeptChunk](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
@@ -150,5 +175,4 @@ object CorpusStreams {
             else Iterator.empty
           }
       }
-  }
 }

@@ -251,6 +251,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming normalized dedup (q139 twin): kept-set ≡ batch keepers, dups dropped across batches") {
+    import graft.streaming.CorpusStreams
+    // Local fixture with canonically-equal pairs STRADDLING the batch
+    // boundary (the clean corpus has no normalized dups): docs 3/7 in
+    // batch 2 are case/space/punct mangles of docs 1/2 from batch 1 —
+    // cross-batch state must drop them; doc 6 duplicates doc 5 within
+    // batch 2 (within-batch keeper order must pick 5).
+    val base = java.nio.file.Files.createTempDirectory("graft_normdedup").toString
+    val dir = base + "/in"
+    import spark.implicits._
+    def ts(i: Long) = new java.sql.Timestamp(1700000000000L + i * 1000)
+    Seq((1L, ts(1), "Hello, World foo"), (2L, ts(2), "alpha beta"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    Seq((3L, ts(3), "  hello world FOO !"), (5L, ts(5), "gamma delta"),
+      (6L, ts(6), "GAMMA delta."), (7L, ts(7), "ALPHA beta"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").json(dir)
+    val stream = CorpusStreams.readDocStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = graft.streaming.EventStreams.runToMemory(
+      CorpusStreams.normalizedDedupStream(stream).toDF(), "norm_dedup_out",
+      outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2, "cross-batch path not exercised")
+      val rows = spark.table("norm_dedup_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.length === rows.toSet.size, "duplicate emissions")
+      val got = rows.toMap
+      assert(got.values.toSet === Set(1L, 2L, 5L), s"keepers: $got")
+      // Batch truth over the same docs through the SHARED normSig.
+      val want = Seq((1L, "Hello, World foo"), (2L, "alpha beta"),
+        (3L, "  hello world FOO !"), (5L, "gamma delta"),
+        (6L, "GAMMA delta."), (7L, "ALPHA beta"))
+        .toDF("doc_id", "text")
+        .groupBy(graft.operators.Dedup.normSig(col("text")).as("sig"))
+        .agg(min("doc_id").as("keeper"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === want, "streaming kept-set diverged from the batch q139 keepers")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup (q37 twin): stream pair-set ≡ batch pairs over a 2-batch replay") {
     import graft.streaming.VectorStreams
     // Replay the sf0.001 embedding corpus (500 vectors, 56 true
