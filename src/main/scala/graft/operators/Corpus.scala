@@ -167,6 +167,92 @@ object Corpus {
        | CAST(floor(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * $MixBudget) AS BIGINT) AS planned_docs
        |FROM w, tot ORDER BY source""".stripMargin
 
+  /** q141 epoch cap: no source's corpus may repeat more than this
+    * many times in the mixture (the UniMax anti-overfit knob). The
+    * token budget is 9/5 of the corpus (1.8 mean epochs) via INTEGER
+    * arithmetic, so both engines derive the identical BIGINT. */
+  private val EpochCap = 2L
+
+  /** q141 — UniMax-style epoch-capped budget allocation (water-
+    * filling): spread a fixed token budget uniformly across sources,
+    * except no source may exceed `EpochCap` epochs of its own corpus;
+    * budget freed by capped sources redistributes uniformly among the
+    * rest. The published closed form (Chung et al. 2023): in
+    * ascending-cap order a source is capped iff its cap is below the
+    * water level of the budget remaining at its rank — the test
+    * `cap·(k−i+1) ≤ budget − prefix` is ALL-INTEGER, so the
+    * capped-set decision is bitwise identical on any engine, and the
+    * only floating point is the final level division. Completes the
+    * mixture family: q72 reweights by temperature, q138 selects under
+    * a budget, q141 allocates epochs under a budget with a repeat cap.
+    *
+    * Scale shape: one map-combined corpus aggregate to per-source
+    * token counts; every window after runs over the O(sources) table.
+    * Monotonicity argument for the prefix test (why a per-row window
+    * suffices): once the test fails at rank i it fails at every rank
+    * above — caps ascend while the remaining-budget bound descends —
+    * so the capped set is exactly the rows where the row-local test
+    * passes, no iteration needed. */
+  def q141(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * EpochCap)
+    val wAll = Window.partitionBy(lit(1))
+    val wAsc = Window.partitionBy(lit(1)).orderBy(col("cap"), col("source"))
+    val wAscRows = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val alloc = per
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("tot", sum("n_tokens").over(wAll))
+      .withColumn("budget", expr("tot * 9 div 5"))
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("pfx", sum("cap").over(wAscRows) - col("cap"))
+      .withColumn("is_capped",
+        when(col("cap") * (col("k") - col("i") + 1L) <= col("budget") - col("pfx"),
+          1L).otherwise(0L))
+      .withColumn("m", sum("is_capped").over(wAll))
+      .withColumn("pm",
+        sum(when(col("is_capped") === 1L, col("cap")).otherwise(0L)).over(wAll))
+      .withColumn("alloc_raw",
+        when(col("is_capped") === 1L, col("cap").cast("double"))
+          .otherwise((col("budget") - col("pm")).cast("double") /
+            (col("k") - col("m")).cast("double")))
+    alloc.select(col("source"), col("n_tokens"), col("cap"), col("is_capped"),
+        floorRound(col("alloc_raw"), 6).as("allocated"),
+        floorRound(col("alloc_raw") / col("n_tokens").cast("double"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
+  val q141Sql: String = {
+    val allocRaw = "CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE) " +
+      "ELSE CAST(budget - pm AS DOUBLE) / CAST(k - m AS DOUBLE) END"
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |c AS (SELECT source, n_tokens, n_tokens * $EpochCap AS cap FROM per),
+       |t AS (SELECT *,
+       |    count(*) OVER () AS k,
+       |    (sum(n_tokens) OVER () * 9) // 5 AS budget,
+       |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+       |    sum(cap) OVER (ORDER BY cap, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cap AS pfx
+       |  FROM c),
+       |f AS (SELECT *,
+       |    CASE WHEN cap * (k - i + 1) <= budget - pfx THEN 1 ELSE 0 END
+       |      AS is_capped
+       |  FROM t),
+       |g AS (SELECT *,
+       |    sum(is_capped) OVER () AS m,
+       |    sum(CASE WHEN is_capped = 1 THEN cap ELSE 0 END) OVER () AS pm
+       |  FROM f)
+       |SELECT source, n_tokens, cap, CAST(is_capped AS BIGINT) AS is_capped,
+       |  ${floorRoundSql(allocRaw, 6)} AS allocated,
+       |  ${floorRoundSql(s"($allocRaw) / CAST(n_tokens AS DOUBLE)", 6)} AS epochs
+       |FROM g ORDER BY source""".stripMargin
+  }
+
   /** Bloom sizing for q76: ~50k distinct benchmark shingles at the
     * largest test sf; 16 bits/item ≈ 0.04% fpp. At 100 TB the same
     * two knobs scale the filter, and even a billion-item benchmark
@@ -542,7 +628,8 @@ object Corpus {
     "q78_regex_scrub" -> q78 _,
     "q113_bm25_retrieval" -> q113 _,
     "q117_chunk_dedup" -> q117 _,
-    "q127_mixture_rebalance" -> q127 _)
+    "q127_mixture_rebalance" -> q127 _,
+    "q141_unimax_epochs" -> q141 _)
 
   val oracles: Map[String, String] = Map(
     "q69_doc_chunking" -> q69Sql,
@@ -552,5 +639,6 @@ object Corpus {
     "q78_regex_scrub" -> q78Sql,
     "q113_bm25_retrieval" -> q113Sql,
     "q117_chunk_dedup" -> q117Sql,
-    "q127_mixture_rebalance" -> q127Sql)
+    "q127_mixture_rebalance" -> q127Sql,
+    "q141_unimax_epochs" -> q141Sql)
 }

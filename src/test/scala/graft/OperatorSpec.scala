@@ -1167,4 +1167,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum === pairs.length.toLong,
       "matrix total must equal q22's pair count")
   }
+
+  test("q141 UniMax allocation matches an iterative water-filling replay") {
+    val rows = SparkEntry.queries("q141_unimax_epochs")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val caps = rows.map(r => r._1 -> r._3).toMap
+    val budget = rows.map(_._2).sum * 9 / 5
+    // Independent ITERATIVE water-filling (not the closed form the
+    // query uses): repeatedly cap any source whose cap is under the
+    // uniform share of the remaining budget, until stable.
+    var capped = Set.empty[String]
+    var changed = true
+    while (changed) {
+      val rem = budget - capped.toSeq.map(caps).sum
+      val unc = caps.keySet -- capped
+      val newly = unc.filter(s => caps(s).toDouble <= rem.toDouble / unc.size)
+      changed = newly.nonEmpty
+      capped ++= newly
+    }
+    val level = (budget - capped.toSeq.map(caps).sum).toDouble /
+      (caps.size - capped.size)
+    rows.foreach { case (src, nTok, cap, isCapped, alloc, epochs) =>
+      assert(isCapped === (if (capped(src)) 1L else 0L), s"$src capped flag")
+      val want = if (capped(src)) cap.toDouble else level
+      assert(math.abs(alloc - want) < 1e-4, s"$src allocation")
+      assert(epochs <= 2.0 + 1e-9, s"$src exceeds the epoch cap")
+      assert(math.abs(epochs - alloc / nTok) < 1e-4, s"$src epochs")
+    }
+    // Budget exhaustion: allocations sum back to the budget.
+    assert(math.abs(rows.map(_._5).sum - budget.toDouble) < 1e-2,
+      "allocated total drifts from the budget")
+  }
 }
