@@ -72,7 +72,14 @@ for a in (12, 34, 56, 78, 90):
     ia, ib = by_id.get(a), by_id.get(a + 1)
     if ia is None or ib is None:
         sys.exit(f"normalized-dup stratum doc_ids {a}/{a+1} not in corpus")
-    mangled = "  " + cols["text"][ia].upper().replace(" ", " , ") + " !"
+    # ASCII-only case flip: Python .upper() is NOT canonicalization-
+    # transparent for non-ASCII ('ß'→'SS', 'ﬁ'→'FI' map INTO [a-z]
+    # after lower(), while the original char strips away entirely) —
+    # that would silently break the byte-different/canonically-equal
+    # invariant this stratum exists to exercise.
+    flipped = "".join(
+        ch.upper() if "a" <= ch <= "z" else ch for ch in cols["text"][ia])
+    mangled = "  " + flipped.replace(" ", " , ") + " !"
     cols["text"][ib] = mangled
     cols["n_chars"][ib] = len(mangled)
     n_normdup += 1

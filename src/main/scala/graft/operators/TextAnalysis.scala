@@ -579,7 +579,7 @@ object TextAnalysis {
        |tgt AS (SELECT b, count(*) AS tc FROM toks
        |        WHERE lang = '$DsirTargetLang' GROUP BY b),
        |raw AS (SELECT b, count(*) AS rc FROM toks GROUP BY b),
-       |tot AS (SELECT (SELECT sum(tc) FROM tgt) AS tt,
+       |tot AS (SELECT coalesce((SELECT sum(tc) FROM tgt), 0) AS tt,
        |               (SELECT sum(rc) FROM raw) AS rr),
        |lr AS (
        |  SELECT r.b, $dsirLogRatioFormula AS logratio

@@ -1073,10 +1073,14 @@ class OperatorSpec extends AnyFunSuite {
         r.getInt(2).toLong))
       .filter { case (_, v, _) =>
         v != null && v.length == 64 && v.map(x => x * x).sum > 0.0 }
+    // dot/(sqrt(nx)·sqrt(ny)) — the exact operation order of the
+    // engine's cosine_sim AND the oracle (sqrt(na*nb) differs in the
+    // last ulp and could flip a near-tie ranking, flaking the exact
+    // set compare).
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / math.sqrt(na * nb)
+      d / (math.sqrt(na) * math.sqrt(nb))
     }
     val expected = vecs.filter(_._1 < 20).flatMap { case (qid, qv, qlab) =>
       vecs.filter(_._3 != qlab)

@@ -368,13 +368,20 @@ class PlanShapeSpec extends AnyFunSuite {
     // by source ALONE is the per-source global sort the design avoids.
     val p = plan("q138_token_budget")
     assert(p.contains("BroadcastHashJoin"), s"bucket meta not broadcast:\n$p")
-    // The corpus-side admission window must key on BOTH source and
-    // score. (Pass 1's bucket-cum window keys on source alone but
-    // runs over the tiny (source, score) aggregate, below the
-    // broadcast — it never sees corpus rows.)
-    val corpusWin = "windowspecdefinition\\(source#\\d+, score#\\d+".r
+    // The corpus-side admission window must PARTITION on both source
+    // and score (rendered "source#X, score#Y, doc_id#ZL ASC" — the
+    // third element is its ORDER key). Pass 1's bucket-cum window
+    // renders "source#X, score#Y DESC" (score is its ORDER key, not a
+    // partition key), so a bare source+score regex would match it and
+    // make this pin vacuous — require the doc_id order key too.
+    val corpusWin = "windowspecdefinition\\(source#\\d+, score#\\d+, doc_id#\\d+L ASC".r
     assert(corpusWin.findFirstIn(p).isDefined,
       s"admission window is not (source, score)-partitioned:\n$p")
+    // And the per-source skew bomb must not return: no window may
+    // order corpus rows by doc_id with source as its ONLY partition key.
+    val perSourceWin = "windowspecdefinition\\(source#\\d+, doc_id#\\d+L".r
+    assert(perSourceWin.findFirstIn(p).isEmpty,
+      s"a source-only admission window is back:\n$p")
   }
 
   test("q139: normalized dedup shuffles signatures, not bodies (map-side partials)") {
