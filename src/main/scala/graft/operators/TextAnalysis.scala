@@ -1213,6 +1213,97 @@ object TextAnalysis {
        |  ${floorRoundSql("CAST(n_dropped AS DOUBLE) / n_evaluated", 6)} AS drop_ratio
        |FROM rows_ ORDER BY rule""".stripMargin
 
+  /** q142 — per-source length-distribution drift (two-sample
+    * Kolmogorov–Smirnov): for each source, the KS statistic between
+    * its doc-token-length ECDF and the whole corpus's — the
+    * distribution-drift monitor a pipeline runs when a source's
+    * content shifts (scrape format change, new boilerplate) without
+    * its volume or mean moving enough to trip simpler alarms. Reports
+    * the statistic AND the length where the gap peaks (where the
+    * distributions diverge, not just that they do).
+    *
+    * Cross-engine exactness: the sup runs over the INTEGER-valued
+    * numerator |cum_src·n_all − cum_all·n_src| in DECIMAL(38,0) —
+    * products of counts, exact on both engines — so the argmax
+    * (gap DESC, length ASC) is bitwise engine-independent; the only
+    * float is the single final division num/(n_src·n_all).
+    *
+    * Scale shape: one corpus pass to (source, len) counts; everything
+    * after runs on the sources × distinct-lengths grid, which is
+    * bounded by the LENGTH DOMAIN (docs are at most context-length
+    * tokens), not by corpus size — the dense grid q114 had to avoid
+    * is safe here by construction. ECDFs are cumulative windows over
+    * that small table. */
+  def q142(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val gcounts = counts.groupBy("len").agg(sum("c").as("cg"))
+    val sources = counts.groupBy("source").agg(sum("c").as("n_src"))
+    // Dense (source × distinct length) grid — bounded by the length
+    // domain; absent cells carry c = 0 so every source's ECDF is
+    // evaluated at every corpus jump point (where the sup can move).
+    val grid = sources.crossJoin(gcounts)
+      .join(counts, Seq("source", "len"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wSrc = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = grid
+      .withColumn("cum_src", sum("c").over(wSrc))
+      .withColumn("cum_all", sum("cg").over(wSrc))
+      .withColumn("n_all", sum("cg").over(Window.partitionBy("source")))
+      .withColumn("num",
+        abs(col("cum_src").cast("decimal(19,0)") * col("n_all").cast("decimal(19,0)") -
+          col("cum_all").cast("decimal(19,0)") * col("n_src").cast("decimal(19,0)")))
+    val wPick = Window.partitionBy("source")
+      .orderBy(col("num").desc, col("len"))
+    gaps.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("n_src").as("n_docs"),
+        floorRound(col("num").cast("double") /
+          (col("n_src").cast("decimal(19,0)") * col("n_all").cast("decimal(19,0)"))
+            .cast("double"), 6).as("ks_stat"),
+        col("len").as("at_len"))
+      .orderBy("source")
+  }
+
+  val q142Sql: String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+       |    count(*) AS c
+       |  FROM documents GROUP BY source, len),
+       |gcounts AS (SELECT len, CAST(sum(c) AS BIGINT) AS cg FROM counts GROUP BY len),
+       |sources AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+       |            FROM counts GROUP BY source),
+       |grid AS (
+       |  SELECT s.source, g.len, g.cg, s.n_src, coalesce(c.c, 0) AS c
+       |  FROM sources s CROSS JOIN gcounts g
+       |  LEFT JOIN counts c ON c.source = s.source AND c.len = g.len),
+       |gaps AS (
+       |  SELECT source, len, n_src,
+       |    sum(c) OVER (PARTITION BY source ORDER BY len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_src,
+       |    sum(cg) OVER (PARTITION BY source ORDER BY len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all,
+       |    sum(cg) OVER (PARTITION BY source) AS n_all
+       |  FROM grid),
+       |nums AS (
+       |  SELECT source, len, n_src, n_all,
+       |    abs(CAST(cum_src AS DECIMAL(19,0)) * CAST(n_all AS DECIMAL(19,0)) -
+       |        CAST(cum_all AS DECIMAL(19,0)) * CAST(n_src AS DECIMAL(19,0)))
+       |      AS num,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY abs(CAST(cum_src AS DECIMAL(19,0)) * CAST(n_all AS DECIMAL(19,0)) -
+       |        CAST(cum_all AS DECIMAL(19,0)) * CAST(n_src AS DECIMAL(19,0))) DESC,
+       |        len) AS rk
+       |  FROM gaps)
+       |SELECT source, n_src AS n_docs,
+       |  ${floorRoundSql(
+          "CAST(num AS DOUBLE) / CAST(CAST(n_src AS DECIMAL(19,0)) * CAST(n_all AS DECIMAL(19,0)) AS DOUBLE)", 6)}
+       |    AS ks_stat,
+       |  len AS at_len
+       |FROM nums WHERE rk = 1 ORDER BY source""".stripMargin
+
   /** q138 per-source token budget (fixed by the training run, not the
     * corpus — bigger corpora keep a smaller greedy prefix). */
   private val TokenBudget = 500L
@@ -1311,6 +1402,7 @@ object TextAnalysis {
     "q107_lm_xent_score" -> q107 _,
     "q135_dsir_weights" -> q135 _,
     "q138_token_budget" -> q138 _,
+    "q142_length_ks_drift" -> q142 _,
     "q53_llm_pipeline" -> q53 _,
     "q50_hash_sample" -> q50 _,
     "q65_stratified_sample" -> q65 _,
@@ -1333,6 +1425,7 @@ object TextAnalysis {
     "q107_lm_xent_score" -> q107Sql,
     "q135_dsir_weights" -> q135Sql,
     "q138_token_budget" -> q138Sql,
+    "q142_length_ks_drift" -> q142Sql,
     "q53_llm_pipeline" -> q53Sql,
     "q50_hash_sample" -> q50Sql,
     "q65_stratified_sample" -> q65Sql,

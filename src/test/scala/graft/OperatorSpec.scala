@@ -1203,4 +1203,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_._5).sum - budget.toDouble) < 1e-2,
       "allocated total drifts from the budget")
   }
+
+  test("q142 KS drift matches an exact integer-ECDF replay per source") {
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val all = lens.map(_._2).sorted
+    val nAll = all.length.toLong
+    val jumps = all.distinct
+    def cumLE(xs: Array[Long], x: Long): Long = xs.count(_ <= x).toLong
+    val rows = SparkEntry.queries("q142_length_ks_drift")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    lens.groupBy(_._1).foreach { case (src, ds) =>
+      val xs = ds.map(_._2).sorted
+      val nSrc = xs.length.toLong
+      // Exact sup over the corpus jump points using the same integer
+      // numerator the query maximizes; ties break on smallest length.
+      val best = jumps.map { l =>
+        (math.abs(cumLE(xs, l) * nAll - cumLE(all, l) * nSrc), l)
+      }.minBy { case (num, l) => (-num, l) }
+      val (nDocs, ks, atLen) = rows(src)
+      assert(nDocs === nSrc, s"$src doc count")
+      assert(atLen === best._2, s"$src argmax length")
+      assert(math.abs(ks - best._1.toDouble / (nSrc * nAll)) < 1e-6, s"$src ks")
+      assert(ks >= 0.0 && ks <= 1.0, s"$src ks out of range")
+    }
+  }
 }
