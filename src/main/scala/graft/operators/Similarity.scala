@@ -1116,8 +1116,85 @@ object Similarity {
        |  FROM q, lab WHERE lab.label <> q.q_label) t
        |WHERE rank <= $HardNegK ORDER BY q_id, rank""".stripMargin
 
+  /** q143 — simplified-silhouette audit of the trained k-means index:
+    * the cluster-quality number a pipeline checks BEFORE trusting the
+    * IVF index (q30/q132) or SemDeDup cells (q133) built on those
+    * centroids. Per vector, a = L2 distance to its own (nearest)
+    * centroid and b = distance to the closest OTHER centroid; the
+    * silhouette s = (b−a)/max(a,b) ∈ [0,1] here (b ≥ a by
+    * construction). Reports per cluster: size, mean silhouette
+    * (separation quality) and mean a (cohesion). Completes the
+    * clustering lineage: train (q77) → serve (q30/q132) → dedup
+    * (q133) → evaluate (q143).
+    *
+    * Simplified (centroid-based) rather than classical silhouette by
+    * design: the classical form needs all-pairs distances (O(N²) — a
+    * non-starter at corpus scale); the centroid form is the standard
+    * large-scale substitute and is one NARROW pass: k centroid
+    * literals broadcast in the expression, `array_sort` of (dist,
+    * c_id) structs gives nearest and second-nearest in-row — zero
+    * corpus shuffles before the 8-group aggregate.
+    *
+    * Engine-exactness: centroids are bit-identical on both sides (the
+    * q77 DECIMAL-mean discipline), l2_distance ≡ list_distance
+    * bitwise (pinned by q77's hash-matched cost sums), the per-row
+    * division is IEEE-on-identical-bits, and the means aggregate in
+    * DECIMAL(28,12) (order-independent) before one floorRound. */
+  def q143(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.EuclideanDistance.l2_distance
+    val cents = trainedCentroids(spark, sfDir)
+    val n = vecs(spark, sfDir)
+    val sortedDists = array_sort(array(cents.map { case (cId, cv) =>
+      struct(l2_distance(typedlit(cv), col("v")).as("dist"),
+        lit(cId).as("c_id"))
+    }: _*))
+    n.withColumn("ds", sortedDists)
+      .select(col("ds")(0)("c_id").as("cluster"),
+        col("ds")(0)("dist").as("a"), col("ds")(1)("dist").as("b"))
+      .withColumn("s", when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.OracleRound.floorRound(
+          sum(col("s").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("silhouette"),
+        graft.functions.OracleRound.floorRound(
+          sum(col("a").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("cohesion"))
+      .orderBy("cluster")
+  }
+
+  val q143Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = $Dim),
+       |${kmeansCtesSql("n")},
+       |ranked AS (
+       |  SELECT n.vec_id, c.c_id, list_distance(c.cv, n.v) AS dist,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_distance(c.cv, n.v), c.c_id) AS rk
+       |  FROM n, c$KmeansIters c),
+       |ab AS (
+       |  SELECT r1.c_id AS cluster, r1.dist AS a, r2.dist AS b
+       |  FROM ranked r1 JOIN ranked r2
+       |    ON r1.vec_id = r2.vec_id AND r2.rk = 2
+       |  WHERE r1.rk = 1),
+       |sil AS (
+       |  SELECT cluster, a,
+       |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+       |         ELSE (b - a) / greatest(a, b) END AS s
+       |  FROM ab)
+       |SELECT cluster, count(*) AS n_vecs,
+       |  ${floorRoundSql(
+          "CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) / count(*)", 6)} AS silhouette,
+       |  ${floorRoundSql(
+          "CAST(sum(CAST(a AS DECIMAL(28,12))) AS DOUBLE) / count(*)", 6)} AS cohesion
+       |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans_train" -> q77 _,
+    "q143_cluster_silhouette" -> q143 _,
     "q58_knn_l2" -> q58 _,
     "q56_array_funcs" -> q56 _,
     "q54_embed_pipeline" -> q54 _,
@@ -1134,6 +1211,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q77_kmeans_train" -> q77Sql,
+    "q143_cluster_silhouette" -> q143Sql,
     "q58_knn_l2" -> q58Sql,
     "q56_array_funcs" -> q56Sql,
     "q54_embed_pipeline" -> q54Sql,

@@ -1204,6 +1204,27 @@ class OperatorSpec extends AnyFunSuite {
       "allocated total drifts from the budget")
   }
 
+  test("q143 silhouette: sizes pin to q77's assignment, cohesion ties to q77's cost, s ∈ [0,1]") {
+    // q143 re-derives the SAME nearest-centroid assignment q77 trains
+    // (shared trainedCentroids), so per-cluster sizes must agree
+    // exactly, and cohesion (mean own-centroid distance) must equal
+    // q77's cost (sum of those distances) / n up to the two queries'
+    // rounding scales (cost: DECIMAL(18,6) sum then 4dp; cohesion:
+    // DECIMAL(28,12) sum then 6dp → bound ~n_vecs·1e-6/n + 1e-4).
+    val sil = SparkEntry.queries("q143_cluster_silhouette")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val km = SparkEntry.queries("q77_kmeans_train")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(sil.keySet === km.keySet, "cluster id sets diverge")
+    sil.foreach { case (c, (n, s, a)) =>
+      val (n77, cost) = km(c)
+      assert(n === n77, s"cluster $c size differs from q77's assignment")
+      assert(s >= 0.0 && s <= 1.0, s"cluster $c silhouette $s out of [0,1]")
+      assert(a >= 0.0, s"cluster $c negative cohesion $a")
+      assert(math.abs(a - cost / n) < 2e-4, s"cluster $c cohesion $a vs q77 cost/n ${cost / n}")
+    }
+  }
+
   test("q142 KS drift matches an exact integer-ECDF replay per source") {
     val lens = graft.sources.Tables.documents(spark, sf)
       .select("source", "text").collect()
