@@ -174,7 +174,18 @@ object Dedup {
   /** q22's candidate pairs without the presentation sort — shared by
     * q22 (which adds the orderBy) and q62 (whose edge list doesn't
     * care about order). */
-  private def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The persisted MinHash signature table (doc_id, m0..m11) — shared
+    * by [[minhashCandidates]] (q22/q62/q140) and q144 (which needs
+    * the raw component values, not just band buckets). */
+  private def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSigFrom(shingles(spark, sfDir, distinct = false))
+
+  /** Signature table from an arbitrary (doc_id, sh) relation: min()
+    * is idempotent over multisets, so the multiset (q22's cheap path
+    * — no dedup shuffle) and distinct (q144's path — it needs the
+    * distinct relation anyway and reuses its cache instead of a
+    * second corpus tokenize) inputs yield the IDENTICAL table. */
+  private def minhashSigFrom(sh: DataFrame): DataFrame = {
     // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, split
     // into two 32-bit halves h1/h2; the s-th hash is h1 + s·h2 (fits
     // in 36 bits — no overflow on either engine). Replaces 12 md5
@@ -182,7 +193,7 @@ object Dedup {
     // signature stage at sf0.1 — and shuffles 8-byte longs instead of
     // 32-char hex strings. min() over the derived family is the same
     // MinHash estimator (KM 2006 shows two independent hashes suffice).
-    val withH = shingles(spark, sfDir, distinct = false)
+    val withH = sh
       .withColumn("h", md5(col("sh")))
       .withColumn("h1", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
@@ -196,6 +207,13 @@ object Dedup {
       .agg(minhashes.head, minhashes.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count() // eager materialization — see q23
+    sig
+  }
+
+  private def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    minhashCandidatesFrom(minhashSig(spark, sfDir))
+
+  private def minhashCandidatesFrom(sig: DataFrame): DataFrame = {
     val bandPairs = (0 until NumHashes / BandRows)
       .map(b => s"$b, concat_ws('_', m${2 * b}, m${2 * b + 1})").mkString(", ")
     val bands = sig.select(col("doc_id"),
@@ -243,6 +261,121 @@ object Dedup {
     s"""WITH $q22CandCte
        |SELECT doc_a, doc_b FROM cand22
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q144 — MinHash calibration audit: for every q22 candidate pair,
+    * the sketch's Jaccard estimate (fraction of the 12 signature
+    * components that agree) against the EXACT shingle-set Jaccard,
+    * bucketed by agreement count. This is the measurement that
+    * justifies (or indicts) the 12-hash/6-band geometry before a
+    * full-corpus dedup run trusts it: per agreement level it reports
+    * how many pairs land there, the true mean Jaccard, and the mean
+    * absolute estimator error.
+    *
+    * What it measures (and the spec pins): with Kirsch-Mitzenmacher
+    * double hashing the 12 components are DEPENDENT — the s-th hash
+    * is h1 + s·h2, so a shared shingle that minimizes both halves
+    * wins every slot at once — and agreement is therefore nearly
+    * binary rather than Binomial(12, J): true near-dups concentrate
+    * in the full-agreement bin, every other bin's true mean Jaccard
+    * sits far BELOW its estimate (weighted |est−J| ≈ 0.3–0.6 here vs
+    * the ~J(1−J)/√12 an independent family would give). The
+    * conclusion the audit operationalizes: KM banding is a cheap
+    * candidate GATE, not a similarity score — the pipeline must keep
+    * its exact-verification stage (q23/q134), and any threshold on
+    * estimated similarity must be calibrated from this table, not
+    * from independent-hash theory.
+    *
+    * Scale shape — the standard LSH estimate→VERIFY stage: the exact
+    * leg touches only candidate pairs (O(cand)·doc-shingles rows
+    * through two doc-keyed equi-joins), never all pairs; the estimate
+    * leg joins the O(docs)-sized persisted signature table (12 longs
+    * per doc, built once and shared with candidate generation) onto
+    * the pair list; output is ≤ 13 rows (one per agreement count).
+    *
+    * Engine-exactness: agreement counts and intersection sizes are
+    * integers; the per-pair divisions are IEEE-on-identical-ints; the
+    * two means aggregate in DECIMAL(28,12) before one floorRound.
+    * A candidate pair CAN have n_inter = 0 (its shared band value can
+    * arise from two different argmin shingles colliding in the 36-bit
+    * hash space), so the exact leg LEFT-joins with coalesce-to-0 on
+    * both engines rather than assuming overlap. */
+  def q144(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val shd = shingles(spark, sfDir, distinct = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shd.count() // eager: sig, sizes and both intersection legs read the cache
+    val sig = minhashSigFrom(shd) // one corpus tokenize total — see minhashSigFrom
+    val cand = minhashCandidatesFrom(sig)
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(shd.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(shd.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val a = (0 until NumHashes).foldLeft(
+      sig.withColumnRenamed("doc_id", "doc_a"))((d, s) => d.withColumnRenamed(s"m$s", s"a$s"))
+    val b = (0 until NumHashes).foldLeft(
+      sig.withColumnRenamed("doc_id", "doc_b"))((d, s) => d.withColumnRenamed(s"m$s", s"b$s"))
+    val agree = cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_agree", (0 until NumHashes)
+        .map(s => when(col(s"a$s") === col(s"b$s"), 1L).otherwise(0L))
+        .reduce(_ + _))
+    agree.select("doc_a", "doc_b", "n_agree")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sh_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sh_b")), "doc_b")
+      .withColumn("jt", col("n_inter").cast("double") /
+        (col("sh_a") + col("sh_b") - col("n_inter")))
+      .withColumn("err", abs(col("n_agree").cast("double") / NumHashes - col("jt")))
+      .groupBy("n_agree")
+      .agg(count(lit(1)).as("n_pairs"),
+        floorRound(sum(col("jt").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_jaccard"),
+        floorRound(sum(col("err").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_abs_err"))
+      .withColumn("est_jaccard",
+        floorRound(col("n_agree").cast("double") / NumHashes, 6))
+      .select("n_agree", "est_jaccard", "n_pairs", "mean_jaccard", "mean_abs_err")
+      .orderBy("n_agree")
+  }
+
+  val q144Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    val agreeSum = (0 until NumHashes)
+      .map(s => s"CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $q22CandCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |io AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand22 c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |agr AS (
+       |  SELECT c.doc_a, c.doc_b, CAST($agreeSum AS BIGINT) AS n_agree
+       |  FROM cand22 c
+       |  JOIN mh a ON a.doc_id = c.doc_a
+       |  JOIN mh b ON b.doc_id = c.doc_b),
+       |vals AS (
+       |  SELECT g.n_agree,
+       |    CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+       |      / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jt,
+       |    abs(CAST(g.n_agree AS DOUBLE) / $NumHashes -
+       |      CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+       |        / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0))) AS err
+       |  FROM agr g
+       |  LEFT JOIN io i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+       |  JOIN sizes sa ON sa.doc_id = g.doc_a
+       |  JOIN sizes sb ON sb.doc_id = g.doc_b)
+       |SELECT n_agree,
+       |  ${floorRoundSql(s"CAST(n_agree AS DOUBLE) / $NumHashes", 6)} AS est_jaccard,
+       |  count(*) AS n_pairs,
+       |  ${floorRoundSql(
+          "CAST(sum(CAST(jt AS DECIMAL(28,12))) AS DOUBLE) / count(*)", 6)} AS mean_jaccard,
+       |  ${floorRoundSql(
+          "CAST(sum(CAST(err AS DECIMAL(28,12))) AS DOUBLE) / count(*)", 6)} AS mean_abs_err
+       |FROM vals GROUP BY n_agree ORDER BY n_agree""".stripMargin
+  }
 
   /** Document-frequency cutoff for q23: shingles present in more than
     * this many documents are dropped from BOTH the intersection and
@@ -1180,6 +1313,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
+    "q144_minhash_calibration" -> q144 _,
     "q23_ngram_jaccard" -> q23 _,
     "q24_simhash" -> q24 _,
     "q35_simhash_neardup" -> q35 _,
@@ -1196,6 +1330,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q21_exact_dedup" -> q21Sql,
     "q22_minhash_lsh" -> q22Sql,
+    "q144_minhash_calibration" -> q144Sql,
     "q23_ngram_jaccard" -> q23Sql,
     "q24_simhash" -> q24Sql,
     "q35_simhash_neardup" -> q35Sql,

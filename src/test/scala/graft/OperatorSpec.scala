@@ -1204,6 +1204,37 @@ class OperatorSpec extends AnyFunSuite {
       "allocated total drifts from the budget")
   }
 
+  test("q144 calibration: bins cover q22's candidates losslessly, band geometry bounds n_agree, extreme bins order") {
+    val rows = SparkEntry.queries("q144_minhash_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val nCand = SparkEntry.queries("q22_minhash_lsh")(spark, sf).count()
+    assert(rows.map(_._3).sum === nCand, "agreement bins don't partition the candidate set")
+    rows.foreach { case (nAgree, est, nPairs, meanJ, meanErr) =>
+      // A candidate shares at least one full band = BandRows components.
+      assert(nAgree >= 2 && nAgree <= 12, s"n_agree $nAgree outside band-geometry bounds")
+      assert(math.abs(est - nAgree / 12.0) < 1e-6, s"est_jaccard for bin $nAgree")
+      assert(nPairs > 0, s"empty bin $nAgree emitted")
+      assert(meanJ >= 0.0 && meanJ <= 1.0, s"bin $nAgree mean_jaccard $meanJ")
+      assert(meanErr >= 0.0 && meanErr <= 1.0, s"bin $nAgree mean_abs_err $meanErr")
+    }
+    // The audit's actual finding, pinned: (a) true near-duplicates
+    // concentrate in the full-agreement bin (KM components are
+    // dependent — a shared global-argmin shingle wins every slot), and
+    // (b) in every bin the estimate sits AT or ABOVE the true mean
+    // Jaccard (candidates are selected BY agreement, so conditional
+    // true similarity is biased low) — which is exactly why the
+    // pipeline keeps an exact-verification stage (q23/q134) after
+    // banding instead of trusting the sketch as a similarity score.
+    val byBin = rows.map(r => r._1 -> r).toMap
+    val hi = rows.map(_._1).max
+    if (hi == 12L)
+      assert(byBin(hi)._4 >= 0.5, s"full-agreement bin mean_jaccard ${byBin(hi)._4}")
+    rows.foreach { case (nAgree, est, _, meanJ, _) =>
+      assert(meanJ <= est + 1e-6,
+        s"bin $nAgree true mean $meanJ above its estimate $est — selection bias flipped?")
+    }
+  }
+
   test("q143 silhouette: sizes pin to q77's assignment, cohesion ties to q77's cost, s ∈ [0,1]") {
     // q143 re-derives the SAME nearest-centroid assignment q77 trains
     // (shared trainedCentroids), so per-cluster sizes must agree
