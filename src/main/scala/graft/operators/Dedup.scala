@@ -377,6 +377,105 @@ object Dedup {
        |FROM vals GROUP BY n_agree ORDER BY n_agree""".stripMargin
   }
 
+  /** Winnowing window: each run of [[WinnowW]] consecutive k-gram
+    * hashes contributes its minimum — expected fingerprint density
+    * 2/(W+1) of positions, with the guarantee that any shared
+    * substring of ≥ W+k−1 words yields at least one shared print. */
+  private val WinnowW = 4
+  /** Bits reserved for the position in the packed (hash, pos) key:
+    * 2²⁰ k-gram positions covers million-word documents (any sane
+    * context length); widen toward the 63-bit budget (hash 40 bits +
+    * pos 20 here) if a corpus carries longer single docs. */
+  private val PosBits = 20
+
+  /** q145 — winnowing fingerprints (the MOSS local-fingerprinting
+    * scheme): per document, slide a W-window over the k-gram hash
+    * sequence, keep each window's minimum (rightmost on ties — the
+    * robust-winnowing rule), and report the fingerprint-set size plus
+    * how much of it is shared with ANY other document. This is the
+    * sublinear twin of q131's full n-gram boilerplate scan: winnowing
+    * keeps ~2/(W+1) of positions yet still guarantees a shared print
+    * for every shared run of ≥ W+k−1 words, so it localizes copied
+    * passages at a fraction of the index size.
+    *
+    * Engine-exactness: the (hash ASC, pos DESC) argmin is packed into
+    * ONE integer — key = h·2^20 + (2^20−1−pos), h 40-bit — so the
+    * whole selection is a plain numeric window min, bit-identical on
+    * both engines; no struct-ordering or argmin semantics to align.
+    *
+    * Scale shape: one corpus tokenize, the winnowing window is a
+    * doc-partitioned ROWS frame (narrow after one shuffle on doc_id
+    * — or zero shuffles when the source is already doc-bucketed);
+    * selected prints collapse by DISTINCT before the df aggregate,
+    * so the sharing pass runs on the ~2/(W+1)-sized print relation,
+    * never a pair join (df ≥ 2 replaces the self-join entirely).
+    * Docs with fewer than W k-grams have no full window and drop out
+    * (both engines identically). */
+  def q145(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.OracleRound.floorRound
+    val psh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < ShingleK) Iterator.empty
+        else (1 to t.length - ShingleK + 1).iterator
+          .map(i => (id, i.toLong, t.slice(i - 1, i + ShingleK - 1).mkString(" ")))
+      }.toDF("doc_id", "pos", "sh")
+    val keyed = psh
+      .withColumn("h", expr("CAST(conv(substring(md5(sh), 1, 10), 16, 10) AS BIGINT)"))
+      .withColumn("key",
+        col("h") * (1L << PosBits) + (lit((1L << PosBits) - 1) - col("pos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinnowW - 1).toLong,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val sel = keyed.withColumn("selkey", min("key").over(w))
+      .filter(col("pos") >= WinnowW)
+      .select(col("doc_id"), expr(s"shiftright(selkey, $PosBits)").as("h"))
+      .distinct()
+    val dfs = sel.groupBy("h").agg(countDistinct("doc_id").cast("long").as("df"))
+    sel.join(dfs, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_prints"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        floorRound(col("n_shared").cast("double") / col("n_prints"), 6))
+      .orderBy("doc_id")
+  }
+
+  val q145Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    val posMask = (1L << PosBits) - 1
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |  WHERE len(string_split(text,' ')) >= $ShingleK
+       |), posr AS (
+       |  SELECT doc_id, unnest(range(1, len(t)-1)) AS pos, t FROM toks
+       |), keyed AS (
+       |  SELECT doc_id, pos,
+       |    CAST(('0x' || substring(md5(t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2]), 1, 10)) AS BIGINT)
+       |      * ${1L << PosBits} + ($posMask - pos) AS key
+       |  FROM posr
+       |), sel0 AS (
+       |  SELECT doc_id, pos,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS selkey
+       |  FROM keyed
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, selkey >> $PosBits AS h
+       |  FROM sel0 WHERE pos >= $WinnowW
+       |), dfs AS (SELECT h, count(DISTINCT doc_id) AS df FROM sel GROUP BY h),
+       |stats AS (
+       |  SELECT s.doc_id, count(*) AS n_prints,
+       |    CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM sel s JOIN dfs d ON d.h = s.h
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, n_prints, n_shared,
+       |  ${floorRoundSql("CAST(n_shared AS DOUBLE) / n_prints", 6)} AS shared_frac
+       |FROM stats ORDER BY doc_id""".stripMargin
+  }
+
   /** Document-frequency cutoff for q23: shingles present in more than
     * this many documents are dropped from BOTH the intersection and
     * the union before Jaccard. A shingle in d docs contributes d²
@@ -1314,6 +1413,7 @@ object Dedup {
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
     "q144_minhash_calibration" -> q144 _,
+    "q145_winnow_fingerprints" -> q145 _,
     "q23_ngram_jaccard" -> q23 _,
     "q24_simhash" -> q24 _,
     "q35_simhash_neardup" -> q35 _,
@@ -1331,6 +1431,7 @@ object Dedup {
     "q21_exact_dedup" -> q21Sql,
     "q22_minhash_lsh" -> q22Sql,
     "q144_minhash_calibration" -> q144Sql,
+    "q145_winnow_fingerprints" -> q145Sql,
     "q23_ngram_jaccard" -> q23Sql,
     "q24_simhash" -> q24Sql,
     "q35_simhash_neardup" -> q35Sql,

@@ -1204,6 +1204,42 @@ class OperatorSpec extends AnyFunSuite {
       "allocated total drifts from the budget")
   }
 
+  test("q145 winnowing matches an exact per-doc replay (hashes, packing, tie-break, sharing)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h40(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 10), 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // Reference winnowing: window of 4 hashes, min with rightmost-pos
+    // tie-break, distinct selected hashes per doc.
+    val prints: Map[Long, Set[Long]] = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      if (t.length < 6) None // fewer than W=4 k=3-grams -> no full window
+      else {
+        val hs = (0 to t.length - 3).map(i => h40(t.slice(i, i + 3).mkString(" ")))
+        val sel = (3 until hs.length).map { e =>
+          // rightmost minimal hash in window [e-3, e]
+          (e - 3 to e).minBy(p => (hs(p), -p))
+        }.map(hs(_)).toSet
+        Some(id -> sel)
+      }
+    }.toMap
+    val dfCount = prints.values.toSeq.flatMap(_.toSeq).groupBy(identity).map { case (h, o) => h -> o.size }
+    val rows = SparkEntry.queries("q145_winnow_fingerprints")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet === prints.keySet, "doc coverage diverges from the replay")
+    prints.foreach { case (id, sel) =>
+      val (nPrints, nShared, frac) = rows(id)
+      assert(nPrints === sel.size.toLong, s"doc $id print count")
+      val expShared = sel.count(dfCount(_) >= 2).toLong
+      assert(nShared === expShared, s"doc $id shared count")
+      assert(math.abs(frac - expShared.toDouble / sel.size) < 1e-6, s"doc $id shared_frac")
+    }
+  }
+
   test("q144 calibration: bins cover q22's candidates losslessly, band geometry bounds n_agree, extreme bins order") {
     val rows = SparkEntry.queries("q144_minhash_calibration")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
