@@ -51,17 +51,26 @@ object Dedup {
     * `distinct = false` skips the dedup shuffle for consumers where
     * duplicates are harmless (min() is idempotent over multisets —
     * MinHash needs no distinct). */
+  /** THE word-k-gram shingle definition — one function shared by
+    * every batch flatMap below AND the streaming decontamination twin
+    * (streaming/CorpusStreams.decontamStream), so no consumer can
+    * tokenize differently. `split(" ", -1)` keeps trailing empty
+    * tokens exactly like Catalyst `split` and DuckDB `string_split`
+    * (Scala's default limit-0 split would silently drop them). */
+  private[graft] def shingleSeq(text: String): Iterator[String] = {
+    val t = text.split(" ", -1)
+    if (t.length < ShingleK) Iterator.empty
+    else (0 to t.length - ShingleK).iterator
+      .map(i => t.slice(i, i + ShingleK).mkString(" "))
+  }
+
   private def shingles(spark: SparkSession, sfDir: String,
       distinct: Boolean): DataFrame = {
     import spark.implicits._
     val raw = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val t = text.split(" ", -1)
-        if (t.length < ShingleK) Iterator.empty
-        else (0 to t.length - ShingleK).iterator
-          .map(i => (id, t.slice(i, i + ShingleK).mkString(" ")))
-      }.toDF("doc_id", "sh")
+      .flatMap { case (id, text) => shingleSeq(text).map((id, _)) }
+      .toDF("doc_id", "sh")
     if (distinct) raw.distinct() else raw
   }
 
@@ -83,12 +92,8 @@ object Dedup {
     // subset never pays to tokenize the rest of the corpus.
     rowFilter.fold(docs)(docs.filter)
       .as[(Long, String, String)]
-      .flatMap { case (id, src, text) =>
-        val t = text.split(" ", -1)
-        if (t.length < ShingleK) Iterator.empty
-        else (0 to t.length - ShingleK).iterator
-          .map(i => (id, src, t.slice(i, i + ShingleK).mkString(" ")))
-      }.toDF("doc_id", "source", "sh")
+      .flatMap { case (id, src, text) => shingleSeq(text).map((id, src, _)) }
+      .toDF("doc_id", "source", "sh")
       .distinct()
   }
 
@@ -417,10 +422,7 @@ object Dedup {
     val psh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split(" ", -1)
-        if (t.length < ShingleK) Iterator.empty
-        else (1 to t.length - ShingleK + 1).iterator
-          .map(i => (id, i.toLong, t.slice(i - 1, i + ShingleK - 1).mkString(" ")))
+        shingleSeq(text).zipWithIndex.map { case (sh, i) => (id, i + 1L, sh) }
       }.toDF("doc_id", "pos", "sh")
     val keyed = psh
       .withColumn("h", expr("CAST(conv(substring(md5(sh), 1, 10), 16, 10) AS BIGINT)"))

@@ -330,6 +330,15 @@ object TextAnalysis {
     * training doc — one pass over the training shingles, no shuffle
     * of the corpus. If the benchmark set ever outgrows broadcast,
     * the same plan shuffle-joins on the shingle key. */
+  /** The benchmark's distinct shingle set (source = 'src0' stands in
+    * for the eval suite) — shared by q68 and the streaming
+    * decontamination twin (streaming/CorpusStreams.decontamStream),
+    * which broadcasts exactly this relation to enforce at ingest what
+    * q68 audits in batch. */
+  private[graft] def benchShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.shinglesWithSource(spark, sfDir, Some(col("source") === "src0"))
+      .select("sh").distinct()
+
   def q68(spark: SparkSession, sfDir: String): DataFrame = {
     // Shared shingle helper (Dedup.shinglesWithSource) keeps the
     // Scala-split vs DuckDB-string_split tokenization decision
@@ -342,9 +351,7 @@ object TextAnalysis {
     // competed for executor memory with the rest of the suite — the
     // measured 2.6x q68 regression. Filtered-scan branches beat a
     // shared cache here because the branches are disjoint.
-    val bench = Dedup.shinglesWithSource(spark, sfDir,
-        Some(col("source") === "src0"))
-      .select("sh").distinct()
+    val bench = benchShingles(spark, sfDir)
       .withColumn("hit", lit(1))
     val train = Dedup.shinglesWithSource(spark, sfDir,
         Some(col("source") =!= "src0"))

@@ -104,6 +104,43 @@ object CorpusStreams {
       .filter(graft.operators.Corpus.keepTest)
       .select(col("doc_id"), col("source"))
 
+  /** Streaming twin of the benchmark decontamination (TextAnalysis
+    * .q68) — enforcement at ingest: the benchmark's distinct shingle
+    * set is calibrated OFFLINE (TextAnalysis.benchShingles, the same
+    * relation q68 builds — evals are thousands of docs, so it
+    * broadcasts), and every arriving document is scored in-row: its
+    * distinct 3-gram set (the SHARED Dedup.shingleSeq — the stream
+    * cannot tokenize differently from batch) is intersected with the
+    * broadcast set and flagged when the overlap ratio ≥ threshold.
+    *
+    * STATELESS like [[rebalanceStream]] — no watermark, no state
+    * store: a document carries everything needed for its own
+    * decision, so retries, reordering, and micro-batch boundaries
+    * cannot change any flag (StreamingSpec pins stream ≡ batch flag
+    * parity over a 2-batch replay). The stream-static broadcast is
+    * re-resolved per micro-batch, so a benchmark refresh (new eval
+    * suite added) lands without restarting the query. Documents with
+    * no shingles (< k words) carry no signal and are dropped on both
+    * paths identically. */
+  def decontamStream(docs: DataFrame, bench: DataFrame,
+      threshold: Double = 0.1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perDoc = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.operators.Dedup.shingleSeq(text).toSeq.distinct)
+      }.toDF("doc_id", "shs")
+    perDoc
+      .crossJoin(broadcast(bench.agg(collect_set("sh").as("bench_set"))))
+      .filter(size(col("shs")) > 0)
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+      .withColumn("n_hit", size(array_intersect(col("shs"), col("bench_set"))).cast("long"))
+      .withColumn("ratio", graft.functions.OracleRound.floorRound(
+        col("n_hit").cast("double") / col("n_sh"), 6))
+      .withColumn("contaminated", col("ratio") >= lit(threshold))
+      .select("doc_id", "n_sh", "n_hit", "ratio", "contaminated")
+  }
+
   /** Watermarked first-occurrence keep over the chunk-sig stream.
     * Emits one [[KeptChunk]] per signature — the minimum
     * (doc_id, chunk_id) occurrence within the first micro-batch that

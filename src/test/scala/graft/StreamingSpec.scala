@@ -383,6 +383,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination (q68 twin): per-doc flags and counts ≡ batch over a 2-batch replay") {
+    import graft.streaming.CorpusStreams
+    // Calibrate offline (the src0 benchmark shingle set — exactly
+    // q68's), enforce online over the non-benchmark corpus replayed
+    // as two micro-batches. The filter is stateless, so batching
+    // cannot change any decision; parity must hold row-for-row on
+    // (n_sh, n_hit, ratio), not just on the flagged set.
+    val sfd = "/root/testdata/sf0.001"
+    val bench = graft.operators.TextAnalysis.benchShingles(spark, sfd)
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString + "/in"
+    val docs = graft.sources.Tables.documents(spark, sfd)
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"), col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = CorpusStreams.readDocStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = graft.streaming.EventStreams.runToMemory(
+      CorpusStreams.decontamStream(stream, bench), "decontam_out",
+      outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2, "cross-batch path not exercised")
+      val rows = spark.table("decontam_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      assert(rows.length === rows.map(_._1).distinct.length, "duplicate emissions")
+      val flagged = rows.filter(_._5).map(r => (r._1, r._2, r._3, r._4)).toSet
+      val want = SparkEntry.queries("q68_decontamination")(spark, sfd).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(want.nonEmpty, "degenerate batch truth: no contaminated docs")
+      assert(flagged === want,
+        s"flags diverged: missing ${want -- flagged}, extra ${flagged -- want}")
+      // Non-degenerate both ways: the stream also scored clean docs.
+      assert(rows.length > flagged.size, "no clean documents scored")
+    } finally q.stop()
+  }
+
   test("custom bounded top-k aggregator accumulates across micro-batches to the batch answer") {
     // The claim: TopKPostings (the q87 skew-safe posting-list head) is
     // not just map-side mergeable — its merge() is correct across
