@@ -1241,9 +1241,16 @@ object TextAnalysis {
     * tokens), not by corpus size — the dense grid q114 had to avoid
     * is safe here by construction. ECDFs are cumulative windows over
     * that small table. */
+  /** q142's document-length definition (whitespace token count) — one
+    * Column shared with the streaming drift monitor
+    * (streaming/CorpusStreams.lengthDriftStream), so the live path
+    * cannot measure length differently from the batch statistic. */
+  private[graft] def docLen: org.apache.spark.sql.Column =
+    size(split(col("text"), " ")).cast("long")
+
   def q142(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.documents(spark, sfDir)
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
+      .select(col("source"), docLen.as("len"))
       .groupBy("source", "len").agg(count(lit(1)).as("c"))
     val gcounts = counts.groupBy("len").agg(sum("c").as("cg"))
     val sources = counts.groupBy("source").agg(sum("c").as("n_src"))

@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+/** A (source, length) arrival on the sourced document stream. */
+case class LenArrival(source: String, len: Long)
+
+/** Running per-source length histogram — the drift monitor's state.
+  * Bounded by the length DOMAIN (documents are at most context-length
+  * tokens), not by stream volume, so it needs no GC. */
+case class LenHist(counts: Map[Long, Long], n_docs: Long)
+
+/** One drift report per source per micro-batch: the current
+  * two-sample KS statistic against the offline reference ECDF. */
+case class DriftReport(source: String, n_docs: Long, ks_stat: Double,
+    at_len: Long)
+
 /** A chunk occurrence arriving on the document stream. */
 case class ChunkArrival(sig: String, doc_id: Long, chunk_id: Long,
     ts: java.sql.Timestamp)
@@ -139,6 +152,96 @@ object CorpusStreams {
         col("n_hit").cast("double") / col("n_sh"), 6))
       .withColumn("contaminated", col("ratio") >= lit(threshold))
       .select("doc_id", "n_sh", "n_hit", "ratio", "contaminated")
+  }
+
+  implicit val lenArrEnc: Encoder[LenArrival] = Encoders.product[LenArrival]
+  implicit val lenHistEnc: Encoder[LenHist] = Encoders.product[LenHist]
+  implicit val driftEnc: Encoder[DriftReport] = Encoders.product[DriftReport]
+
+  /** Build the offline reference for [[lengthDriftStream]] from a
+    * batch document corpus: the sorted (len, cumulative count) ECDF
+    * table plus its total — O(distinct lengths) driver values, the
+    * calibrate-offline artifact the live monitor compares against.
+    * Lengths come from the SHARED TextAnalysis.docLen. */
+  def lengthReference(docs: DataFrame): (Seq[(Long, Long)], Long) = {
+    val counts = docs.select(graft.operators.TextAnalysis.docLen.as("len"))
+      .groupBy("len").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cums = counts.scanLeft((0L, 0L)) { case ((_, c), (len, n)) => (len, c + n) }.tail
+    (cums.toSeq, counts.map(_._2).sum)
+  }
+
+  /** Streaming twin of the length-distribution drift statistic
+    * (TextAnalysis.q142) — the monitor a production ingest actually
+    * runs: the reference ECDF is calibrated OFFLINE on the trusted
+    * corpus ([[lengthReference]], O(distinct lengths) — broadcast via
+    * the closure), and each arriving document updates its source's
+    * running length histogram; every micro-batch re-emits the
+    * source's current two-sample KS statistic against the reference,
+    * so a scrape-format change surfaces within one trigger instead of
+    * at the next nightly batch.
+    *
+    * The sup uses the SAME integer-numerator rule as q142 —
+    * |cum_src·n_all − cum_all·n_src| maximized with (gap DESC, len
+    * ASC) tie-break over the union of reference and observed jump
+    * points, final division as the only float, floor-rounded to 6 —
+    * so when the replayed stream equals the calibration corpus the
+    * final emissions reproduce q142's rows exactly (StreamingSpec
+    * pins this).
+    *
+    * State: one (len → count) map per source, bounded by the length
+    * DOMAIN (≤ context-length tokens), not by stream volume — the
+    * same argument that makes q142's dense grid safe — so the state
+    * store needs no timeout/GC and the monitor runs indefinitely. */
+  def lengthDriftStream(docs: DataFrame,
+      reference: Seq[(Long, Long)], nAll: Long): Dataset[DriftReport] = {
+    val refCums: Array[(Long, Long)] = reference.sortBy(_._1).toArray
+    val arrivals = docs
+      .select(col("source"), graft.operators.TextAnalysis.docLen.as("len"))
+      .as[LenArrival]
+    arrivals.groupByKey(_.source)
+      .flatMapGroupsWithState[LenHist, DriftReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[LenArrival], state: GroupState[LenHist]) =>
+          val prev = state.getOption.getOrElse(LenHist(Map.empty, 0L))
+          var counts = prev.counts
+          var n = prev.n_docs
+          rows.foreach { r =>
+            counts = counts.updated(r.len, counts.getOrElse(r.len, 0L) + 1L)
+            n += 1L
+          }
+          state.update(LenHist(counts, n))
+          // KS over the union of jump points; cumulative counts via
+          // one merged ascending sweep (reference cums are
+          // precomputed; source cums accumulate in sort order).
+          val jumps = (refCums.iterator.map(_._1) ++ counts.keysIterator)
+            .toArray.distinct.sorted
+          def refCumLE(l: Long): Long = {
+            // last reference cum at len <= l (refCums ascending)
+            var lo = 0; var hi = refCums.length - 1; var ans = 0L
+            while (lo <= hi) {
+              val m = (lo + hi) >>> 1
+              if (refCums(m)._1 <= l) { ans = refCums(m)._2; lo = m + 1 }
+              else hi = m - 1
+            }
+            ans
+          }
+          var cumSrc = 0L
+          var bestNum = -1L
+          var bestLen = 0L
+          jumps.foreach { l =>
+            cumSrc += counts.getOrElse(l, 0L)
+            val num = math.abs(cumSrc * nAll - refCumLE(l) * n)
+            if (num > bestNum) { bestNum = num; bestLen = l }
+          }
+          // Exact integer product then ONE double division + the
+          // floorRound recipe — the same op sequence as q142's
+          // DECIMAL denominator, so the doubles agree bitwise. Long
+          // products hold to ~3·10⁹ docs per side; beyond that widen
+          // to BigInt like q142 widens DECIMAL.
+          val ks = math.floor(bestNum.toDouble / (n * nAll).toDouble * 1e6 + 0.5) / 1e6
+          Iterator.single(DriftReport(source, n, ks, bestLen))
+      }
   }
 
   /** Watermarked first-occurrence keep over the chunk-sig stream.

@@ -421,6 +421,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming length-drift monitor (q142 twin): final emissions ≡ batch KS rows after a 2-batch replay") {
+    import graft.streaming.CorpusStreams
+    // Calibrate the reference ECDF offline on the full corpus, then
+    // replay that SAME corpus as two micro-batches: each source's
+    // LAST emission (max n_docs — the monitor re-emits per trigger)
+    // must reproduce q142's (n_docs, ks_stat, at_len) row exactly,
+    // pinning the integer-numerator sup, the tie-break, and the
+    // cross-batch histogram state in one shot. Mid-replay emissions
+    // additionally prove the monitor reports DRIFT while only half
+    // the stream has arrived (a half-corpus ECDF differs from the
+    // full reference for at least one source).
+    val sfd = "/root/testdata/sf0.001"
+    val batchDocs = graft.sources.Tables.documents(spark, sfd)
+    val (ref, nAll) = CorpusStreams.lengthReference(batchDocs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ksdrift").toString + "/in"
+    val docs = batchDocs.select(col("doc_id"),
+      timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+      col("source"), col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = spark.readStream.schema(CorpusStreams.sourcedDocSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = graft.streaming.EventStreams.runToMemory(
+      CorpusStreams.lengthDriftStream(stream, ref, nAll).toDF(), "ksdrift_out",
+      outputMode = "update")
+    try {
+      assert(q.recentProgress.length >= 2, "cross-batch path not exercised")
+      val rows = spark.table("ksdrift_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val finals = rows.groupBy(_._1).map { case (s, rs) => s -> rs.maxBy(_._2) }
+      val want = SparkEntry.queries("q142_length_ks_drift")(spark, sfd).collect()
+        .map(r => (r.getString(0), (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(finals.keySet === want.keySet, "source coverage diverges")
+      finals.foreach { case (s, got) =>
+        assert(got === want(s), s"source $s: stream $got vs batch ${want(s)}")
+      }
+      // Some source emitted an INTERMEDIATE row (n_docs below final):
+      // the per-trigger re-emission path is real, not a single flush.
+      assert(rows.length > finals.size, "no intermediate emissions seen")
+    } finally q.stop()
+  }
+
   test("custom bounded top-k aggregator accumulates across micro-batches to the batch answer") {
     // The claim: TopKPostings (the q87 skew-safe posting-list head) is
     // not just map-side mergeable — its merge() is correct across
