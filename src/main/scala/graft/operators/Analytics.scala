@@ -1129,6 +1129,70 @@ object Analytics {
   private val klTermFormula =
     s"CAST(${floorRoundSql("p_a * ln(p_a / p_b)", 12)} AS DECIMAL(28,12))"
 
+  /** q146 — source × language chi-square independence audit: the
+    * corpus-composition test that answers "is language mix uniform
+    * across sources, or do some scrapes skew?" — the categorical
+    * companion to q114's token-distribution KL. Emits the full
+    * contingency grid (absent cells at O = 0 — they still carry
+    * expected mass E and contribute E to the statistic) with each
+    * cell's expected count and X² contribution (O−E)²/E; summing the
+    * contrib column gives the chi-square statistic against
+    * independence with (|S|−1)(|L|−1) dof.
+    *
+    * Engine-exactness: O, row, col, N are integers; E and contrib are
+    * derived in ONE shared double-op order — E = (R·C)/N as doubles,
+    * contrib = (O−E)·(O−E)/E — so both engines produce identical
+    * bits before the one floorRound. No engine chi-square builtin is
+    * used anywhere (they don't exist in either engine; nothing to
+    * drift against).
+    *
+    * Scale shape: one map-combined corpus aggregate to (source, lang)
+    * cells; everything after runs on the |S|×|L| grid — bounded by
+    * the CATEGORY domains (q142's length-domain argument), never by
+    * corpus size. Marginals crossJoin as broadcasts of tiny
+    * aggregates. */
+  def q146(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("source", "lang")
+    val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rTot = docs.groupBy("source").agg(count(lit(1)).as("r"))
+    val cTot = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val nTot = docs.agg(count(lit(1)).as("n"))
+    rTot.crossJoin(broadcast(cTot))
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("e",
+        col("r").cast("double") * col("c").cast("double") / col("n").cast("double"))
+      .withColumn("contrib",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+      .select(col("source"), col("lang"), col("o"),
+        floorRound(col("e"), 6).as("expected"),
+        floorRound(col("contrib"), 6).as("chi2_contrib"))
+      .orderBy("source", "lang")
+  }
+
+  val q146Sql: String =
+    s"""WITH cells AS (
+       |  SELECT source, lang, count(*) AS o FROM documents GROUP BY source, lang),
+       |rt AS (SELECT source, count(*) AS r FROM documents GROUP BY source),
+       |ct AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+       |nt AS (SELECT count(*) AS n FROM documents),
+       |grid AS (
+       |  SELECT rt.source, ct.lang, coalesce(cells.o, 0) AS o, rt.r, ct.c, nt.n
+       |  FROM rt CROSS JOIN ct CROSS JOIN nt
+       |  LEFT JOIN cells ON cells.source = rt.source AND cells.lang = ct.lang),
+       |vals AS (
+       |  SELECT source, lang, o,
+       |    CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+       |    (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+       |  FROM grid)
+       |SELECT source, lang, o,
+       |  ${floorRoundSql("e", 6)} AS expected,
+       |  ${floorRoundSql("contrib", 6)} AS chi2_contrib
+       |FROM vals ORDER BY source, lang""".stripMargin
+
   /** q114 — pairwise KL divergence between the sources' unigram
     * distributions: the corpus-curation diagnostic for "which domains
     * are distributionally close" that drives mixture design and
@@ -1270,7 +1334,8 @@ object Analytics {
     "q110_constraint_audit" -> q110 _,
     "q111_rfm_segmentation" -> q111 _,
     "q112_winsorized_stats" -> q112 _,
-    "q114_source_kl" -> q114 _)
+    "q114_source_kl" -> q114 _,
+    "q146_source_lang_chi2" -> q146 _)
 
   val oracles: Map[String, String] = Map(
     "q88_moment_stats" -> q88Sql,
@@ -1296,5 +1361,6 @@ object Analytics {
     "q110_constraint_audit" -> q110Sql,
     "q111_rfm_segmentation" -> q111Sql,
     "q112_winsorized_stats" -> q112Sql,
-    "q114_source_kl" -> q114Sql)
+    "q114_source_kl" -> q114Sql,
+    "q146_source_lang_chi2" -> q146Sql)
 }

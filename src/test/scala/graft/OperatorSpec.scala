@@ -1204,6 +1204,36 @@ class OperatorSpec extends AnyFunSuite {
       "allocated total drifts from the budget")
   }
 
+  test("q146 chi-square grid matches an exact contingency replay; marginals conserve") {
+    val obs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cellCnt = obs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rTot = obs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cTot = obs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = obs.length.toLong
+    val rows = SparkEntry.queries("q146_source_lang_chi2")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet === (for (s <- rTot.keySet; l <- cTot.keySet) yield (s, l)),
+      "grid must cover the full source x lang cross product")
+    rows.foreach { case ((s, l), (o, e, contrib)) =>
+      assert(o === cellCnt.getOrElse((s, l), 0L), s"cell ($s,$l) observed")
+      val eExp = rTot(s).toDouble * cTot(l).toDouble / n.toDouble
+      val cExp = (o.toDouble - eExp) * (o.toDouble - eExp) / eExp
+      assert(math.abs(e - eExp) < 1e-6, s"cell ($s,$l) expected")
+      assert(math.abs(contrib - cExp) < 1e-6, s"cell ($s,$l) contribution")
+      assert(contrib >= 0.0)
+    }
+    // Marginal conservation: observed cells sum back to each source
+    // total, and the grid's expected mass sums to N per construction.
+    rTot.foreach { case (s, r) =>
+      assert(rows.collect { case ((`s`, _), (o, _, _)) => o }.sum === r, s"source $s marginal")
+    }
+    val eSum = rows.values.map(_._2).sum
+    assert(math.abs(eSum - n.toDouble) < 1e-3, s"expected mass $eSum != N $n")
+  }
+
   test("q145 winnowing matches an exact per-doc replay (hashes, packing, tie-break, sharing)") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h40(s: String): Long = {
