@@ -619,6 +619,72 @@ object Corpus {
        |FROM rates r LEFT JOIN kept k ON r.source = k.source, kt
        |ORDER BY r.source""".stripMargin
 
+  /** q149 — sort-free curriculum interleave audit: give every
+    * document a deterministic within-source shuffle rank (md5 order —
+    * the q50 seeded-shuffle discipline), define the global training
+    * order as round-robin across sources by (rank, source), and audit
+    * the interleave per source: document count, first/last global
+    * position, and the MAXIMUM gap between consecutive appearances —
+    * the number a curriculum/mixture designer checks to guarantee no
+    * source starves for more than max_gap consecutive samples.
+    *
+    * The scale point is HOW the global position is computed: not with
+    * a global sort (the naive row_number the oracle twin uses), but
+    * in closed form —
+    *   pos(doc) = Σ_{s'} min(rk−1, n_{s'}) + |{s' : n_{s'} ≥ rk, s' ≤ s}|
+    * — which needs only the per-source count table (O(sources), it
+    * broadcasts) against each doc row. The broadcast expansion is
+    * collapsed back to one row per doc by a map-side-combined
+    * aggregate BEFORE any shuffle, so no stage ever materializes a
+    * globally-sorted corpus; the only shuffles are the two
+    * per-source windows (within-source rank, within-source gaps).
+    * Every value is an integer — the Spark/oracle match is exact by
+    * construction, and the oracle's naive global row_number proves
+    * the closed form ≡ the sort it replaces. */
+  def q149(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", md5(concat(lit("cur"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")).cast("long"))
+      .drop("h")
+    val counts = ranked.groupBy(col("source").as("s2"))
+      .agg(count(lit(1)).as("n_s"))
+    val pos = ranked.crossJoin(broadcast(counts))
+      .groupBy("doc_id", "source")
+      .agg((sum(least(col("rk") - 1, col("n_s"))) +
+        count(when(col("n_s") >= col("rk") && col("s2") <= col("source"), 1)))
+        .as("pos"))
+    val wsrc = Window.partitionBy("source").orderBy("pos")
+    pos.withColumn("gap", col("pos") - lag("pos", 1).over(wsrc))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("pos").as("first_pos"),
+        max("pos").as("last_pos"),
+        coalesce(max("gap"), lit(0L)).as("max_gap"))
+      .orderBy("source")
+  }
+
+  val q149Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('cur' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (ORDER BY rk, source, doc_id) AS pos
+      |  FROM r),
+      |g AS (
+      |  SELECT source, pos,
+      |    pos - lag(pos) OVER (PARTITION BY source ORDER BY pos) AS gap
+      |  FROM p)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(min(pos) AS BIGINT) AS first_pos,
+      |  CAST(max(pos) AS BIGINT) AS last_pos,
+      |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_doc_chunking" -> q69 _,
     "q70_repetition_score" -> q70 _,
@@ -629,7 +695,8 @@ object Corpus {
     "q113_bm25_retrieval" -> q113 _,
     "q117_chunk_dedup" -> q117 _,
     "q127_mixture_rebalance" -> q127 _,
-    "q141_unimax_epochs" -> q141 _)
+    "q141_unimax_epochs" -> q141 _,
+    "q149_curriculum_interleave" -> q149 _)
 
   val oracles: Map[String, String] = Map(
     "q69_doc_chunking" -> q69Sql,
@@ -640,5 +707,6 @@ object Corpus {
     "q113_bm25_retrieval" -> q113Sql,
     "q117_chunk_dedup" -> q117Sql,
     "q127_mixture_rebalance" -> q127Sql,
-    "q141_unimax_epochs" -> q141Sql)
+    "q141_unimax_epochs" -> q141Sql,
+    "q149_curriculum_interleave" -> q149Sql)
 }

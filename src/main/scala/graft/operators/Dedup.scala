@@ -1411,6 +1411,75 @@ object Dedup {
        |    AS n_flagged
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** q147 — shingle document-frequency spectrum (memorization-
+    * exposure profile): bucket every distinct 3-gram shingle by how
+    * many documents it occurs in (its df) into exposure bands —
+    * unique (df=1), paired (df=2), common (3–9), boilerplate (10+) —
+    * and report per band the distinct-shingle count, total postings,
+    * the band's share of all postings, and the band's most-repeated
+    * shingle's df. This is the corpus-level complement of q131 (which
+    * scores each DOCUMENT by its duplicated fraction): sequences
+    * repeated across many documents are the ones a model memorizes
+    * verbatim, so the spectrum is the evidence a dedup/scrub policy's
+    * df threshold is chosen from — if the 10+ band carries most
+    * postings, near-dedup alone won't stop verbatim regurgitation.
+    *
+    * Scale shape: shingles collapse to 16-hex md5 sigs before the
+    * single map-side-combined df aggregate (the q21/q131
+    * "fingerprints, never bodies" rule); banding and the report run
+    * on the O(#distinct shingles) sig relation, and the final
+    * posting-share window runs on the 4-row band table — no second
+    * corpus pass, no scalar-subquery re-scan. All counts are
+    * integer-exact; the only double is the final share division of
+    * two exact longs, identical on both engines. */
+  def q147(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val dfc = shingles(spark, sfDir, distinct = true)
+      .select(expr("substring(md5(sh), 1, 16)").as("sig"))
+      .groupBy("sig").agg(count(lit(1)).as("df"))
+    val banded = dfc.withColumn("df_band",
+      when(col("df") === 1, "1_unique")
+        .when(col("df") === 2, "2_paired")
+        .when(col("df") < 10, "3_common")
+        .otherwise("4_boilerplate"))
+      .groupBy("df_band")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"),
+        max("df").as("max_df"))
+    // The share denominator via a window over the ≤4-row band table
+    // (Window with no partition is the single-partition shape Spark
+    // warns about — deliberate and safe here: the input is the band
+    // GRID, never corpus-sized).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    banded
+      .withColumn("posting_share",
+        floorRound(col("n_postings").cast("double") /
+          sum(col("n_postings")).over(w).cast("double"), 6))
+      .select("df_band", "n_shingles", "n_postings", "max_df",
+        "posting_share")
+      .orderBy("df_band")
+  }
+
+  val q147Sql: String =
+    s"""WITH $shinglesSql,
+       |sg AS (SELECT substring(md5(sh), 1, 16) AS sig FROM sh),
+       |dfc AS (SELECT sig, count(*) AS df FROM sg GROUP BY sig),
+       |b AS (
+       |  SELECT CASE WHEN df = 1 THEN '1_unique'
+       |              WHEN df = 2 THEN '2_paired'
+       |              WHEN df < 10 THEN '3_common'
+       |              ELSE '4_boilerplate' END AS df_band, df FROM dfc),
+       |g AS (
+       |  SELECT df_band, CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(sum(df) AS BIGINT) AS n_postings,
+       |    CAST(max(df) AS BIGINT) AS max_df
+       |  FROM b GROUP BY df_band)
+       |SELECT df_band, n_shingles, n_postings, max_df,
+       |  ${graft.functions.OracleRound.floorRoundSql(
+            "CAST(n_postings AS DOUBLE) / CAST(sum(n_postings) OVER () AS DOUBLE)", 6)}
+       |    AS posting_share
+       |FROM g ORDER BY df_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
@@ -1424,6 +1493,7 @@ object Dedup {
     "q121_cluster_canonical" -> q121 _,
     "q124_dedup_capstone" -> q124 _,
     "q131_crossdoc_ngram_dup" -> q131 _,
+    "q147_df_spectrum" -> q147 _,
     "q134_shingle_containment" -> q134 _,
     "q136_neardup_split_leakage" -> q136 _,
     "q139_normalized_dedup" -> q139 _,
@@ -1442,6 +1512,7 @@ object Dedup {
     "q121_cluster_canonical" -> q121Sql,
     "q124_dedup_capstone" -> q124Sql,
     "q131_crossdoc_ngram_dup" -> q131Sql,
+    "q147_df_spectrum" -> q147Sql,
     "q134_shingle_containment" -> q134Sql,
     "q136_neardup_split_leakage" -> q136Sql,
     "q139_normalized_dedup" -> q139Sql,

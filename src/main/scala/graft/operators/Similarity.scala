@@ -1192,6 +1192,87 @@ object Similarity {
        |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  /** q150 — per-label embedding diversity by the sum-vector identity:
+    * for unit-normalized vectors v̂, the mean pairwise cosine inside a
+    * group is exactly (‖Σv̂‖² − n) / (n(n−1)) — so the O(n²) pairwise
+    * statistic collapses to ONE corpus pass accumulating per-dimension
+    * sums. Reported per label: n_vecs, mean_pair_cos (≈1 ⇒ the label's
+    * embeddings have collapsed to a point — an encoder-regression or
+    * over-dedup signal; ≈0 ⇒ isotropic spread), and centroid_norm
+    * ‖Σv̂‖/n (the resultant length, the directional-statistics view of
+    * the same collapse). The curation use: SemDeDup (q133) and
+    * diversity-aware sampling need a per-cluster/per-class spread
+    * measure, and the naive mean-pairwise-cosine is unrunnable at
+    * corpus scale — this is the closed form that replaces it.
+    *
+    * Scale shape: identical to q130's moment pattern — one
+    * posexplode pass into map-side-combined (label, pos) DECIMAL
+    * sums (O(labels·dim) state), then O(labels·dim) algebra. The
+    * normalization divide happens BEFORE the explode on the
+    * codegen'd native dot_product, so the per-element x/‖v‖ doubles
+    * are bitwise equal on both engines; per-dim sums go through
+    * DECIMAL(28,12) (order-independent), and the over-dims sum of
+    * squares re-enters DECIMAL — the q115/q130 zSq discipline.
+    * Dimension + zero-norm contracts as in every cosine consumer. */
+  def q150(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    val n = Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === Dim)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+      .filter(col("nrm") > 0.0)
+    val sums = n
+      .select(col("label"), col("nrm"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("nv"),
+        sum((col("x") / col("nrm")).cast("decimal(28,12)")).as("s1"))
+    sums.groupBy("label")
+      .agg(max("nv").as("n_vecs"),
+        sum((col("s1").cast("double") * col("s1").cast("double"))
+          .cast("decimal(28,12)")).as("ssq"))
+      .select(col("label"), col("n_vecs"),
+        floorRound(
+          when(col("n_vecs") >= 2,
+            (col("ssq").cast("double") - col("n_vecs").cast("double")) /
+              (col("n_vecs").cast("double") * (col("n_vecs") - 1).cast("double")))
+            .otherwise(lit(0.0)), 6).as("mean_pair_cos"),
+        floorRound(
+          sqrt(col("ssq").cast("double")) / col("n_vecs").cast("double"), 6)
+          .as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  val q150Sql: String =
+    s"""WITH n AS (
+       |  SELECT label, v, nrm FROM (
+       |    SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+       |      sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+       |        x -> x * x), 'sum')) AS nrm
+       |    FROM embeddings WHERE len(embedding) = $Dim) t0
+       |  WHERE nrm > 0),
+       |e AS (
+       |  SELECT label, i AS pos, v[i] / nrm AS xh
+       |  FROM n, (SELECT unnest(generate_series(1, $Dim)) AS i) p),
+       |sums AS (
+       |  SELECT label, pos, count(*) AS nv,
+       |    sum(CAST(xh AS DECIMAL(28,12))) AS s1
+       |  FROM e GROUP BY label, pos),
+       |g AS (
+       |  SELECT label, max(nv) AS n_vecs,
+       |    sum(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+       |      AS DECIMAL(28,12))) AS ssq
+       |  FROM sums GROUP BY label)
+       |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  ${floorRoundSql(
+            "CASE WHEN n_vecs >= 2 THEN " +
+              "(CAST(ssq AS DOUBLE) - CAST(n_vecs AS DOUBLE)) / " +
+              "(CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)) " +
+              "ELSE 0.0 END", 6)} AS mean_pair_cos,
+       |  ${floorRoundSql(
+            "sqrt(CAST(ssq AS DOUBLE)) / CAST(n_vecs AS DOUBLE)", 6)}
+       |    AS centroid_norm
+       |FROM g ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans_train" -> q77 _,
     "q143_cluster_silhouette" -> q143 _,
@@ -1205,6 +1286,7 @@ object Similarity {
     "q115_embed_outliers" -> q115 _,
     "q116_knn_label_eval" -> q116 _,
     "q130_label_separation" -> q130 _,
+    "q150_embed_diversity" -> q150 _,
     "q132_ann_ivf_multiprobe" -> q132 _,
     "q133_semdedup" -> q133 _,
     "q137_hard_negatives" -> q137 _)
@@ -1222,6 +1304,7 @@ object Similarity {
     "q115_embed_outliers" -> q115Sql,
     "q116_knn_label_eval" -> q116Sql,
     "q130_label_separation" -> q130Sql,
+    "q150_embed_diversity" -> q150Sql,
     "q132_ann_ivf_multiprobe" -> q132Sql,
     "q133_semdedup" -> q133Sql,
     "q137_hard_negatives" -> q137Sql)

@@ -1405,6 +1405,62 @@ object TextAnalysis {
        |    AS utilization
        |FROM c WHERE cum <= $TokenBudget GROUP BY source ORDER BY source""".stripMargin
 
+  /** q148 — tokenizer fertility / encoding-cost audit per
+    * (source, lang): documents, tokens, characters, tokens-per-doc,
+    * characters-per-token (the fertility number that converts a
+    * storage budget into a token budget and prices each slice of the
+    * mixture), and the mean token length with separators excluded.
+    * q25 profiles per LANGUAGE only; mixture planning (q72/q141)
+    * allocates per SOURCE, and a source whose chars-per-token is 2×
+    * the corpus mean costs 2× the storage per training token — this
+    * is the grid that exposes that before the budget is set.
+    *
+    * Char accounting is computed from the text itself
+    * (`length(text)`), not the stored n_chars column, so the audit is
+    * immune to a stale metadata column (q110 checks that column
+    * separately). Mean token length uses the exact separator
+    * identity: Σ len(tok) = Σ len(text) − Σ(n_tok − 1) for
+    * single-space splits, so no second tokenize pass is needed.
+    *
+    * Scale shape: ONE narrow projection (two codegen'd expressions
+    * per row) into a map-side-combined aggregate of O(sources×langs)
+    * groups — the cheapest possible audit at 100 TB; every reported
+    * ratio divides two exact integer sums. */
+  def q148(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        sum("nc").as("n_chars"),
+        floorRound(sum("nt").cast("double") / count(lit(1)), 6)
+          .as("tokens_per_doc"),
+        floorRound(sum("nc").cast("double") / sum("nt").cast("double"), 6)
+          .as("chars_per_token"),
+        floorRound((sum("nc") - sum("nt") + count(lit(1))).cast("double") /
+          sum("nt").cast("double"), 6).as("avg_token_len"))
+      .orderBy("source", "lang")
+
+  val q148Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, lang, CAST(len(text) AS BIGINT) AS nc,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents)
+       |SELECT source, lang, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  ${floorRoundSql("CAST(sum(nt) AS DOUBLE) / count(*)", 6)}
+       |    AS tokens_per_doc,
+       |  ${floorRoundSql(
+            "CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)", 6)}
+       |    AS chars_per_token,
+       |  ${floorRoundSql(
+            "CAST(sum(nc) - sum(nt) + count(*) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)", 6)}
+       |    AS avg_token_len
+       |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_bigram_lm_xent" -> q122 _,
     "q123_quality_calibration" -> q123 _,
@@ -1423,6 +1479,7 @@ object TextAnalysis {
     "q68_decontamination" -> q68 _,
     "q41_salted_heavy_hitters" -> q41 _,
     "q25_token_stats" -> q25 _,
+    "q148_tokenizer_fertility" -> q148 _,
     "q26_quality_score" -> q26 _,
     "q27_langid" -> q27 _,
     "q28_fingerprint" -> q28 _,
@@ -1446,6 +1503,7 @@ object TextAnalysis {
     "q68_decontamination" -> q68Sql,
     "q41_salted_heavy_hitters" -> q41Sql,
     "q25_token_stats" -> q25Sql,
+    "q148_tokenizer_fertility" -> q148Sql,
     "q26_quality_score" -> q26Sql,
     "q27_langid" -> q27Sql,
     "q28_fingerprint" -> q28Sql,

@@ -1347,4 +1347,128 @@ class OperatorSpec extends AnyFunSuite {
       assert(ks >= 0.0 && ks <= 1.0, s"$src ks out of range")
     }
   }
+
+  test("q147 df spectrum matches an exact local shingle-df replay and partitions all postings") {
+    val dfs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(1).split(" ", -1)
+        if (t.length < 3) Seq.empty
+        else (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).distinct
+          .map(sh => (r.getLong(0), sh))
+      }
+      .map(_._2).groupBy(identity).map { case (_, o) => o.length.toLong }.toSeq
+    def band(df: Long): String =
+      if (df == 1) "1_unique" else if (df == 2) "2_paired"
+      else if (df < 10) "3_common" else "4_boilerplate"
+    val exp = dfs.groupBy(band).map { case (b, ds) =>
+      b -> (ds.size.toLong, ds.sum, ds.max)
+    }
+    val total = dfs.sum.toDouble
+    val rows = SparkEntry.queries("q147_df_spectrum")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSet === exp.keySet, "band sets diverge")
+    rows.foreach { case (b, (nSh, nPost, maxDf, share)) =>
+      val (eSh, ePost, eMax) = exp(b)
+      assert(nSh === eSh, s"band $b n_shingles")
+      assert(nPost === ePost, s"band $b n_postings")
+      assert(maxDf === eMax, s"band $b max_df")
+      assert(math.abs(share - ePost / total) < 2e-6, s"band $b posting_share")
+    }
+    // The bands partition the posting multiset: shares sum to 1.
+    assert(math.abs(rows.map(_._2._4).sum - 1.0) < 1e-5, "posting shares don't sum to 1")
+  }
+
+  test("q148 fertility: integer sums replay exactly; per-lang rollup reconciles with q25") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val exp = docs.groupBy(d => (d._1, d._2)).map { case (k, ds) =>
+      val nt = ds.map(_._3.split(" ", -1).length.toLong).sum
+      val nc = ds.map(_._3.length.toLong).sum
+      k -> (ds.length.toLong, nt, nc)
+    }
+    val rows = SparkEntry.queries("q148_tokenizer_fertility")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(rows.keySet === exp.keySet, "group sets diverge")
+    exp.foreach { case (k, (nD, nT, nC)) =>
+      val (nDocs, nTok, nCh, tpd, cpt, atl) = rows(k)
+      assert(nDocs === nD && nTok === nT && nCh === nC, s"$k integer sums")
+      assert(math.abs(tpd - nT.toDouble / nD) < 2e-6, s"$k tokens_per_doc")
+      assert(math.abs(cpt - nC.toDouble / nT) < 2e-6, s"$k chars_per_token")
+      // Mean token length via the separator identity (chars minus the
+      // exact n-1 single-space separators per doc).
+      assert(math.abs(atl - (nC - nT + nD).toDouble / nT) < 2e-6, s"$k avg_token_len")
+    }
+    // Per-language rollup of the grid reconciles with q25's totals.
+    val q25tok = SparkEntry.queries("q25_token_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val byLang = rows.toSeq.groupBy(_._1._2).map { case (l, g) => l -> g.map(_._2._2).sum }
+    assert(byLang === q25tok, "per-lang token totals diverge from q25")
+  }
+
+  test("q149 closed-form interleave positions equal the naive global sort (local md5 replay)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(s"cur$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // Naive reference: within-source md5 rank, then ONE global sort.
+    val rk = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (h(d._1), d._1)).zipWithIndex
+        .map { case ((id, _), i) => (id, src, i.toLong + 1) }
+    }
+    val pos = rk.sortBy { case (id, src, r) => (r, src, id) }.zipWithIndex
+      .map { case ((_, src, _), i) => (src, i.toLong + 1) }
+    val exp = pos.groupBy(_._1).map { case (src, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val gaps = sorted.zip(sorted.drop(1)).map { case (a, b) => b - a }
+      src -> (sorted.length.toLong, sorted.head, sorted.last,
+        if (gaps.isEmpty) 0L else gaps.max)
+    }
+    val rows = SparkEntry.queries("q149_curriculum_interleave")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows === exp, "closed-form interleave diverges from the naive global sort")
+    // Positions are a permutation of 1..N — no global slot lost or doubled.
+    assert(pos.map(_._2).sorted === (1L to docs.length.toLong).toSeq, "replay positions not a permutation")
+  }
+
+  test("q150 sum-vector identity equals the O(n²) pairwise mean (brute-force replay)") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("label", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .filter(_._2.length == 64)
+      .map { case (l, v) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (l, v, nrm)
+      }
+      .filter(_._3 > 0)
+      .map { case (l, v, nrm) => (l, v.map(_ / nrm)) }
+    val rows = SparkEntry.queries("q150_embed_diversity")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byLabel = vecs.groupBy(_._1)
+    assert(rows.keySet === byLabel.keySet, "label sets diverge")
+    byLabel.foreach { case (l, vs) =>
+      val n = vs.length
+      val (nVecs, meanCos, centNorm) = rows(l)
+      assert(nVecs === n.toLong, s"label $l count")
+      // Brute force: mean over all ordered pairs i≠j of v̂i·v̂j.
+      if (n >= 2) {
+        val pairSum = (for {
+          i <- vs.indices; j <- vs.indices if i != j
+        } yield vs(i)._2.zip(vs(j)._2).map { case (a, b) => a * b }.sum).sum
+        val exp = pairSum / (n.toDouble * (n - 1))
+        assert(math.abs(meanCos - exp) < 5e-6, s"label $l mean_pair_cos $meanCos vs $exp")
+      }
+      val sumVec = vs.map(_._2).transpose.map(_.sum)
+      val expCn = math.sqrt(sumVec.map(x => x * x).sum) / n
+      assert(math.abs(centNorm - expCn) < 5e-6, s"label $l centroid_norm")
+      assert(meanCos >= -1.0 - 1e-9 && meanCos <= 1.0 + 1e-9, s"label $l cos range")
+    }
+  }
 }

@@ -390,4 +390,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no map-side partial aggregation:\n$p")
     assert(!p.contains("Join"), s"q139 should be join-free:\n$p")
   }
+
+  test("q147: df spectrum is join-free with a map-combined df aggregate") {
+    val p = plan("q147_df_spectrum")
+    assert(p.contains("partial_count"), s"df aggregate not map-side combined:\n$p")
+    assert(!p.contains("Join"), s"q147 should be join-free:\n$p")
+  }
+
+  test("q148: fertility is one corpus scan into a map-combined grid aggregate") {
+    val p = plan("q148_tokenizer_fertility")
+    // Formatted explain renders each node twice (tree + numbered
+    // details) — count the numbered detail entries.
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"more than one scan:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side partials:\n$p")
+    assert(!p.contains("Join"), s"q148 should be join-free:\n$p")
+  }
+
+  test("q149: global interleave positions come from the closed form, never a single-partition sort") {
+    // The design claim: the counts table arrives broadcast (the
+    // crossJoin renders BroadcastNestedLoopJoin), its expansion is
+    // collapsed by map-side partial aggregation BEFORE the shuffle,
+    // and NO stage ever coalesces the corpus to one partition — a
+    // naive global row_number would show "SinglePartition" here.
+    val p = plan("q149_curriculum_interleave")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"per-source counts not broadcast:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"broadcast expansion not collapsed map-side:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a single-partition (global-sort) stage crept in:\n$p")
+  }
+
+  test("q150: diversity is one corpus pass of map-combined moments, no pairwise join") {
+    val p = plan("q150_embed_diversity")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"more than one scan:\n$p")
+    assert(p.contains("partial_sum"), s"moment sums not map-side combined:\n$p")
+    assert(!p.contains("Join"), s"q150 must never build a pairwise join:\n$p")
+  }
 }
