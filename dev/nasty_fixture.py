@@ -86,6 +86,29 @@ for a in (12, 34, 56, 78, 90):
 print(f"normalized-dup stratum: {n_normdup} mangled copies "
       f"(doc pairs {[ (a, a+1) for a in (12, 34, 56, 78, 90) ]})")
 
+# Exact-dup stratum for the incremental-dedup classifier (q152) and
+# the whole-corpus exact dedup (q21): the clean corpus has no exact
+# duplicates below sf0.1, so q152's three-way classification
+# (novel / dup_base / dup_delta) would go un-exercised cross-engine.
+# Doc ids chosen by the SAME HashBucket split q152 uses
+# (md5-bucket % 100, >= 80 => delta) and outside every perturbation
+# stratum above (%5/%7/%11/%13, 250, normalized-dup pairs), so the
+# copies stay byte-identical:
+#   base 1 -> delta 8            : dup_base (index hit)
+#   base 2 -> delta 27, delta 31 : dup_base twice from one base sig
+#   delta 16 -> delta 19         : within-batch pair (16 novel,
+#                                  19 dup_delta, lowest-id keeper)
+n_exactdup = 0
+for src_id, dst_id in ((1, 8), (2, 27), (2, 31), (16, 19)):
+    isrc, idst = by_id.get(src_id), by_id.get(dst_id)
+    if isrc is None or idst is None:
+        sys.exit(f"exact-dup stratum doc_ids {src_id}/{dst_id} not in corpus")
+    cols["text"][idst] = cols["text"][isrc]
+    cols["n_chars"][idst] = len(cols["text"][isrc])
+    n_exactdup += 1
+print(f"exact-dup stratum: {n_exactdup} verbatim copies "
+      f"(base->delta 1->8, 2->27, 2->31; delta->delta 16->19)")
+
 out = pa.table(
     {name: pa.array(cols[name], type=tab.schema.field(name).type)
      for name in tab.column_names})

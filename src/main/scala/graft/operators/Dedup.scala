@@ -1480,6 +1480,84 @@ object Dedup {
        |    AS posting_share
        |FROM g ORDER BY df_band""".stripMargin
 
+  /** q152 — incremental (delta-vs-base) exact dedup: the production
+    * ingest shape. The corpus is split deterministically into an
+    * 80% "base" (the already-ingested corpus) and a 20% "delta" (the
+    * arriving batch) by the shared [[graft.functions.HashBucket]]
+    * primitive; each delta document is then classified per source as
+    * dup_base (its text signature already exists in the base's
+    * signature index), dup_delta (first seen earlier IN this batch —
+    * lowest doc_id wins, q21's keeper rule), or novel. This is the
+    * operator a daily crawl append actually runs: q21 re-dedups the
+    * world; this touches the base corpus ONLY through its signature
+    * index.
+    *
+    * Scale shape: the base side collapses to DISTINCT md5 sigs before
+    * the join — at 100 TB that index is the persisted artifact an
+    * ingest pipeline maintains (16-byte keys, bucketable on sig so
+    * the daily join is co-partitioned with zero base re-shuffle);
+    * the LEFT join marks membership without duplicating rows (sig is
+    * unique on the build side by construction). Within-batch
+    * first-occurrence is a min-over-sig window on the delta only.
+    * All counts integer; the only double is novel_rate. */
+  def q152(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{HashBucket, OracleRound}
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("sig"),
+        expr(s"${HashBucket.bucketExpr("doc_id", 100)} < 80").as("is_base"))
+    val baseSigs = docs.filter(col("is_base"))
+      .select("sig").distinct().withColumn("in_base", lit(1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sig")
+    docs.filter(!col("is_base"))
+      .join(baseSigs, Seq("sig"), "left")
+      .withColumn("first_id", min("doc_id").over(w))
+      .withColumn("status",
+        when(col("in_base").isNotNull, "dup_base")
+          .when(col("doc_id") === col("first_id"), "novel")
+          .otherwise("dup_delta"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_delta"),
+        count(when(col("status") === "novel", 1)).as("n_novel"),
+        count(when(col("status") === "dup_base", 1)).as("n_dup_base"),
+        count(when(col("status") === "dup_delta", 1)).as("n_dup_delta"),
+        OracleRound.floorRound(
+          count(when(col("status") === "novel", 1)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("novel_rate"))
+      .orderBy("source")
+  }
+
+  val q152Sql: String = {
+    import graft.functions.{HashBucket, OracleRound}
+    s"""WITH d AS (
+       |  SELECT doc_id, source, md5(text) AS sig,
+       |    (${HashBucket.bucketSql("doc_id", 100)} < 80) AS is_base
+       |  FROM documents),
+       |bs AS (SELECT DISTINCT sig FROM d WHERE is_base),
+       |del AS (
+       |  SELECT d.doc_id, d.source, d.sig,
+       |    (bs.sig IS NOT NULL) AS in_base
+       |  FROM d LEFT JOIN bs ON d.sig = bs.sig
+       |  WHERE NOT d.is_base),
+       |st AS (
+       |  SELECT source,
+       |    CASE WHEN in_base THEN 'dup_base'
+       |         WHEN doc_id = min(doc_id) OVER (PARTITION BY sig)
+       |           THEN 'novel'
+       |         ELSE 'dup_delta' END AS status
+       |  FROM del)
+       |SELECT source, count(*) AS n_delta,
+       |  CAST(count(CASE WHEN status = 'novel' THEN 1 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST(count(CASE WHEN status = 'dup_base' THEN 1 END) AS BIGINT)
+       |    AS n_dup_base,
+       |  CAST(count(CASE WHEN status = 'dup_delta' THEN 1 END) AS BIGINT)
+       |    AS n_dup_delta,
+       |  ${OracleRound.floorRoundSql(
+            "CAST(count(CASE WHEN status = 'novel' THEN 1 END) AS DOUBLE) / " +
+              "CAST(count(*) AS DOUBLE)", 6)} AS novel_rate
+       |FROM st GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
@@ -1494,6 +1572,7 @@ object Dedup {
     "q124_dedup_capstone" -> q124 _,
     "q131_crossdoc_ngram_dup" -> q131 _,
     "q147_df_spectrum" -> q147 _,
+    "q152_delta_dedup" -> q152 _,
     "q134_shingle_containment" -> q134 _,
     "q136_neardup_split_leakage" -> q136 _,
     "q139_normalized_dedup" -> q139 _,
@@ -1513,6 +1592,7 @@ object Dedup {
     "q124_dedup_capstone" -> q124Sql,
     "q131_crossdoc_ngram_dup" -> q131Sql,
     "q147_df_spectrum" -> q147Sql,
+    "q152_delta_dedup" -> q152Sql,
     "q134_shingle_containment" -> q134Sql,
     "q136_neardup_split_leakage" -> q136Sql,
     "q139_normalized_dedup" -> q139Sql,

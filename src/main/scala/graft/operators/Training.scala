@@ -529,6 +529,58 @@ object Training {
        |    ORDER BY rk) AS postings_head
        |FROM rk GROUP BY term ORDER BY df DESC, term LIMIT $IndexTopTerms""".stripMargin
 
+  /** q151 candidate context lengths — the sweep domain. */
+  private val CtxLengths = Seq(64L, 128L, 256L, 512L, 1024L)
+
+  /** q151 — context-length packing-efficiency sweep: for each
+    * candidate context length L, chunk every document into
+    * ceil(n_tokens/L) context windows and report the corpus cost of
+    * choosing that L — total bins, padding tokens (bins·L − tokens),
+    * utilization (tokens / bins·L), and how many documents need more
+    * than one window. q79 packs at ONE budget; this is the knob-tuning
+    * sweep run BEFORE q79, turning "pick a context length" into a
+    * measured padding-waste-vs-fragmentation trade-off table.
+    *
+    * Scale shape: the ×|L| expansion is a codegen'd explode of a
+    * 5-element literal array — no join, no second scan — feeding a
+    * map-side-combined aggregate with |L| groups. Bin counts use
+    * integer ceiling division ((nt + L − 1) div L; Spark `div` ≙
+    * DuckDB `//`), so everything except the final utilization ratio
+    * is integer-exact. */
+  def q151(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("nt"))
+      .select(col("nt"), explode(typedlit(CtxLengths)).as("ctx_len"))
+      .withColumn("bins", expr("(nt + ctx_len - 1) div ctx_len"))
+      .groupBy("ctx_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        sum("bins").as("n_bins"),
+        sum(col("bins") * col("ctx_len") - col("nt")).as("pad_tokens"),
+        count(when(col("nt") > col("ctx_len"), 1)).as("n_multi_chunk"),
+        floorRound(sum("nt").cast("double") /
+          (sum("bins") * first(col("ctx_len"))).cast("double"), 6)
+          .as("utilization"))
+      .orderBy("ctx_len")
+
+  val q151Sql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |g AS (
+       |  SELECT nt, l.ctx_len, (nt + l.ctx_len - 1) // l.ctx_len AS bins
+       |  FROM d, (SELECT unnest([${CtxLengths.mkString(", ")}]) AS ctx_len) l)
+       |SELECT ctx_len, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(bins) AS BIGINT) AS n_bins,
+       |  CAST(sum(bins * ctx_len - nt) AS BIGINT) AS pad_tokens,
+       |  CAST(count(CASE WHEN nt > ctx_len THEN 1 END) AS BIGINT)
+       |    AS n_multi_chunk,
+       |  ${floorRoundSql(
+            "CAST(sum(nt) AS DOUBLE) / CAST(sum(bins) * ctx_len AS DOUBLE)", 6)}
+       |    AS utilization
+       |FROM g GROUP BY ctx_len ORDER BY ctx_len""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_sequence_packing" -> q79 _,
     "q80_split_assignment" -> q80 _,
@@ -538,7 +590,8 @@ object Training {
     "q84_pmi_collocations" -> q84 _,
     "q85_quantize_embeddings" -> q85 _,
     "q86_pagerank_nations" -> q86 _,
-    "q87_inverted_index" -> q87 _)
+    "q87_inverted_index" -> q87 _,
+    "q151_ctx_length_sweep" -> q151 _)
 
   val oracles: Map[String, String] = Map(
     "q79_sequence_packing" -> q79Sql,
@@ -549,5 +602,6 @@ object Training {
     "q84_pmi_collocations" -> q84Sql,
     "q85_quantize_embeddings" -> q85Sql,
     "q86_pagerank_nations" -> q86Sql,
-    "q87_inverted_index" -> q87Sql)
+    "q87_inverted_index" -> q87Sql,
+    "q151_ctx_length_sweep" -> q151Sql)
 }

@@ -1437,6 +1437,80 @@ class OperatorSpec extends AnyFunSuite {
     assert(pos.map(_._2).sorted === (1L to docs.length.toLong).toSeq, "replay positions not a permutation")
   }
 
+  test("q151 packing sweep replays exactly and obeys the padding conservation law") {
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0).split(" ", -1).length.toLong)
+    val rows = SparkEntry.queries("q151_ctx_length_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq === Seq(64L, 128L, 256L, 512L, 1024L))
+    rows.foreach { case (l, nDocs, nTok, nBins, pad, nMulti, util) =>
+      assert(nDocs === lens.length.toLong, s"L=$l doc count")
+      assert(nTok === lens.sum, s"L=$l token sum")
+      val expBins = lens.map(nt => (nt + l - 1) / l).sum
+      assert(nBins === expBins, s"L=$l bins")
+      // Conservation: every bin is exactly full or padded — no token
+      // lost, no pad unaccounted.
+      assert(nTok + pad === l * nBins, s"L=$l padding conservation")
+      assert(nMulti === lens.count(_ > l).toLong, s"L=$l multi-chunk docs")
+      assert(math.abs(util - nTok.toDouble / (l * nBins)) < 2e-6, s"L=$l utilization")
+    }
+    // More context = fewer bins (monotone fragmentation trade-off).
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq, "n_bins not decreasing in L")
+  }
+
+  test("q152 delta dedup classifies an injected dup fixture exactly (all three classes)") {
+    // The clean sf0.001 corpus has no exact duplicates, so build a
+    // copy with verbatim copies planted on BOTH sides of the
+    // HashBucket 80/20 split (ids chosen in the delta: 8, 27, 31, 19,
+    // 16; base: 1, 2 — same ids the adversarial fixture uses):
+    //   1(base)->8(delta), 2(base)->27,31(delta) : dup_base ×3
+    //   16(delta)->19(delta)                     : 16 novel, 19 dup_delta
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val byId = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val copies = Map(8L -> byId(1L), 27L -> byId(2L), 31L -> byId(2L), 19L -> byId(16L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q152").toString
+    import org.apache.spark.sql.functions.{col, udf}
+    val patch = udf((id: Long, text: String) => copies.getOrElse(id, text))
+    docs.withColumn("text", patch(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = SparkEntry.queries("q152_delta_dedup")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // Conservation per source and exact class totals.
+      rows.foreach { case (s, nDelta, nNovel, nBase, nDd) =>
+        assert(nDelta === nNovel + nBase + nDd, s"$s classes don't partition the delta")
+      }
+      assert(rows.map(_._4).sum === 3L, "dup_base count (1->8, 2->27, 2->31)")
+      assert(rows.map(_._5).sum === 1L, "dup_delta count (16->19, lowest-id keeper)")
+      // Compare against a full local replay of split + classification.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(id: Long): Long = {
+        val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+      }
+      val all = docs.select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .map { case (id, src) => (id, src, copies.getOrElse(id, byId(id))) }
+      val baseSigs = all.filter(d => bucket(d._1) < 80).map(_._3).toSet
+      val delta = all.filter(d => bucket(d._1) >= 80)
+      val firstId = delta.groupBy(_._3).map { case (t, ds) => t -> ds.map(_._1).min }
+      val exp = delta.groupBy(_._2).map { case (src, ds) =>
+        val st = ds.map { case (id, _, t) =>
+          if (baseSigs(t)) "dup_base"
+          else if (id == firstId(t)) "novel" else "dup_delta"
+        }
+        src -> (ds.length.toLong, st.count(_ == "novel").toLong,
+          st.count(_ == "dup_base").toLong, st.count(_ == "dup_delta").toLong)
+      }
+      assert(rows.map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap === exp,
+        "classification diverges from the local replay")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("q150 sum-vector identity equals the O(n²) pairwise mean (brute-force replay)") {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as v")

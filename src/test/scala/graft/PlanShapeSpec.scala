@@ -423,6 +423,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a single-partition (global-sort) stage crept in:\n$p")
   }
 
+  test("q151: the context-length sweep is one scan × literal explode, join-free") {
+    val p = plan("q151_ctx_length_sweep")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"more than one scan:\n$p")
+    assert(p.contains("Generate"), s"the ×|L| expansion is not an explode:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side partials:\n$p")
+    assert(!p.contains("Join"), s"q151 should be join-free:\n$p")
+  }
+
+  test("q152: delta dedup shuffles 32-hex signatures, never document bodies") {
+    // The scale claim: the base corpus reaches the join only as its
+    // DISTINCT signature index, and every exchange key is the sig —
+    // text must never be a shuffle key.
+    val p = plan("q152_delta_dedup")
+    assert("hashpartitioning\\(sig#\\d+".r.findFirstIn(p).isDefined,
+      s"no sig-keyed exchange:\n$p")
+    assert("hashpartitioning\\(text#\\d+".r.findFirstIn(p).isEmpty,
+      s"document bodies are a shuffle key:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+  }
+
   test("q150: diversity is one corpus pass of map-combined moments, no pairwise join") {
     val p = plan("q150_embed_diversity")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
