@@ -22,6 +22,17 @@ case class DriftReport(source: String, n_docs: Long, ks_stat: Double,
 case class ChunkArrival(sig: String, doc_id: Long, chunk_id: Long,
     ts: java.sql.Timestamp)
 
+/** A delta-batch document arrival, pre-marked with base-signature-
+  * index membership by the stream-static join. */
+case class DeltaArrival(sig: String, doc_id: Long, source: String,
+    in_base: Boolean, ts: java.sql.Timestamp)
+
+/** One classification per arriving delta document, emitted by
+  * [[CorpusStreams.deltaDedupStream]]: novel / dup_base / dup_delta
+  * (the batch Dedup.q152 classes). */
+case class DeltaClass(doc_id: Long, source: String, sig: String,
+    status: String)
+
 /** A kept (first-seen) chunk emitted by
   * [[CorpusStreams.chunkDedupStream]]. */
 case class KeptChunk(sig: String, doc_id: Long, chunk_id: Long)
@@ -241,6 +252,74 @@ object CorpusStreams {
           // to BigInt like q142 widens DECIMAL.
           val ks = math.floor(bestNum.toDouble / (n * nAll).toDouble * 1e6 + 0.5) / 1e6
           Iterator.single(DriftReport(source, n, ks, bestLen))
+      }
+  }
+
+  implicit val deltaArrEnc: Encoder[DeltaArrival] = Encoders.product[DeltaArrival]
+  implicit val deltaClassEnc: Encoder[DeltaClass] = Encoders.product[DeltaClass]
+
+  /** Streaming twin of the incremental delta-vs-base dedup
+    * (Dedup.q152) — the live half of the daily-append ingest story:
+    * the base corpus's DISTINCT signature index is the
+    * calibrate-offline artifact (like [[decontamStream]]'s benchmark
+    * set); every arriving document md5-fingerprints itself, the
+    * stream-static join marks base membership STATELESSLY, and only
+    * non-base signatures consult the keeper state — novel on first
+    * sight, dup_delta after — with the same within-batch min(doc_id)
+    * rule as batch, so a doc_id-ordered replay reproduces q152's
+    * classification exactly (StreamingSpec pins all three classes
+    * across a batch-straddling replay).
+    *
+    * Scale: at test scale the index broadcasts; at 100 TB it is a
+    * sig-bucketed static table and the same stream-static join runs
+    * storage-partitioned with zero base re-shuffle (q152's scaladoc
+    * argument, in streaming form). State carries one boolean per
+    * NON-base sig inside the watermark window — base-dup arrivals
+    * (the common case on a re-crawl) cost no state at all — GC'd by
+    * event-time timeout exactly like [[firstOccurrence]]. */
+  def deltaDedupStream(docs: DataFrame, baseSigs: DataFrame,
+      delayMs: Long = 10L * 60 * 1000): Dataset[DeltaClass] = {
+    val arrivals = docs
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(md5(col("text")).as("sig"), col("doc_id"), col("source"),
+        col("ts"))
+      .join(broadcast(baseSigs.select(col("sig")).distinct()
+        .withColumn("b", lit(true))), Seq("sig"), "left")
+      .select(col("sig"), col("doc_id"), col("source"),
+        coalesce(col("b"), lit(false)).as("in_base"), col("ts"))
+      .as[DeltaArrival]
+    arrivals.groupByKey(_.sig)
+      .flatMapGroupsWithState[Boolean, DeltaClass](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (sig: String, rows: Iterator[DeltaArrival], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // Deterministic within-batch order: the batch keeper rule
+            // (min doc_id first), never the micro-batch's physical
+            // iterator order. Bounded by per-sig arrivals per trigger.
+            val rs = rows.toArray.sortBy(_.doc_id)
+            if (rs.head.in_base) {
+              // A sig in the base index classifies statelessly and
+              // keeps NO state — the batch rule (base membership wins
+              // over within-delta ordering), and the reason a re-crawl
+              // full of known documents costs zero state growth.
+              rs.iterator.map(r =>
+                DeltaClass(r.doc_id, r.source, sig, "dup_base"))
+            } else {
+              val seen = state.exists
+              state.update(true)
+              var maxTs = Long.MinValue
+              rs.foreach(r => if (r.ts.getTime > maxTs) maxTs = r.ts.getTime)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + delayMs, state.getCurrentWatermarkMs() + 1))
+              rs.iterator.zipWithIndex.map { case (r, i) =>
+                DeltaClass(r.doc_id, r.source, sig,
+                  if (!seen && i == 0) "novel" else "dup_delta")
+              }
+            }
+          }
       }
   }
 

@@ -291,6 +291,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming delta dedup (q152 twin): all three classes correct across a batch-straddling replay") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    // Base index: two known documents A and B. The stream replays a
+    // delta batch with every classification path exercised: base hits
+    // in both micro-batches (8, 27), a novel→dup_delta pair STRADDLING
+    // the batch boundary (16→19, cross-batch state), a novel→dup_delta
+    // pair WITHIN one batch (31→60, within-batch min-doc keeper), and
+    // an independent novel pair straddling (43→59).
+    val A = "alpha beta gamma"; val B = "delta epsilon zeta"
+    val C = "eta theta iota"; val D = "kappa lambda mu"; val E = "nu xi omicron"
+    val baseSigs = Seq(A, B).toDF("text").select(md5(col("text")).as("sig"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_deltadedup").toString + "/in"
+    def ts(i: Long) = new java.sql.Timestamp(1700000000000L + i * 1000)
+    Seq((8L, ts(8), "srcX", A), (16L, ts(16), "srcX", C), (43L, ts(43), "srcY", D))
+      .toDF("doc_id", "ts", "source", "text").coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    Seq((19L, ts(19), "srcX", C), (27L, ts(27), "srcY", B),
+      (31L, ts(31), "srcY", E), (59L, ts(59), "srcY", D), (60L, ts(60), "srcY", E))
+      .toDF("doc_id", "ts", "source", "text").coalesce(1).write.mode("append").json(dir)
+    val stream = spark.readStream.schema(CorpusStreams.sourcedDocSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = graft.streaming.EventStreams.runToMemory(
+      CorpusStreams.deltaDedupStream(stream, baseSigs).toDF(), "delta_dedup_out",
+      outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2, "cross-batch path not exercised")
+      val rows = spark.table("delta_dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(3)))
+      assert(rows.length === rows.toSet.size, "duplicate emissions")
+      // exactly one classification per arriving document
+      assert(rows.map(_._1).sorted.toSeq === Seq(8L, 16L, 19L, 27L, 31L, 43L, 59L, 60L),
+        s"per-doc emission coverage: ${rows.toSeq}")
+      val got = rows.toMap
+      val want = Map(8L -> "dup_base", 27L -> "dup_base",
+        16L -> "novel", 43L -> "novel", 31L -> "novel",
+        19L -> "dup_delta", 59L -> "dup_delta", 60L -> "dup_delta")
+      assert(got === want, "stream classification diverged from the batch q152 rule")
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup (q37 twin): stream pair-set ≡ batch pairs over a 2-batch replay") {
     import graft.streaming.VectorStreams
     // Replay the sf0.001 embedding corpus (500 vectors, 56 true
