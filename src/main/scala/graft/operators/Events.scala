@@ -380,7 +380,79 @@ object Events {
        |FROM p LEFT JOIN ft ON p.purchase_id = ft.purchase_id
        |GROUP BY 1 ORDER BY touch""".stripMargin
 
+  /** q153 anonymity threshold and QID granularity: day buckets ×
+    * 10 value bands over the fixture's 0–490 range put the mean
+    * group size near k at the gate scale, so the audit reports a
+    * genuine MIX of safe and at-risk groups — the regime it exists
+    * to measure — instead of a degenerate all-safe or all-risk
+    * answer. */
+  private val AnonK = 5L
+  private val ValueBandWidth = 50L
+  private val DayNs = 24L * 3600 * 1000 * 1000 * 1000
+
+  /** q153 — k-anonymity audit over quasi-identifiers: before
+    * event-derived features join a training corpus, group the table
+    * by its quasi-identifier tuple (event_type, day bucket,
+    * value band) and measure re-identification exposure per event
+    * type — group count, smallest group, and how many ROWS sit in
+    * groups below k=5 (the rows a release would have to suppress or
+    * generalize). The data-governance gate the privacy literature
+    * runs before any telemetry release; q78 scrubs direct
+    * identifiers IN text, this audits indirect (quasi-) identifiers
+    * in structured data — the two halves of the PII story.
+    *
+    * Scale shape: one scan → map-side-combined QID aggregate
+    * (O(distinct QID tuples), domain-bounded: types × days × bands)
+    * → an O(QID-groups) rollup to O(types) rows. Day and band come
+    * from exact integer arithmetic (`DIV` on epoch-nanos, floor on
+    * the same IEEE double), so group membership is engine-exact;
+    * every reported number except risk_share is an integer. */
+  def q153(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"ts DIV $DayNs").as("day_bucket"),
+        expr(s"CAST(floor(value) AS BIGINT) DIV $ValueBandWidth")
+          .as("value_band"))
+      .groupBy("event_type", "day_bucket", "value_band")
+      .agg(count(lit(1)).as("gs"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("gs").as("n_rows"),
+        min("gs").as("min_group"),
+        count(when(col("gs") < AnonK, 1)).as("n_small_groups"),
+        sum(when(col("gs") < AnonK, col("gs")).otherwise(lit(0L)))
+          .as("n_rows_at_risk"),
+        floorRound(
+          sum(when(col("gs") < AnonK, col("gs")).otherwise(lit(0L)))
+            .cast("double") / sum("gs").cast("double"), 6).as("risk_share"))
+      .orderBy("event_type")
+  }
+
+  val q153Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""WITH q AS (
+       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_bucket,
+       |    CAST(floor(value) AS BIGINT) // $ValueBandWidth AS value_band
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, day_bucket, value_band, count(*) AS gs
+       |  FROM q GROUP BY 1, 2, 3)
+       |SELECT event_type, count(*) AS n_groups,
+       |  CAST(sum(gs) AS BIGINT) AS n_rows,
+       |  CAST(min(gs) AS BIGINT) AS min_group,
+       |  CAST(count(CASE WHEN gs < $AnonK THEN 1 END) AS BIGINT)
+       |    AS n_small_groups,
+       |  CAST(sum(CASE WHEN gs < $AnonK THEN gs ELSE 0 END) AS BIGINT)
+       |    AS n_rows_at_risk,
+       |  ${floorRoundSql(
+            s"CAST(sum(CASE WHEN gs < $AnonK THEN gs ELSE 0 END) AS DOUBLE) " +
+              "/ CAST(sum(gs) AS DOUBLE)", 6)} AS risk_share
+       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_kanonymity_audit" -> q153 _,
     "q119_ewma_telemetry" -> q119 _,
     "q120_attribution" -> q120 _,
     "q55_range_join" -> q55 _,
@@ -398,5 +470,6 @@ object Events {
     "q18_sessionization" -> q18Sql,
     "q19_json_extract" -> q19Sql,
     "q20_asof_join" -> q20Sql,
-    "q60_session_window" -> q60Sql)
+    "q60_session_window" -> q60Sql,
+    "q153_kanonymity_audit" -> q153Sql)
 }

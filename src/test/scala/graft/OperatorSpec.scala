@@ -1511,6 +1511,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q153 k-anonymity audit matches an exact local QID replay and partitions all rows") {
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val groups = evs.groupBy { case (t, ts, v) =>
+      (t, ts / dayNs, math.floor(v).toLong / 50L)
+    }.map { case (k, rs) => k -> rs.length.toLong }
+    val exp = groups.groupBy(_._1._1).map { case (t, gs) =>
+      val sizes = gs.values.toSeq
+      val atRisk = sizes.filter(_ < 5L)
+      t -> (sizes.length.toLong, sizes.sum, sizes.min,
+        atRisk.length.toLong, atRisk.sum)
+    }
+    val rows = SparkEntry.queries("q153_kanonymity_audit")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(rows.keySet === exp.keySet, "event_type sets diverge")
+    exp.foreach { case (t, (nG, nR, minG, nSmall, atRisk)) =>
+      val (gotG, gotR, gotMin, gotSmall, gotRisk, share) = rows(t)
+      assert((gotG, gotR, gotMin, gotSmall, gotRisk) === ((nG, nR, minG, nSmall, atRisk)),
+        s"$t integer stats")
+      assert(math.abs(share - atRisk.toDouble / nR) < 2e-6, s"$t risk_share")
+    }
+    // The audit accounts for every event exactly once.
+    assert(rows.values.map(_._2).sum === evs.length.toLong, "rows don't partition the table")
+  }
+
   test("q150 sum-vector identity equals the O(n²) pairwise mean (brute-force replay)") {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as v")

@@ -445,6 +445,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"no map-side partials:\n$p")
   }
 
+  test("q153: the k-anonymity audit is one scan into a map-combined QID aggregate, join-free") {
+    val p = plan("q153_kanonymity_audit")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"more than one scan:\n$p")
+    assert(p.contains("partial_count"), s"QID aggregate not map-side combined:\n$p")
+    assert(!p.contains("Join"), s"q153 should be join-free:\n$p")
+  }
+
   test("q150: diversity is one corpus pass of map-combined moments, no pairwise join") {
     val p = plan("q150_embed_diversity")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
