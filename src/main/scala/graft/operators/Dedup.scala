@@ -1480,6 +1480,110 @@ object Dedup {
        |    AS posting_share
        |FROM g ORDER BY df_band""".stripMargin
 
+  /** q154 — prefix-filtered exact set-similarity join (the
+    * AllPairs/PPJoin scheme) at the near-duplicate threshold
+    * t = 0.8: the SECOND exact Jaccard algorithm in the suite, with
+    * a fundamentally different pruning argument from q23's. Tokens
+    * get a global rarity order (df ASC, sig ASC); for Jaccard ≥ t a
+    * document only needs its first n − ⌈t·n⌉ + 1 tokens INDEXED
+    * (the prefix-filtering principle: two sets with J ≥ t must
+    * share a token within both prefixes under any consistent global
+    * order), so candidate generation joins prefix-vs-prefix — at
+    * t = 0.8 each doc indexes only ~20% of its tokens, a ~25×
+    * smaller pair space than the full inverted expansion; the
+    * length filter 4·max(n_a,n_b) ≤ 5·min(n_a,n_b) (J ≥ t forces
+    * size ratio ≥ t) prunes candidates BEFORE the distinct. The
+    * pruning is threshold-AWARE — tighter as t rises — where q23's
+    * df cap is threshold-blind; this is why t = 0.8 is the regime
+    * the scheme is built for (a t = 0.5 variant was measured at ~9×
+    * the ×10 ratio: half of every doc indexed prunes nothing).
+    * Candidates are verified exactly over the same df-capped
+    * universe as q23, so q154's rows must equal q23's restricted to
+    * jaccard ≥ 0.8 — two independent prunings, one answer, pinned
+    * by the cross-algorithm spec.
+    *
+    * Scale shape: df + prefix rank are one aggregate and one
+    * doc-partitioned window over the 16-hex sig relation
+    * (fingerprints, never bodies); verification work is
+    * Σ_candidates |A| — candidate-bounded, not corpus². The
+    * candidate pair set broadcasts into both verification joins.
+    * All thresholds are exact integer arithmetic (⌈0.8n⌉ =
+    * (4n+4) div 5) — no double compare decides membership. */
+  def q154(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound
+    val sig = shingles(spark, sfDir, distinct = true)
+      .select(col("doc_id"), expr("substring(md5(sh), 1, 16)").as("sig"))
+    val dfc = sig.groupBy("sig").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+    // (doc_id, sig, df) over the informative universe — both the
+    // prefix index and the verification leg read it, so persist once.
+    val full = sig.join(dfc, "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    full.count()
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "sig")
+    // r ≤ n − ⌈0.8·n⌉ + 1, carrying n for the candidate length filter.
+    val prefix = full
+      .withColumn("r", row_number().over(wDoc).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))
+        .cast("long"))
+      .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("sig"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("sig"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        lit(4) * greatest(col("a.n"), col("b.n")) <=
+          lit(5) * least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = full.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = broadcast(cand)
+      .join(full.select(col("doc_id").as("doc_a"), col("sig")), Seq("doc_a"))
+      .join(full.select(col("doc_id").as("doc_b"), col("sig")), Seq("doc_b", "sig"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sh_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sh_b"))), "doc_b")
+      .withColumn("jaccard", OracleRound.floorRound(
+        col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q154Sql: String =
+    s"""WITH $shinglesSql,
+       |sg AS (SELECT doc_id, substring(md5(sh), 1, 16) AS sig FROM sh),
+       |dfc AS (
+       |  SELECT sig, count(*) AS df FROM sg GROUP BY sig
+       |  HAVING count(*) <= $MaxShingleDf),
+       |f AS (SELECT s.doc_id, s.sig, d.df FROM sg s JOIN dfc d ON s.sig = d.sig),
+       |pfx AS (
+       |  SELECT doc_id, sig, n FROM (
+       |    SELECT doc_id, sig,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY df, sig) AS r,
+       |      count(*) OVER (PARTITION BY doc_id) AS n
+       |    FROM f) t
+       |  WHERE r <= n - (4 * n + 4) // 5 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pfx a JOIN pfx b ON a.sig = b.sig AND a.doc_id < b.doc_id
+       |  WHERE 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN f fa ON fa.doc_id = c.doc_a
+       |  JOIN f fb ON fb.doc_id = c.doc_b AND fb.sig = fa.sig
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, n_inter,
+       |  floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q152 — incremental (delta-vs-base) exact dedup: the production
     * ingest shape. The corpus is split deterministically into an
     * 80% "base" (the already-ingested corpus) and a 20% "delta" (the
@@ -1573,6 +1677,7 @@ object Dedup {
     "q131_crossdoc_ngram_dup" -> q131 _,
     "q147_df_spectrum" -> q147 _,
     "q152_delta_dedup" -> q152 _,
+    "q154_prefix_ssjoin" -> q154 _,
     "q134_shingle_containment" -> q134 _,
     "q136_neardup_split_leakage" -> q136 _,
     "q139_normalized_dedup" -> q139 _,
@@ -1593,6 +1698,7 @@ object Dedup {
     "q131_crossdoc_ngram_dup" -> q131Sql,
     "q147_df_spectrum" -> q147Sql,
     "q152_delta_dedup" -> q152Sql,
+    "q154_prefix_ssjoin" -> q154Sql,
     "q134_shingle_containment" -> q134Sql,
     "q136_neardup_split_leakage" -> q136Sql,
     "q139_normalized_dedup" -> q139Sql,

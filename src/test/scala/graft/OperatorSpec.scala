@@ -1540,6 +1540,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.values.map(_._2).sum === evs.length.toLong, "rows don't partition the table")
   }
 
+  test("q154 prefix-filtered SSJoin returns exactly q23's pairs above its threshold (two prunings, one answer)") {
+    // The cross-algorithm equivalence: q23 prunes by shingle df and
+    // expands informative buckets; q154 prunes by the threshold-aware
+    // prefix-filtering principle (+ length filter) and verifies
+    // candidates. Both are EXACT over the same df-capped universe, so
+    // q154's rows must equal q23's restricted to jaccard ≥ 0.8 —
+    // any divergence means one pruning silently dropped a true pair.
+    val a = SparkEntry.queries("q154_prefix_ssjoin")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = SparkEntry.queries("q23_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._4 >= 0.8).toSeq
+    assert(a.nonEmpty, "degenerate: no near-dup pairs at sf0.001")
+    assert(a === b, "prefix-filtered SSJoin diverged from the bucket-expansion algorithm")
+  }
+
   test("q150 sum-vector identity equals the O(n²) pairwise mean (brute-force replay)") {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as v")

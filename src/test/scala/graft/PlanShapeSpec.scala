@@ -453,6 +453,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q153 should be join-free:\n$p")
   }
 
+  test("q154: candidate generation joins prefixes on sig; verification joins broadcast the candidate pairs") {
+    val p = plan("q154_prefix_ssjoin")
+    assert("hashpartitioning\\(sig#\\d+".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\(doc_b#\\d+L, sig#\\d+".r.findFirstIn(p).isDefined,
+      s"no sig-keyed exchange for the prefix join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate pairs / sizes not broadcast into verification:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"an all-pairs product crept in:\n$p")
+  }
+
   test("q150: diversity is one corpus pass of map-combined moments, no pairwise join") {
     val p = plan("q150_embed_diversity")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
