@@ -1503,16 +1503,23 @@ object Dedup {
     * by the cross-algorithm spec.
     *
     * Scale shape: df + prefix rank are one aggregate and one
-    * doc-partitioned window over the 16-hex sig relation
+    * doc-partitioned window over the 24-hex sig relation
     * (fingerprints, never bodies); verification work is
     * Σ_candidates |A| — candidate-bounded, not corpus². The
-    * candidate pair set broadcasts into both verification joins.
-    * All thresholds are exact integer arithmetic (⌈0.8n⌉ =
-    * (4n+4) div 5) — no double compare decides membership. */
+    * candidate pair set (carrying both doc sizes) broadcasts into
+    * the verification joins. All thresholds are exact integer
+    * arithmetic (⌈0.8n⌉ = (4n+4) div 5; membership 9·I ≥ 4·(A+B))
+    * — no double compare decides membership, so the pruning
+    * guarantee and the emitted set use the SAME true-J condition. */
   def q154(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound
+    // 24-hex (96-bit) sigs — q23's collision posture, not q131's
+    // 64-bit counting sigs: this operator's spec pins row-for-row
+    // equality with q23, and at a web-corpus 10¹² distinct shingles
+    // 64-bit sigs WOULD collide (birthday ~5·10⁹) and perturb
+    // jaccard values; 96 bits keep the collision argument intact.
     val sig = shingles(spark, sfDir, distinct = true)
-      .select(col("doc_id"), expr("substring(md5(sh), 1, 16)").as("sig"))
+      .select(col("doc_id"), expr("substring(md5(sh), 1, 24)").as("sig"))
     val dfc = sig.groupBy("sig").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
     // (doc_id, sig, df) over the informative universe — both the
@@ -1530,30 +1537,38 @@ object Dedup {
         .cast("long"))
       .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
       .select(col("doc_id"), col("sig"), col("n"))
+    // Candidates carry both doc sizes (functionally dependent on the
+    // ids, so the distinct is unaffected) — the verification leg
+    // needs them and re-deriving via a sizes aggregate + two joins
+    // would recompute numbers every candidate row already has.
     val cand = prefix.as("a").join(prefix.as("b"), Seq("sig"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         lit(4) * greatest(col("a.n"), col("b.n")) <=
           lit(5) * least(col("a.n"), col("b.n")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("sh_a"), col("b.n").as("sh_b"))
       .distinct()
-    val sizes = full.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = broadcast(cand)
       .join(full.select(col("doc_id").as("doc_a"), col("sig")), Seq("doc_a"))
       .join(full.select(col("doc_id").as("doc_b"), col("sig")), Seq("doc_b", "sig"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .groupBy("doc_a", "doc_b", "sh_a", "sh_b")
+      .agg(count(lit(1)).as("n_inter"))
+    // Membership by the EXACT integer rule (J ≥ 4/5 ⟺ 9·I ≥ 4·(A+B))
+    // — the same true-J condition the prefix and length prunes
+    // guarantee recall for, so no rounded-boundary pair can be
+    // pruned-but-reported or reported-but-pruned; the rounded
+    // jaccard is an output column only.
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sh_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sh_b"))), "doc_b")
+      .filter(lit(9) * col("n_inter") >= lit(4) * (col("sh_a") + col("sh_b")))
       .withColumn("jaccard", OracleRound.floorRound(
         col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
   val q154Sql: String =
     s"""WITH $shinglesSql,
-       |sg AS (SELECT doc_id, substring(md5(sh), 1, 16) AS sig FROM sh),
+       |sg AS (SELECT doc_id, substring(md5(sh), 1, 24) AS sig FROM sh),
        |dfc AS (
        |  SELECT sig, count(*) AS df FROM sg GROUP BY sig
        |  HAVING count(*) <= $MaxShingleDf),
@@ -1566,22 +1581,20 @@ object Dedup {
        |    FROM f) t
        |  WHERE r <= n - (4 * n + 4) // 5 + 1),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.n AS sh_a, b.n AS sh_b
        |  FROM pfx a JOIN pfx b ON a.sig = b.sig AND a.doc_id < b.doc_id
        |  WHERE 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id),
        |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  SELECT c.doc_a, c.doc_b, c.sh_a, c.sh_b, count(*) AS n_inter
        |  FROM cand c
        |  JOIN f fa ON fa.doc_id = c.doc_a
        |  JOIN f fb ON fb.doc_id = c.doc_b AND fb.sig = fa.sig
-       |  GROUP BY c.doc_a, c.doc_b)
-       |SELECT doc_a, doc_b, n_inter,
-       |  floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
+       |  GROUP BY c.doc_a, c.doc_b, c.sh_a, c.sh_b)
+       |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       |  floor(CAST(n_inter AS DOUBLE) / (sh_a + sh_b - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard
        |FROM inter
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 >= 0.8
+       |WHERE 9 * n_inter >= 4 * (sh_a + sh_b)
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q152 — incremental (delta-vs-base) exact dedup: the production

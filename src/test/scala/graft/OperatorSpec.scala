@@ -1547,6 +1547,10 @@ class OperatorSpec extends AnyFunSuite {
     // candidates. Both are EXACT over the same df-capped universe, so
     // q154's rows must equal q23's restricted to jaccard ≥ 0.8 —
     // any divergence means one pruning silently dropped a true pair.
+    // (q154 decides membership by the exact integer rule 9I ≥ 4(A+B);
+    // q23's subset here uses the rounded jaccard — the two can only
+    // disagree within 5e-7 of the threshold, which needs ~10⁶-shingle
+    // docs, unreachable at any fixture scale.)
     val a = SparkEntry.queries("q154_prefix_ssjoin")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     val b = SparkEntry.queries("q23_ngram_jaccard")(spark, sf).collect()
