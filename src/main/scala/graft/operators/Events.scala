@@ -451,8 +451,77 @@ object Events {
        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** q155 diversity threshold: a QID group whose rows belong to
+    * fewer than 3 distinct users is homogeneity-attackable. */
+  private val DiversityL = 3L
+
+  /** q155 — l-diversity audit, the homogeneity-attack companion to
+    * q153: a QID group can be large (k-anonymous) yet still leak if
+    * all its rows belong to one or two USERS — the sensitive
+    * attribute is homogeneous, so matching the group IS the
+    * disclosure. Same QID tuple as q153 (one definition of the
+    * grouping on both engines); per event type: groups whose rows
+    * span fewer than l=3 distinct users, the rows inside them, and
+    * the worst group's distinct-user count. Together q153/q155 are
+    * the size and diversity halves of the release gate.
+    *
+    * Scale shape: the only change vs q153 is the inner aggregate
+    * carrying count(DISTINCT user_id) — Spark expands it to a
+    * two-phase (QID, user) pre-aggregate, still map-side combined
+    * and domain-bounded (QIDs × users-per-QID ≤ rows); everything
+    * downstream is the same O(QID-groups) → O(types) rollup. */
+  def q155(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"ts DIV $DayNs").as("day_bucket"),
+        expr(s"CAST(floor(value) AS BIGINT) DIV $ValueBandWidth")
+          .as("value_band"),
+        col("user_id"))
+      .groupBy("event_type", "day_bucket", "value_band")
+      .agg(count(lit(1)).as("gs"),
+        countDistinct(col("user_id")).as("du"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("gs").as("n_rows"),
+        min("du").as("min_distinct_users"),
+        count(when(col("du") < DiversityL, 1)).as("n_homog_groups"),
+        sum(when(col("du") < DiversityL, col("gs")).otherwise(lit(0L)))
+          .as("n_rows_homog"),
+        floorRound(
+          sum(when(col("du") < DiversityL, col("gs")).otherwise(lit(0L)))
+            .cast("double") / sum("gs").cast("double"), 6)
+          .as("homog_share"))
+      .orderBy("event_type")
+  }
+
+  val q155Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""WITH q AS (
+       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_bucket,
+       |    CAST(floor(value) AS BIGINT) // $ValueBandWidth AS value_band,
+       |    user_id
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, day_bucket, value_band, count(*) AS gs,
+       |    count(DISTINCT user_id) AS du
+       |  FROM q GROUP BY 1, 2, 3)
+       |SELECT event_type, count(*) AS n_groups,
+       |  CAST(sum(gs) AS BIGINT) AS n_rows,
+       |  CAST(min(du) AS BIGINT) AS min_distinct_users,
+       |  CAST(count(CASE WHEN du < $DiversityL THEN 1 END) AS BIGINT)
+       |    AS n_homog_groups,
+       |  CAST(sum(CASE WHEN du < $DiversityL THEN gs ELSE 0 END) AS BIGINT)
+       |    AS n_rows_homog,
+       |  ${floorRoundSql(
+            s"CAST(sum(CASE WHEN du < $DiversityL THEN gs ELSE 0 END) AS DOUBLE) " +
+              "/ CAST(sum(gs) AS DOUBLE)", 6)} AS homog_share
+       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_kanonymity_audit" -> q153 _,
+    "q155_ldiversity_audit" -> q155 _,
     "q119_ewma_telemetry" -> q119 _,
     "q120_attribution" -> q120 _,
     "q55_range_join" -> q55 _,
@@ -471,5 +540,6 @@ object Events {
     "q19_json_extract" -> q19Sql,
     "q20_asof_join" -> q20Sql,
     "q60_session_window" -> q60Sql,
-    "q153_kanonymity_audit" -> q153Sql)
+    "q153_kanonymity_audit" -> q153Sql,
+    "q155_ldiversity_audit" -> q155Sql)
 }

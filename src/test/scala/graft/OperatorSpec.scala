@@ -1560,6 +1560,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(a === b, "prefix-filtered SSJoin diverged from the bucket-expansion algorithm")
   }
 
+  test("q155 l-diversity audit matches a local replay and reconciles with q153's grouping") {
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts", "value", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val groups = evs.groupBy { case (t, ts, v, _) =>
+      (t, ts / dayNs, math.floor(v).toLong / 50L)
+    }.map { case (k, rs) => k -> (rs.length.toLong, rs.map(_._4).distinct.length.toLong) }
+    val exp = groups.groupBy(_._1._1).map { case (t, gs) =>
+      val vals = gs.values.toSeq
+      val homog = vals.filter(_._2 < 3L)
+      t -> (vals.length.toLong, vals.map(_._1).sum, vals.map(_._2).min,
+        homog.length.toLong, homog.map(_._1).sum)
+    }
+    val rows = SparkEntry.queries("q155_ldiversity_audit")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(rows.keySet === exp.keySet, "event_type sets diverge")
+    exp.foreach { case (t, (nG, nR, minDu, nHomog, rowsHomog)) =>
+      val (gotG, gotR, gotMin, gotHomog, gotRows, share) = rows(t)
+      assert((gotG, gotR, gotMin, gotHomog, gotRows) === ((nG, nR, minDu, nHomog, rowsHomog)),
+        s"$t integer stats")
+      assert(math.abs(share - rowsHomog.toDouble / nR) < 2e-6, s"$t homog_share")
+    }
+    // Same QID definition as q153: group and row counts must agree.
+    val k = SparkEntry.queries("q153_kanonymity_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.map { case (t, v) => t -> (v._1, v._2) } === k,
+      "q155 grouped a different QID universe than q153")
+  }
+
   test("q150 sum-vector identity equals the O(n²) pairwise mean (brute-force replay)") {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as v")

@@ -464,6 +464,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"an all-pairs product crept in:\n$p")
   }
 
+  test("q155: the l-diversity audit stays one scan with map-side partials, join-free") {
+    val p = plan("q155_ldiversity_audit")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"more than one scan:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+    assert(!p.contains("Join"), s"q155 should be join-free:\n$p")
+  }
+
   test("q150: diversity is one corpus pass of map-combined moments, no pairwise join") {
     val p = plan("q150_embed_diversity")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
