@@ -1309,7 +1309,63 @@ object Analytics {
        |FROM ga JOIN gb ON ga.tok = gb.tok AND ga.src_a <> gb.src_b
        |GROUP BY ga.src_a, gb.src_b ORDER BY src_a, src_b""".stripMargin
 
+  /** q156 — exact 2-D Pareto skyline (dominance query): the
+    * documents no other document beats on BOTH axes — length
+    * (n_tokens) and lexical richness (distinct tokens) — the
+    * exemplar-picking operator a curation pipeline uses to find
+    * frontier documents ("as long AND as lexically rich as anything
+    * we have"). A point is dominated if another is ≥ on both axes
+    * and > on at least one; both axes are INTEGERS so every
+    * dominance decision is engine-exact.
+    *
+    * Scale shape — the sort-free grid formulation: the corpus
+    * collapses in ONE map-combined pass to the (x, max_y, count,
+    * min_doc) grid over distinct x values — domain-bounded by the
+    * token-length domain (the q142 argument), never corpus-sized.
+    * Skyline membership is decided entirely ON THE GRID: a point
+    * (x, y) is on the frontier iff y = max_y(x) and
+    * y > max over all x' > x of max_y(x') (a running max over the
+    * descending grid — the single-partition window touches only the
+    * domain-bounded grid). The naive oracle is the quadratic
+    * NOT EXISTS anti-join, so the hash-match PROVES the grid
+    * formulation ≡ the textbook dominance definition. Output is one
+    * row per frontier point with its doc multiplicity and keeper id. */
+  def q156(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
+    val grid = pts.groupBy("x")
+      .agg(max("y").as("max_y"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc).rowsBetween(Long.MinValue, -1)
+    val frontier = grid
+      .withColumn("run", max("max_y").over(wDesc))
+      .filter(col("run").isNull || col("max_y") > col("run"))
+      .select(col("x"), col("max_y").as("fy"))
+    pts.join(broadcast(frontier), Seq("x"))
+      .filter(col("y") === col("fy"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc"))
+      .orderBy("x")
+  }
+
+  val q156Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+      |  FROM documents),
+      |sky AS (
+      |  SELECT a.doc_id, a.x, a.y FROM p a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM p b
+      |    WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y)))
+      |SELECT x, y, count(*) AS n_docs,
+      |  CAST(min(doc_id) AS BIGINT) AS keeper_doc
+      |FROM sky GROUP BY x, y ORDER BY x""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_pareto_skyline" -> q156 _,
     "q88_moment_stats" -> q88 _,
     "q89_ols_regression" -> q89 _,
     "q90_histogram" -> q90 _,
@@ -1338,6 +1394,7 @@ object Analytics {
     "q146_source_lang_chi2" -> q146 _)
 
   val oracles: Map[String, String] = Map(
+    "q156_pareto_skyline" -> q156Sql,
     "q88_moment_stats" -> q88Sql,
     "q89_ols_regression" -> q89Sql,
     "q90_histogram" -> q90Sql,

@@ -1592,6 +1592,33 @@ class OperatorSpec extends AnyFunSuite {
       "q155 grouped a different QID universe than q153")
   }
 
+  test("q156 grid skyline equals the naive quadratic dominance scan (local replay)") {
+    val pts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).split(" ", -1)
+        (r.getLong(0), t.length.toLong, t.distinct.length.toLong)
+      }
+    // Naive O(n²) dominance: keep a point iff no other point is >=
+    // on both axes and > on at least one.
+    val sky = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y)
+      }
+    }
+    val exp = sky.groupBy(p => (p._2, p._3)).map { case ((x, y), ds) =>
+      (x, y) -> (ds.length.toLong, ds.map(_._1).min)
+    }
+    val rows = SparkEntry.queries("q156_pareto_skyline")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows === exp, "grid skyline diverged from the naive dominance scan")
+    assert(rows.nonEmpty, "degenerate: empty frontier")
+    // Frontier points are strictly decreasing in y as x increases.
+    val ordered = rows.keys.toSeq.sortBy(_._1)
+    assert(ordered.map(_._2) === ordered.map(_._2).sortBy(-_),
+      "frontier is not monotone — dominance filter broken")
+  }
+
   test("q150 sum-vector identity equals the O(n²) pairwise mean (brute-force replay)") {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as v")

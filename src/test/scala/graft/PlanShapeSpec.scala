@@ -472,6 +472,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q155 should be join-free:\n$p")
   }
 
+  test("q156: skyline is decided on the domain-bounded grid; frontier broadcasts back, no pairwise product") {
+    val p = plan("q156_pareto_skyline")
+    assert(p.contains("partial_max"), s"grid max not map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"frontier not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the naive dominance product crept in:\n$p")
+  }
+
   test("q150: diversity is one corpus pass of map-combined moments, no pairwise join") {
     val p = plan("q150_embed_diversity")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
