@@ -1319,34 +1319,41 @@ object Analytics {
     * dominance decision is engine-exact.
     *
     * Scale shape — the sort-free grid formulation: the corpus
-    * collapses in ONE map-combined pass to the (x, max_y, count,
-    * min_doc) grid over distinct x values — domain-bounded by the
-    * token-length domain (the q142 argument), never corpus-sized.
-    * Skyline membership is decided entirely ON THE GRID: a point
-    * (x, y) is on the frontier iff y = max_y(x) and
-    * y > max over all x' > x of max_y(x') (a running max over the
-    * descending grid — the single-partition window touches only the
-    * domain-bounded grid). The naive oracle is the quadratic
-    * NOT EXISTS anti-join, so the hash-match PROVES the grid
-    * formulation ≡ the textbook dominance definition. Output is one
-    * row per frontier point with its doc multiplicity and keeper id. */
+    * collapses in ONE map-combined pass to (x, y, count, min_doc)
+    * cells over the distinct observed points — domain-bounded by
+    * the token-length domain (the q142 argument: y ≤ x ≤ context
+    * length), never corpus-sized. Everything after runs ON the
+    * grid: per-x max, a running max over the descending x order
+    * (the single-partition window touches only the grid), and the
+    * frontier filter y = max_y(x) ∧ y > max_{x' > x} max_y(x') —
+    * no second corpus scan, no corpus-sized sort, no quadratic
+    * product. The naive oracle is the quadratic NOT EXISTS
+    * anti-join, so the hash-match PROVES the grid formulation ≡ the
+    * textbook dominance definition. Output is one row per frontier
+    * point with its doc multiplicity and keeper id. */
   def q156(spark: SparkSession, sfDir: String): DataFrame = {
-    val pts = Tables.documents(spark, sfDir)
+    val cells = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("x"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
-    val grid = pts.groupBy("x")
-      .agg(max("y").as("max_y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc"))
+      // Two grid-sized consumers (per-x max and the frontier join
+      // back) — eager persist so the corpus tokenizes ONCE (the
+      // q131 lesson); the cached relation is the domain-bounded cell
+      // grid, a vanishing fraction of corpus bytes.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count()
+    val grid = cells.groupBy("x").agg(max("y").as("max_y"))
     val wDesc = org.apache.spark.sql.expressions.Window
       .orderBy(col("x").desc).rowsBetween(Long.MinValue, -1)
     val frontier = grid
       .withColumn("run", max("max_y").over(wDesc))
       .filter(col("run").isNull || col("max_y") > col("run"))
       .select(col("x"), col("max_y").as("fy"))
-    pts.join(broadcast(frontier), Seq("x"))
+    cells.join(broadcast(frontier), Seq("x"))
       .filter(col("y") === col("fy"))
-      .groupBy("x", "y")
-      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc"))
+      .select("x", "y", "n_docs", "keeper_doc")
       .orderBy("x")
   }
 

@@ -390,6 +390,25 @@ object Events {
   private val ValueBandWidth = 50L
   private val DayNs = 24L * 3600 * 1000 * 1000 * 1000
 
+  /** THE quasi-identifier tuple — one definition consumed by both
+    * q153 (k-anonymity) and q155 (l-diversity) on both engines, so
+    * the two audits can never group different universes. Day bucket
+    * is integer `DIV` on epoch-nanos (always non-negative). The
+    * value band is floor(value / width) — FLOOR division, not
+    * truncation: Spark's `DIV` truncates toward zero while DuckDB's
+    * `//` floors, so a negative value (a refund, a failed-parse
+    * sentinel) would land in different bands per engine under
+    * integer division; floor on the same IEEE double agrees
+    * everywhere including negatives. */
+  private val qidSparkExprs: Seq[String] = Seq(
+    "event_type",
+    s"ts DIV $DayNs AS day_bucket",
+    s"CAST(floor(value / $ValueBandWidth) AS BIGINT) AS value_band")
+
+  private val qidSqlExprs: String =
+    s"""event_type, epoch_ns(ts) // $DayNs AS day_bucket,
+       |    CAST(floor(value / $ValueBandWidth) AS BIGINT) AS value_band""".stripMargin
+
   /** q153 — k-anonymity audit over quasi-identifiers: before
     * event-derived features join a training corpus, group the table
     * by its quasi-identifier tuple (event_type, day bucket,
@@ -410,10 +429,7 @@ object Events {
   def q153(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.floorRound
     Tables.events(spark, sfDir)
-      .select(col("event_type"),
-        expr(s"ts DIV $DayNs").as("day_bucket"),
-        expr(s"CAST(floor(value) AS BIGINT) DIV $ValueBandWidth")
-          .as("value_band"))
+      .selectExpr(qidSparkExprs: _*)
       .groupBy("event_type", "day_bucket", "value_band")
       .agg(count(lit(1)).as("gs"))
       .groupBy("event_type")
@@ -432,8 +448,7 @@ object Events {
   val q153Sql: String = {
     import graft.functions.OracleRound.floorRoundSql
     s"""WITH q AS (
-       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_bucket,
-       |    CAST(floor(value) AS BIGINT) // $ValueBandWidth AS value_band
+       |  SELECT $qidSqlExprs
        |  FROM events),
        |g AS (
        |  SELECT event_type, day_bucket, value_band, count(*) AS gs
@@ -473,11 +488,7 @@ object Events {
   def q155(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.floorRound
     Tables.events(spark, sfDir)
-      .select(col("event_type"),
-        expr(s"ts DIV $DayNs").as("day_bucket"),
-        expr(s"CAST(floor(value) AS BIGINT) DIV $ValueBandWidth")
-          .as("value_band"),
-        col("user_id"))
+      .selectExpr(qidSparkExprs :+ "user_id": _*)
       .groupBy("event_type", "day_bucket", "value_band")
       .agg(count(lit(1)).as("gs"),
         countDistinct(col("user_id")).as("du"))
@@ -498,8 +509,7 @@ object Events {
   val q155Sql: String = {
     import graft.functions.OracleRound.floorRoundSql
     s"""WITH q AS (
-       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_bucket,
-       |    CAST(floor(value) AS BIGINT) // $ValueBandWidth AS value_band,
+       |  SELECT $qidSqlExprs,
        |    user_id
        |  FROM events),
        |g AS (

@@ -1517,7 +1517,7 @@ class OperatorSpec extends AnyFunSuite {
       .select("event_type", "ts", "value").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val groups = evs.groupBy { case (t, ts, v) =>
-      (t, ts / dayNs, math.floor(v).toLong / 50L)
+      (t, ts / dayNs, math.floor(v / 50.0).toLong)
     }.map { case (k, rs) => k -> rs.length.toLong }
     val exp = groups.groupBy(_._1._1).map { case (t, gs) =>
       val sizes = gs.values.toSeq
@@ -1566,7 +1566,7 @@ class OperatorSpec extends AnyFunSuite {
       .select("event_type", "ts", "value", "user_id").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     val groups = evs.groupBy { case (t, ts, v, _) =>
-      (t, ts / dayNs, math.floor(v).toLong / 50L)
+      (t, ts / dayNs, math.floor(v / 50.0).toLong)
     }.map { case (k, rs) => k -> (rs.length.toLong, rs.map(_._4).distinct.length.toLong) }
     val exp = groups.groupBy(_._1._1).map { case (t, gs) =>
       val vals = gs.values.toSeq
@@ -1613,10 +1613,12 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(rows === exp, "grid skyline diverged from the naive dominance scan")
     assert(rows.nonEmpty, "degenerate: empty frontier")
-    // Frontier points are strictly decreasing in y as x increases.
+    // Frontier points are STRICTLY decreasing in y as x increases —
+    // equal y at two frontier x's would mean the smaller-x point is
+    // dominated (strict in x), i.e. the run-max '>' regressed.
     val ordered = rows.keys.toSeq.sortBy(_._1)
-    assert(ordered.map(_._2) === ordered.map(_._2).sortBy(-_),
-      "frontier is not monotone — dominance filter broken")
+    assert(ordered.map(_._2).zip(ordered.map(_._2).drop(1)).forall { case (a, b) => b < a },
+      "frontier is not strictly monotone — dominance filter broken")
   }
 
   test("q150 sum-vector identity equals the O(n²) pairwise mean (brute-force replay)") {

@@ -474,6 +474,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q156: skyline is decided on the domain-bounded grid; frontier broadcasts back, no pairwise product") {
     val p = plan("q156_pareto_skyline")
+    // The cell grid is persisted, so the corpus parquet appears at
+    // most once (inside the cached lineage) — a second scan means
+    // the one-pass claim regressed.
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 1,
+      s"corpus scanned more than once:\n$p")
     assert(p.contains("partial_max"), s"grid max not map-side combined:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"frontier not broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
