@@ -386,9 +386,12 @@ object Events {
     * genuine MIX of safe and at-risk groups — the regime it exists
     * to measure — instead of a degenerate all-safe or all-risk
     * answer. */
-  private val AnonK = 5L
-  private val ValueBandWidth = 50L
-  private val DayNs = 24L * 3600 * 1000 * 1000 * 1000
+  // private[graft]: the streaming release-gate monitor
+  // (streaming/StatefulOps.anonymityMonitor) must share the SAME
+  // threshold and QID granularity as the batch audits.
+  private[graft] val AnonK = 5L
+  private[graft] val ValueBandWidth = 50L
+  private[graft] val DayNs = 24L * 3600 * 1000 * 1000 * 1000
 
   /** THE quasi-identifier tuple — one definition consumed by both
     * q153 (k-anonymity) and q155 (l-diversity) on both engines, so

@@ -23,6 +23,17 @@ case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
 case class TypeMoments(event_type: String, n: Long,
     s1: java.math.BigDecimal, s2: java.math.BigDecimal)
 
+/** Per-event-type QID histogram — the anonymity monitor's state.
+  * Keyed by "day:band" strings; bounded by the QID DOMAIN
+  * (days × value bands), not stream volume, so no GC is needed. */
+case class QidHist(counts: Map[String, Long])
+
+/** One exposure report per event type per micro-batch — the q153
+  * k-anonymity row recomputed live. */
+case class AnonReport(event_type: String, n_groups: Long, n_rows: Long,
+    min_group: Long, n_small_groups: Long, n_rows_at_risk: Long,
+    risk_share: Double)
+
 /** Custom stateful streaming operators via KeyValueGroupedDataset
   * state APIs — the arbitrary-state tier beyond watermark + windowed
   * aggregation (EventStreams): blow's conceptually-unbounded pipelines
@@ -123,4 +134,54 @@ object StatefulOps {
           open.foreach(state.update)
           closed.iterator
       }
+
+  implicit val qidHistEnc: Encoder[QidHist] = Encoders.product[QidHist]
+  implicit val anonEnc: Encoder[AnonReport] = Encoders.product[AnonReport]
+
+  /** Streaming twin of the k-anonymity audit (Events.q153) — the
+    * release gate as a LIVE monitor: every arriving event updates
+    * its type's quasi-identifier histogram, and each micro-batch
+    * re-emits the current exposure row (group count, smallest group,
+    * rows in groups below k) so a telemetry release pipeline sees
+    * re-identification risk move within one trigger instead of at
+    * the next nightly audit.
+    *
+    * QID definition and threshold are the SHARED Events constants
+    * (DayNs / ValueBandWidth / AnonK — the batch audit's own values,
+    * so the monitor cannot gate a different universe); the band is
+    * the same floor(value / width) double — bitwise-equal on every
+    * path. A full-corpus replay's final emissions therefore
+    * reproduce q153's rows exactly (StreamingSpec pins this, plus
+    * the intermediate-emission path).
+    *
+    * State: one (day:band → count) map per event type, bounded by
+    * the QID DOMAIN (days × bands) like the batch grid — the q142
+    * monitor's no-GC argument — so NoTimeout is safe indefinitely.
+    * risk_share goes through the same floor(x·10⁶+0.5)/10⁶ recipe
+    * as every compared double. */
+  def anonymityMonitor(events: Dataset[Ev]): Dataset[AnonReport] = {
+    import graft.operators.Events.{AnonK, DayNs, ValueBandWidth}
+    val dayMs = DayNs / 1000000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[QidHist, AnonReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Ev], state: GroupState[QidHist]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          rows.foreach { e =>
+            // ts DIV DayNs on epoch-nanos ≡ millis div dayMs for the
+            // non-negative timestamps events carry (truncation below
+            // the millisecond can never cross a day boundary).
+            val key = s"${e.ts.getTime / dayMs}:${math.floor(e.value / ValueBandWidth).toLong}"
+            counts = counts.updated(key, counts.getOrElse(key, 0L) + 1L)
+          }
+          state.update(QidHist(counts))
+          val gs = counts.values
+          val nRows = gs.sum
+          val atRisk = gs.filter(_ < AnonK)
+          val riskRows = atRisk.sum
+          Iterator.single(AnonReport(etype, gs.size.toLong, nRows, gs.min,
+            atRisk.size.toLong, riskRows,
+            math.floor(riskRows.toDouble / nRows * 1e6 + 0.5) / 1e6))
+      }
+  }
 }

@@ -506,6 +506,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anonymity monitor (q153 twin): final emissions ≡ batch audit rows after a multi-batch replay") {
+    import graft.streaming.{Ev, StatefulOps}
+    import graft.streaming.StatefulOps.evEnc
+    val multiDir = writeEventsJson(4, "graft_anonstream")
+    val stream = EventStreams.readEventStream(spark, multiDir, maxFilesPerTrigger = 1).as[Ev]
+    val q = EventStreams.runToMemory(
+      StatefulOps.anonymityMonitor(stream).toDF(), "anon_out", outputMode = "update")
+    try {
+      assert(q.recentProgress.length >= 4, "cross-batch state path not exercised")
+      val rows = spark.table("anon_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6)))
+      // Final emission per type = the one with the full row count.
+      val finals = rows.groupBy(_._1).map { case (t, rs) => t -> rs.maxBy(_._3) }
+      val want = SparkEntry.queries("q153_kanonymity_audit")(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+      assert(finals.keySet === want.keySet, "event_type coverage diverges")
+      finals.foreach { case (t, got) =>
+        assert(got === want(t), s"type $t: stream $got vs batch ${want(t)}")
+      }
+      // Intermediate emissions existed — the live re-emission path is
+      // real, not a single end-of-stream flush.
+      assert(rows.length > finals.size, "no intermediate emissions seen")
+    } finally q.stop()
+  }
+
   test("custom bounded top-k aggregator accumulates across micro-batches to the batch answer") {
     // The claim: TopKPostings (the q87 skew-safe posting-list head) is
     // not just map-side mergeable — its merge() is correct across
