@@ -60,7 +60,7 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"[bench] warm-up failed for $name: $t")
       }
-      spark.catalog.clearCache()
+      graft.functions.CacheScope.drain(); spark.catalog.clearCache()
     }
     // q61 materializes per-(session, sfDir) bucketed catalog tables on
     // first call; the warm pass above only created warmDir's tag, so
@@ -70,7 +70,7 @@ object Bench {
     if (picked.exists(_._1 == "q61_bucketed_join")) {
       try SparkEntry.queries("q61_bucketed_join")(spark, sfDir).count()
       catch { case t: Throwable => System.err.println(s"[bench] q61 pre-create failed: $t") }
-      spark.catalog.clearCache()
+      graft.functions.CacheScope.drain(); spark.catalog.clearCache()
     }
     // One collection after the 100+-plan warm-up pass: it leaves the
     // heap full of dead generated classes/broadcasts, and paying the
@@ -100,6 +100,10 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries may persist() intermediates (q23/q35/q37); drop them so
         // later queries aren't measured under another query's cache.
+        // CacheScope.drain() is the per-query scope release (every
+        // operator persist registers there); clearCache is the safety
+        // net for exception-path leaks of inline-managed caches.
+        graft.functions.CacheScope.drain()
         spark.catalog.clearCache()
         if (ok) dt else -1.0
       }

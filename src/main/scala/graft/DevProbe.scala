@@ -37,10 +37,10 @@ object DevProbe {
       try fn(spark, warmDir).count() catch {
         case t: Throwable => System.err.println(s"[probe] warm-up failed for $n: $t")
       }
-      spark.catalog.clearCache()
+      graft.functions.CacheScope.drain(); spark.catalog.clearCache()
       for (round <- 1 to 2) {
         time(s"$n r$round")(fn(spark, sfDir).count())
-        spark.catalog.clearCache()
+        graft.functions.CacheScope.drain(); spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -29,7 +29,14 @@ object Verify {
           new Directory(stale).deleteRecursively()
         }
       }
-      finally spark.catalog.clearCache() // drop query-local persist()s
+      finally {
+        // Release this query's scoped caches (the operators register
+        // every query-local persist via CacheScope), then clearCache
+        // as the safety net for anything inline-managed that leaked
+        // on an exception path.
+        graft.functions.CacheScope.drain()
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

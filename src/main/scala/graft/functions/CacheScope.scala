@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Per-query cache lifecycle for the operators' query-local persists.
+  *
+  * Why this exists: an operator that feeds one intermediate relation
+  * to several consumers persists it (signature tables, token streams,
+  * candidate buckets — always fingerprint-sized, never corpus bytes)
+  * so the expensive subtree runs once. But `Dataset.persist` registers
+  * the plan in the session's CacheManager, which holds a STRONG
+  * reference — unlike `localCheckpoint`'d RDD blocks, the entry is
+  * never garbage-collected. Across a 156-query benchmark session the
+  * caches accumulate and late-roster queries pay eviction churn under
+  * storage-memory pressure; on a long-lived 100 TB cluster session the
+  * same mechanism is a slow executor-storage leak.
+  *
+  * The fix is a cache SCOPE: `scopedCache` persists exactly like the
+  * old call sites (MEMORY_AND_DISK) and additionally registers the
+  * dataset; the harness (Verify / Bench / DevProbe / specs) calls
+  * [[drain]] after fully consuming each query's result, releasing
+  * every cache that query created. Within the query's own execution
+  * the cache behaves identically — the scope only bounds its LIFETIME
+  * to the query that created it.
+  *
+  * Operators with a tighter lifecycle than "the enclosing query" keep
+  * managing it inline (`lloydTrain`'s try/finally, `ccLabels`'
+  * edges.unpersist) — draining a second time is a no-op because
+  * unpersist is idempotent and the registry clears on drain.
+  *
+  * Thread-safety: registration and drain synchronize on the registry;
+  * concurrent queries (the FAIR-scheduler capability lanes) each
+  * register safely, and the harnesses drain between queries, not
+  * concurrently with them.
+  */
+object CacheScope {
+
+  private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Persist `ds` at MEMORY_AND_DISK and register it for the next
+    * [[drain]]. Returns `ds` so call sites chain exactly like the
+    * `.persist(...)` they replace. */
+  def register[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized { live += ds }
+    ds
+  }
+
+  /** Release every cache registered since the last drain. Non-blocking
+    * unpersist: the executors free the blocks asynchronously while the
+    * driver moves to the next query. Idempotent per entry. */
+  def drain(): Unit = {
+    val toFree = synchronized {
+      val snapshot = live.toList
+      live.clear()
+      snapshot
+    }
+    toFree.foreach { ds =>
+      try ds.unpersist(blocking = false)
+      catch { case _: IllegalStateException => () /* session already stopped */ }
+    }
+  }
+
+  /** Number of registered-but-undrained caches — spec observability. */
+  def liveCount: Int = synchronized(live.size)
+
+  /** Chained form: `df.scopedCache` reads like the `.persist(...)` it
+    * replaces at the operator call sites. */
+  implicit final class Ops[T](private val ds: Dataset[T]) extends AnyVal {
+    def scopedCache: Dataset[T] = CacheScope.register(ds)
+  }
+}

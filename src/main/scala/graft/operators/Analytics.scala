@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleRound.{floorRound, floorRoundSql, exactSum, exactSumSql}
 import graft.functions.Ols
+import graft.functions.CacheScope.Ops
 import graft.sources.Tables
 
 /** Statistical / warehouse-analytics operators — the fourth wave:
@@ -1233,7 +1234,7 @@ object Analytics {
     val counts = Tables.documents(spark, sfDir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     counts.count()
     val vstat = counts.select("tok").distinct().agg(count(lit(1)).as("v"))
     val totals = counts.groupBy("source").agg(sum("c").as("ntok"))
@@ -1342,7 +1343,7 @@ object Analytics {
       // back) — eager persist so the corpus tokenizes ONCE (the
       // q131 lesson); the cached relation is the domain-bounded cell
       // grid, a vanishing fraction of corpus bytes.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     cells.count()
     val grid = cells.groupBy("x").agg(max("y").as("max_y"))
     val wDesc = org.apache.spark.sql.expressions.Window

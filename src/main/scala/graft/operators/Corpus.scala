@@ -7,6 +7,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.OracleRound.{floorRound, floorRoundSql}
+import graft.functions.CacheScope.Ops
 import graft.sources.Tables
 
 /** Corpus-preparation operators over `documents` — the second wave of
@@ -286,7 +287,7 @@ object Corpus {
     * bloom filters ship the blob to executors. */
   def q76(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Dedup.shinglesWithSource(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     sh.count() // eager: bench + train branches must not race the cache
     val bloom = sh.filter(col("source") === "src0")
       .agg(bloomAgg(xxhash64(col("sh")), BloomItems, BloomBits).as("bf"))
@@ -474,7 +475,7 @@ object Corpus {
     // the cache is small; eager count() materializes it before the
     // two consumers race.
     val ch = chunkSigs(Tables.documents(spark, sfDir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     ch.count()
     val firsts = ch.groupBy("sig")
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keeper"))

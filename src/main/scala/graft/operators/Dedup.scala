@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.CacheScope.Ops
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` (SURVEY.md §7.1 B4) —
@@ -24,9 +25,13 @@ import graft.sources.Tables
   * Cache lifetime: q22/q23/q35 persist small signature tables (eager
   * persist + count — both join sides must read the cache, lazy
   * persist races it) and leave them cached for plan reuse within the
-  * query; they live until `spark.catalog.clearCache()`. Bench/Verify
-  * clear between queries; library callers running many queries in
-  * one session should do the same.
+  * query. Every query-local persist registers with
+  * [[graft.functions.CacheScope]]; Bench/Verify/DevProbe call
+  * `CacheScope.drain()` between queries (plus `clearCache()` as the
+  * safety net), and library callers running many queries in one
+  * session should drain the same way — an undrained session
+  * accumulates cache entries (the CacheManager holds strong
+  * references) and late queries pay eviction churn.
   */
 object Dedup {
 
@@ -62,6 +67,43 @@ object Dedup {
     if (t.length < ShingleK) Iterator.empty
     else (0 to t.length - ShingleK).iterator
       .map(i => t.slice(i, i + ShingleK).mkString(" "))
+  }
+
+  /** Per-document MinHash band signatures — THE q22 recipe (the
+    * shared [[shingleSeq]] tokenizer, KM double-hash h1 + s·h2 from
+    * the two 32-bit md5 halves, 6 bands × 2 rows joined `m_m`)
+    * evaluated per row in the JVM, for the streaming near-dup twin
+    * (streaming/CorpusStreams.minhashCandidateStream) where a
+    * document is one arriving record and the batch path's
+    * explode→groupBy aggregation has no streaming analog. The batch
+    * side computes the identical values relationally
+    * ([[minhashSigFrom]]); OperatorSpec pins per-document equality of
+    * the two evaluations over the corpus, so the recipes cannot
+    * drift. A document with no shingles returns empty — it is absent
+    * from the batch signature table and can never be a candidate. */
+  private[graft] def minhashBandSeq(text: String): Seq[(Int, String)] = {
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var any = false
+    val md = java.security.MessageDigest.getInstance("MD5")
+    shingleSeq(text).foreach { sh =>
+      any = true
+      val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // First/second 4 bytes as unsigned 32-bit — exactly the batch
+      // expr's conv(substring(md5(sh), 1, 8), 16, 10) / (, 9, 8).
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var s = 0
+      while (s < NumHashes) {
+        val v = h1 + s * h2 // ≤ 36 bits — no overflow, same as batch
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+    }
+    if (!any) Seq.empty
+    else (0 until NumHashes / BandRows)
+      .map(b => (b, s"${mins(2 * b)}_${mins(2 * b + 1)}"))
   }
 
   private def shingles(spark: SparkSession, sfDir: String,
@@ -182,7 +224,7 @@ object Dedup {
   /** The persisted MinHash signature table (doc_id, m0..m11) — shared
     * by [[minhashCandidates]] (q22/q62/q140) and q144 (which needs
     * the raw component values, not just band buckets). */
-  private def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
     minhashSigFrom(shingles(spark, sfDir, distinct = false))
 
   /** Signature table from an arbitrary (doc_id, sh) relation: min()
@@ -210,7 +252,7 @@ object Dedup {
     // (CodegenFallback) and the shingle→minhash subtree runs once.
     val sig = withH.groupBy("doc_id")
       .agg(minhashes.head, minhashes.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     sig.count() // eager materialization — see q23
     sig
   }
@@ -218,11 +260,18 @@ object Dedup {
   private def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
     minhashCandidatesFrom(minhashSig(spark, sfDir))
 
-  private def minhashCandidatesFrom(sig: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_val) from a signature table — the
+    * relational half of the band recipe; [[minhashBandSeq]] is the
+    * per-row JVM half and OperatorSpec pins their equality. */
+  private[graft] def minhashBands(sig: DataFrame): DataFrame = {
     val bandPairs = (0 until NumHashes / BandRows)
       .map(b => s"$b, concat_ws('_', m${2 * b}, m${2 * b + 1})").mkString(", ")
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       expr(s"stack(${NumHashes / BandRows}, $bandPairs) AS (band_idx, band_val)"))
+  }
+
+  private def minhashCandidatesFrom(sig: DataFrame): DataFrame = {
+    val bands = minhashBands(sig)
     bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b")),
         Seq("band_idx", "band_val"))
@@ -307,7 +356,7 @@ object Dedup {
   def q144(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.floorRound
     val shd = shingles(spark, sfDir, distinct = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     shd.count() // eager: sig, sizes and both intersection legs read the cache
     val sig = minhashSigFrom(shd) // one corpus tokenize total — see minhashSigFrom
     val cand = minhashCandidatesFrom(sig)
@@ -517,7 +566,7 @@ object Dedup {
       .groupBy("h1", "h2")
       .agg(graft.functions.BoundedDocSet.bounded_doc_set(MaxShingleDf)(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= MaxShingleDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     buckets.count() // eager — sizes and pair expansion both read the cache
     val sizes = buckets.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -891,7 +940,7 @@ object Dedup {
     * self-join reads the cache. */
   def q35(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = simhashSig64(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     sig.count() // eager materialization — see q23
     val blockPairs = (0 until 4).map(b => s"$b, s$b").mkString(", ")
     val blocks = sig.selectExpr("doc_id", "s0", "s1", "s2", "s3",
@@ -1006,7 +1055,7 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(8, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     val edgeCount = edges.count()
     // Runtime-adaptive strategy, in the AQE spirit (re-plan from a
     // measured statistic — here the edge count the persist already
@@ -1371,7 +1420,7 @@ object Dedup {
     // materializes before the two consumers race.
     val sig = shingles(spark, sfDir, distinct = true)
       .select(col("doc_id"), expr("substring(md5(sh), 1, 16)").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     sig.count()
     val dfc = sig.groupBy("sig").agg(count(lit(1)).as("df"))
     val perDoc = sig.join(dfc, "sig")
@@ -1506,8 +1555,15 @@ object Dedup {
     * doc-partitioned window over the 24-hex sig relation
     * (fingerprints, never bodies); verification work is
     * Σ_candidates |A| — candidate-bounded, not corpus². The
-    * candidate pair set (carrying both doc sizes) broadcasts into
-    * the verification joins. All thresholds are exact integer
+    * candidate pair set (carrying both doc sizes) enters the
+    * verification joins UNHINTED: its size is data-dependent (it
+    * grows with the corpus near-dup rate), so the join strategy is
+    * left to Catalyst/AQE, which broadcasts only when the measured
+    * size is under the auto-broadcast threshold and falls back to a
+    * shuffle join keyed on doc_a/doc_b otherwise — on a
+    * boilerplate-heavy 100 TB corpus an unconditional broadcast of
+    * it would materialize an unbounded relation on the driver.
+    * All thresholds are exact integer
     * arithmetic (⌈0.8n⌉ = (4n+4) div 5; membership 9·I ≥ 4·(A+B))
     * — no double compare decides membership, so the pruning
     * guarantee and the emitted set use the SAME true-J condition. */
@@ -1525,7 +1581,7 @@ object Dedup {
     // (doc_id, sig, df) over the informative universe — both the
     // prefix index and the verification leg read it, so persist once.
     val full = sig.join(dfc, "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     full.count()
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "sig")
@@ -1548,7 +1604,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("sh_a"), col("b.n").as("sh_b"))
       .distinct()
-    val inter = broadcast(cand)
+    // No broadcast hint: cand's size is data-dependent (near-dup-rate
+    // proportional), so AQE must stay free to choose shuffle-join when
+    // it outgrows the auto-broadcast threshold. Pinned by PlanShapeSpec.
+    val inter = cand
       .join(full.select(col("doc_id").as("doc_a"), col("sig")), Seq("doc_a"))
       .join(full.select(col("doc_id").as("doc_b"), col("sig")), Seq("doc_b", "sig"))
       .groupBy("doc_a", "doc_b", "sh_a", "sh_b")

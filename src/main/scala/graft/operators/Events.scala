@@ -395,17 +395,21 @@ object Events {
 
   /** THE quasi-identifier tuple — one definition consumed by both
     * q153 (k-anonymity) and q155 (l-diversity) on both engines, so
-    * the two audits can never group different universes. Day bucket
-    * is integer `DIV` on epoch-nanos (always non-negative). The
-    * value band is floor(value / width) — FLOOR division, not
-    * truncation: Spark's `DIV` truncates toward zero while DuckDB's
-    * `//` floors, so a negative value (a refund, a failed-parse
-    * sentinel) would land in different bands per engine under
-    * integer division; floor on the same IEEE double agrees
-    * everywhere including negatives. */
+    * the two audits can never group different universes. BOTH
+    * buckets use FLOOR division, not truncation: Spark's `DIV`
+    * truncates toward zero while DuckDB's `//` floors, so a negative
+    * input (a refund value, a pre-epoch sentinel timestamp) would
+    * land in a different bucket per engine under plain `DIV`. The
+    * value band floors on the shared IEEE double (exact — values are
+    * small). The day bucket CANNOT go through a double (epoch-nanos
+    * ≈ 1.7·10¹⁸ exceeds the 2⁵³ exact-integer range), so it floors
+    * in exact integer arithmetic instead: pmod is non-negative, so
+    * ts − pmod(ts, d) is the largest multiple of d ≤ ts and the DIV
+    * is exact — ≡ DuckDB's integer `//` for every BIGINT including
+    * pre-epoch negatives. */
   private val qidSparkExprs: Seq[String] = Seq(
     "event_type",
-    s"ts DIV $DayNs AS day_bucket",
+    s"(ts - pmod(ts, $DayNs)) DIV $DayNs AS day_bucket",
     s"CAST(floor(value / $ValueBandWidth) AS BIGINT) AS value_band")
 
   private val qidSqlExprs: String =

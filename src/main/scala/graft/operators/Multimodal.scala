@@ -86,11 +86,22 @@ object Multimodal {
       | n_chars % 30 + 1 AS n_frames
       |FROM m ORDER BY doc_id""".stripMargin
 
-  /** q32 — the batch-decode pipeline (no SQL oracle; driver rows-only
-    * check): binary payloads flow through `mapPartitions` so a real
-    * codec would amortize per-partition setup (model load, GPU
-    * context) across the whole batch — the shape that matters for
-    * 100 TB media corpora. Returns per-doc decoded features. */
+  /** q32 — the batch-decode pipeline: binary payloads flow through
+    * `mapPartitions` so a real codec would amortize per-partition
+    * setup (model load, GPU context) across the whole batch — the
+    * shape that matters for 100 TB media corpora. Returns per-doc
+    * decoded features.
+    *
+    * Oracle-checked (r8, upgraded from the rows-only check): the
+    * stub decode is deterministic byte arithmetic, so every output
+    * column is re-derivable in DuckDB from the same payload bytes —
+    * dims from md5 nibbles, frames from the byte count, and f0 by
+    * REPLAYING THE FLOAT32 PIPELINE (CAST AS FLOAT division: bytes
+    * 80/131/182 round differently under float32 vs double, measured,
+    * so the oracle must divide in float32 exactly as the typed
+    * MediaFeatures.feat array does). A real deployment swaps
+    * StubCodec for a native decoder and this oracle for golden
+    * files; the mapPartitions plumbing is unchanged either way. */
   def q32(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val blobs: Dataset[MediaBlob] = Tables.documents(spark, sfDir)
@@ -109,9 +120,39 @@ object Multimodal {
         // ANSI element_at throws on the empty array. NULL f0 is the
         // honest output for a featureless blob; the adversarial sweep
         // (dev/nasty_fixture.py's empty document) exercises it.
-        col("n_frames"), round(expr("try_element_at(feat, 1)").cast("double"), 6).as("f0"))
+        col("n_frames"),
+        graft.functions.OracleRound.floorRound(
+          expr("try_element_at(feat, 1)").cast("double"), 6).as("f0"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB twin of the typed decode. Byte extraction goes through
+    * `substring(hex(payload), …)` (DuckDB 1.0 has no blob slicing);
+    * f0 divides in FLOAT32 (`CAST AS FLOAT`) because that is what the
+    * Array[Float] feature vector stored — then the shared
+    * floor(x·10⁶+0.5)/10⁶ recipe on the widened double, both engines. */
+  val q32Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, encode(text) AS payload, md5(text) AS h
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, h, octet_length(payload) AS nb,
+      |    substring(hex(payload), 1, 2) AS b0
+      |  FROM m)
+      |SELECT doc_id,
+      | CAST(nb AS BIGINT) AS n_bytes,
+      | CAST((strpos('0123456789abcdef', substring(h,1,1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substring(h,2,1)) - 1) AS BIGINT) AS width,
+      | CAST((strpos('0123456789abcdef', substring(h,3,1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substring(h,4,1)) - 1) AS BIGINT) AS height,
+      | CAST(nb % 30 + 1 AS BIGINT) AS n_frames,
+      | CASE WHEN nb = 0 THEN NULL ELSE
+      |   floor(CAST(CAST(
+      |       (strpos('0123456789ABCDEF', substring(b0,1,1)) - 1) * 16
+      |     + (strpos('0123456789ABCDEF', substring(b0,2,1)) - 1) AS FLOAT)
+      |     / CAST(255 AS FLOAT) AS DOUBLE) * 1000000 + 0.5) / 1000000
+      | END AS f0
+      |FROM x ORDER BY doc_id""".stripMargin
 
   /** q42 — frame sampling: expand each media blob into its sampled
     * frames (every 5th of n_frames), one output row per frame, with a
@@ -189,10 +230,9 @@ object Multimodal {
     "q42_frame_sample" -> q42 _,
     "q44_resize_plan" -> q44 _)
 
-  /** q32 is intentionally absent: mapPartitions over a typed Dataset is
-    * not SQL-expressible — the driver records a rows-only check. */
   val oracles: Map[String, String] = Map(
     "q31_media_metadata" -> q31Sql,
+    "q32_media_decode_stub" -> q32Sql,
     "q42_frame_sample" -> q42Sql,
     "q44_resize_plan" -> q44Sql)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleRound.{floorRound, floorRoundSql}
+import graft.functions.CacheScope.Ops
 import graft.sources.Tables
 
 /** Similarity search over `embeddings` (SURVEY.md §7.1 B4):
@@ -186,7 +187,7 @@ object Similarity {
     val key = new java.io.File(sfDir).getCanonicalPath
     centroidMemo.computeIfAbsent(key, _ => {
       val n = vecs(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .scopedCache
       n.count() // eager: every iteration reads the cache, not parquet
       try lloydTrain(n) finally { n.unpersist(false); () }
     })
@@ -453,9 +454,10 @@ object Similarity {
     * subtree is cheap — NumPlanes native dot products — so persisting
     * the tiny signature and joining wins). Cache lifetime: the
     * persisted signature (O(N · bands) longs — negligible next to the
-    * corpus) lives until `spark.catalog.clearCache()`; Bench/Verify
-    * clear between queries, and library callers running many queries
-    * in one session should do the same. */
+    * corpus) registers with [[graft.functions.CacheScope]] and is
+    * released by the harness's per-query `CacheScope.drain()`;
+    * library callers running many queries in one session should
+    * drain the same way. */
   /** Banded SRP signature expansion — the SHARED definition behind
     * the batch candidate stage ([[lshCandidates]]) and the streaming
     * near-dup twin (streaming/VectorStreams.nearDupPairStream): input
@@ -478,7 +480,7 @@ object Similarity {
   private def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val n = vecs(spark, sfDir)
     val sig = bandSigs(n, Seq("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     sig.count() // eager materialization — both join sides read the cache
     // NOT distinct: a pair colliding in k bands appears k times.
     // Deduplicating here would shuffle the full candidate stream
@@ -644,7 +646,7 @@ object Similarity {
     // persist so the argmax assignment runs once, not three times.
     val assigned = n.withColumn("best", array_min(centStructs(cents)))
       .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     assigned.count()
     val dupPairs = assigned
       .select(col("cluster"), col("vec_id").as("vec_a"), col("v").as("va"))
@@ -653,7 +655,7 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b") &&
         cosine_sim(col("va"), col("vb")) >= NearDupCos)
       .select(col("cluster"), col("vec_a"), col("vec_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     dupPairs.count()
     val drops = dupPairs.select(col("vec_b").as("vec_id")).distinct()
       .withColumn("dropped", lit(1))
@@ -783,7 +785,7 @@ object Similarity {
   def q77(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.{floorRound, exactSum}
     val n = vecs(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     n.count() // eager: iters+1 consumers must not race the cache
     val cent = lloydTrain(n)
     centroidMemo.put(new java.io.File(sfDir).getCanonicalPath, cent)

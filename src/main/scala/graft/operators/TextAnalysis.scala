@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.OracleRound.{floorRound, floorRoundSql}
 import graft.functions.Ols
+import graft.functions.CacheScope.Ops
 import graft.sources.Tables
 
 /** Text-analysis operators over `documents` (SURVEY.md §7.1 B4):
@@ -98,7 +99,7 @@ object TextAnalysis {
     // tokens), MEMORY_AND_DISK spills) instead of re-exploding.
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .scopedCache
     tok.count() // eager, so the two branches don't race the cache
     val profile = tok.filter(col("doc_id") % 5 === 0)
       .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))

@@ -33,6 +33,21 @@ case class DeltaArrival(sig: String, doc_id: Long, source: String,
 case class DeltaClass(doc_id: Long, source: String, sig: String,
     status: String)
 
+/** A document's MinHash band-signature occurrence on the stream. */
+case class DocBandArrival(doc_id: Long, ts: java.sql.Timestamp,
+    band_idx: Int, band_val: String)
+
+/** A candidate near-duplicate document pair (doc_a < doc_b) emitted
+  * by [[CorpusStreams.minhashCandidateStream]]. */
+case class CandDocPair(doc_a: Long, doc_b: Long)
+
+/** One document retained in a text band bucket's state window. */
+case class DocMember(doc_id: Long, tsMs: Long)
+
+/** State of one (band_idx, band_val) text bucket: documents seen
+  * within the watermark window. */
+case class DocBucketState(members: List[DocMember])
+
 /** A kept (first-seen) chunk emitted by
   * [[CorpusStreams.chunkDedupStream]]. */
 case class KeptChunk(sig: String, doc_id: Long, chunk_id: Long)
@@ -351,6 +366,86 @@ object CorpusStreams {
       .withWatermark("ts", s"$delayMs milliseconds")
       .as[ChunkArrival]
     firstOccurrence(arrivals, delayMs)
+  }
+
+  implicit val bandEnc: Encoder[DocBandArrival] = Encoders.product[DocBandArrival]
+  implicit val candEnc: Encoder[CandDocPair] = Encoders.product[CandDocPair]
+  implicit val bucketEnc: Encoder[DocBucketState] = Encoders.product[DocBucketState]
+  implicit val bandKeyEnc: Encoder[(Int, String)] =
+    Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+
+  /** Streaming twin of the batch MinHash+LSH candidate generator
+    * (Dedup.q22) — the text-shingle counterpart of the embedding
+    * near-dup stream (VectorStreams.nearDupPairStream), closing the
+    * last batch family without a stream twin: live near-dup
+    * CANDIDATE detection on a document ingest.
+    *
+    * Each arriving document computes its 6 band signatures through
+    * the SAME shingle→KM-minhash→band recipe as batch q22
+    * (Dedup.minhashBandSeq — shared shingleSeq tokenizer; the JVM
+    * and relational evaluations are equality-pinned per document by
+    * OperatorSpec), lands in its 6 band buckets, and pairs with
+    * every bucket member seen within the watermark window. Band
+    * collision IS candidacy (q22 emits candidates, not verified
+    * duplicates), so no per-pair verification work happens in-state —
+    * a pair colliding in k bands is emitted k times, exactly the
+    * batch multiplicity pre-`distinct`; consumers set-collapse, as
+    * the parity spec does.
+    *
+    * Guarantee (same trade as every twin here): a pair whose two
+    * documents arrive within the watermark delay of each other is
+    * detected; wider-spaced pairs are not (the earlier member aged
+    * out). State per bucket is O(members-in-window) (doc_id, ts)
+    * pairs — 16 bytes each, NOT document bodies or signatures, so a
+    * hot boilerplate bucket costs kilobytes; members GC per-arrival
+    * once the watermark passes their detect window, and idle buckets
+    * drop whole via event-time timeout. Within a micro-batch,
+    * arrivals process in doc_id order so a doc-ordered replay emits
+    * a deterministic pair set under any partition scheduling. */
+  def minhashCandidateStream(docs: DataFrame,
+      delayMs: Long = 10L * 60 * 1000): Dataset[CandDocPair] = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc: Encoder[(Long, java.sql.Timestamp, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.STRING)
+    val bands = docs.select(col("doc_id"), col("ts"), col("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .flatMap { case (id, ts, text) =>
+        graft.operators.Dedup.minhashBandSeq(text)
+          .map { case (b, v) => DocBandArrival(id, ts, b, v) }
+      }
+      .withWatermark("ts", s"$delayMs milliseconds")
+    bands.groupByKey(r => (r.band_idx, r.band_val))
+      .flatMapGroupsWithState[DocBucketState, CandDocPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), rows: Iterator[DocBandArrival],
+         state: GroupState[DocBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arr = rows.toArray.sortBy(_.doc_id)
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandDocPair]
+            var maxTs = Long.MinValue
+            arr.foreach { r =>
+              members.foreach { m =>
+                if (m.doc_id != r.doc_id)
+                  out += CandDocPair(math.min(m.doc_id, r.doc_id),
+                    math.max(m.doc_id, r.doc_id))
+              }
+              members = DocMember(r.doc_id, r.ts.getTime) :: members
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            // Per-member GC: a member is only pairable while a partner
+            // could still arrive inside its delay window; past that,
+            // drop it so hot boilerplate buckets stay bounded.
+            val wm = state.getCurrentWatermarkMs()
+            members = members.filter(_.tsMs + delayMs > wm)
+            state.update(DocBucketState(members))
+            state.setTimeoutTimestamp(math.max(maxTs + delayMs, wm + 1))
+            out.iterator
+          }
+      }
   }
 
   /** The shared watermarked first-occurrence keeper: emits each sig's

@@ -168,10 +168,11 @@ object StatefulOps {
         (etype: String, rows: Iterator[Ev], state: GroupState[QidHist]) =>
           var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
           rows.foreach { e =>
-            // ts DIV DayNs on epoch-nanos ≡ millis div dayMs for the
-            // non-negative timestamps events carry (truncation below
-            // the millisecond can never cross a day boundary).
-            val key = s"${e.ts.getTime / dayMs}:${math.floor(e.value / ValueBandWidth).toLong}"
+            // floorDiv ≡ the batch QID's integer-floor day bucket
+            // ((ts − pmod) DIV DayNs) on every timestamp including a
+            // pre-epoch negative sentinel; flooring at millis vs
+            // nanos agrees because dayMs divides DayNs/10⁶ exactly.
+            val key = s"${Math.floorDiv(e.ts.getTime, dayMs)}:${math.floor(e.value / ValueBandWidth).toLong}"
             counts = counts.updated(key, counts.getOrElse(key, 0L) + 1L)
           }
           state.update(QidHist(counts))

@@ -44,8 +44,10 @@ class OperatorSpec extends AnyFunSuite {
     // engine-specific sketch bits (each carries its own guarantee
     // spec). A new query landing without an oracle must show up here
     // and be justified, not silently downgrade the correctness gate.
+    // q32 left this list in r8: the stub decode is deterministic byte
+    // arithmetic, so its typed mapPartitions output is now replayed
+    // exactly by a DuckDB oracle (float32 division and all).
     val declaredRowsOnly = Set(
-      "q32_media_decode_stub",   // typed mapPartitions decode (stub codec)
       "q33_approx_distinct",     // HLL++ sketch ≠ DuckDB's sketch; 2·rsd spec
       "q63_approx_percentiles",  // mergeable quantile sketch; rank-error spec
       "q66_freq_items",          // Misra-Gries; no-false-negative spec
@@ -82,6 +84,33 @@ class OperatorSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(total === docs)
     assert(df.map(_.getAs[Long]("keeper_id")).distinct.length === df.length)
+  }
+
+  test("per-row JVM band recipe (minhashBandSeq) ≡ batch relational bands, every document") {
+    // The streaming twin computes band signatures per arriving row in
+    // the JVM (Dedup.minhashBandSeq); batch q22 computes them via the
+    // exploded-shingle aggregate. One divergent hash half, band
+    // concatenation, or tokenizer edge (trailing spaces, short docs)
+    // and the twin silently finds different candidates — so pin
+    // per-document equality of the two evaluations over the corpus.
+    val batch = graft.operators.Dedup
+      .minhashBands(graft.operators.Dedup.minhashSig(spark, sf))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getInt(1), r.getString(2))).sortBy(_._1).toSeq
+      }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length > 0)
+    docs.foreach { case (id, text) =>
+      val jvm = graft.operators.Dedup.minhashBandSeq(text).sortBy(_._1)
+      assert(batch.getOrElse(id, Seq.empty) === jvm,
+        s"band recipe divergence for doc $id")
+    }
+    // and the shingle-less guard: no phantom signature for a short doc
+    assert(graft.operators.Dedup.minhashBandSeq("one two").isEmpty)
   }
 
   test("q22 minhash LSH candidates ⊇ high-jaccard pairs (all-shingle ground truth)") {

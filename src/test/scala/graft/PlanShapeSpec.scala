@@ -453,15 +453,71 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q153 should be join-free:\n$p")
   }
 
-  test("q154: candidate generation joins prefixes on sig; verification joins broadcast the candidate pairs") {
-    val p = plan("q154_prefix_ssjoin")
-    assert("hashpartitioning\\(sig#\\d+".r.findFirstIn(p).isDefined ||
-      "hashpartitioning\\(doc_b#\\d+L, sig#\\d+".r.findFirstIn(p).isDefined,
-      s"no sig-keyed exchange for the prefix join:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"candidate pairs / sizes not broadcast into verification:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"an all-pairs product crept in:\n$p")
+  test("q154: prefix join keyed on sig; verification joins are NOT hint-forced broadcasts") {
+    // The r7 verdict's one scale flag: q154 used to broadcast(cand)
+    // unconditionally, but the candidate-pair table is
+    // data-dependent-size (it grows with the corpus near-dup rate) —
+    // at 100 TB an unconditional driver broadcast of it is the
+    // job-killer. The fix leaves the strategy to Catalyst/AQE. Pin
+    // both halves of that contract:
+    // (a) with auto-broadcast DISABLED the verification joins must
+    //     degrade to shuffle joins — a hint-forced broadcast would
+    //     survive the conf and fail here;
+    // (b) with default conf the plan stays sound (sig-keyed prefix
+    //     exchange, no all-pairs product).
+    try {
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val saved = spark.conf.get(key)
+      val pNoBc = try { spark.conf.set(key, "-1"); plan("q154_prefix_ssjoin") }
+      finally spark.conf.set(key, saved)
+      assert(!pNoBc.contains("BroadcastHashJoin") &&
+        !pNoBc.contains("BroadcastExchange"),
+        s"a broadcast survives autoBroadcastJoinThreshold=-1 — the join " +
+          s"strategy is hint-forced, not size-conditional:\n$pNoBc")
+      val p = plan("q154_prefix_ssjoin")
+      assert("hashpartitioning\\(sig#\\d+".r.findFirstIn(p).isDefined ||
+        "hashpartitioning\\(doc_b#\\d+L, sig#\\d+".r.findFirstIn(p).isDefined,
+        s"no sig-keyed exchange for the prefix join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"an all-pairs product crept in:\n$p")
+      // Single scoped persist: the (doc_id, sig, df) universe relation
+      // is the only cache this query creates.
+      val cached = "InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size
+      assert(cached >= 2, s"prefix + verification consumers should read " +
+        s"the one cached sig universe:\n$p")
+    } finally {
+      graft.functions.CacheScope.drain()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q144: one corpus tokenize; estimate→verify stays candidate-bounded") {
+    // The suite's second-most-expensive query had no pin (r7 item #6):
+    // its cost model is ONE shingle flatMap (the persisted distinct
+    // shingle relation feeds sig, sizes and both intersection legs)
+    // and joins bounded by the LSH candidate set — never a corpus
+    // product. A refactor that re-derives shingles per consumer or
+    // drops the candidate bound shows up as extra SerializeFromObject
+    // subtrees / a nested-loop join here.
+    try {
+      val p = plan("q144_minhash_calibration")
+      val cachedReads = "InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size
+      assert(cachedReads >= 2,
+        s"consumers should read the cached shingle relation:\n$p")
+      // Each InMemoryRelation rendering prints the cached flatMap
+      // subtree twice (tree + details) — q131's accounting. Matches
+      // beyond 2·renderings mean a tokenize escaped the cache.
+      val renders = "InMemoryRelation \\(\\d+\\)".r.findAllIn(p).size
+      val fm = "SerializeFromObject \\(\\d+\\)".r.findAllIn(p).size
+      assert(fm <= 2 * math.max(renders, 1),
+        s"a shingle flatMap runs outside the cache ($fm flatMaps, " +
+          s"$renders cached renderings):\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"an all-pairs product crept in:\n$p")
+    } finally {
+      graft.functions.CacheScope.drain()
+      spark.catalog.clearCache()
+    }
   }
 
   test("q155: the l-diversity audit stays one scan with map-side partials, join-free") {

@@ -370,6 +370,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MinHash near-dup candidates (q22 twin): stream pair-set ≡ batch candidates over a 2-batch replay") {
+    import graft.streaming.CorpusStreams
+    // Replay the document corpus in doc_id order as TWO micro-batches:
+    // candidate pairs whose members straddle the boundary must be
+    // found via bucket STATE (the earlier member survives in its band
+    // buckets until the watermark passes). The 1 h delay far exceeds
+    // the replay's event-time span, so nothing GCs mid-replay and the
+    // stream's detect-within-window guarantee covers every batch pair
+    // — exact set parity with q22 is the correct oracle.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhstream").toString + "/in"
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"), col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = CorpusStreams.readDocStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = graft.streaming.EventStreams.runToMemory(
+      CorpusStreams.minhashCandidateStream(stream, delayMs = 3600L * 1000).toDF(),
+      "mh_cand_out", outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2,
+        s"expected >=2 micro-batches, got ${q.recentProgress.length} — cross-batch path not exercised")
+      val got = spark.table("mh_cand_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = SparkEntry.queries("q22_minhash_lsh")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "degenerate batch truth: no candidate pairs")
+      // at least one pair must straddle the batch boundary, or the
+      // cross-batch state path wasn't really exercised
+      assert(want.exists(p => p._1 < mid && p._2 >= mid),
+        "no boundary-straddling candidate pair in the fixture")
+      assert(got === want,
+        s"stream candidate set diverged from batch: missing ${want -- got}, extra ${got -- want}")
+    } finally q.stop()
+  }
+
   test("streaming mixture rebalance (q127 twin): stream-admitted set ≡ batch kept set, any batching") {
     import graft.streaming.CorpusStreams
     // Calibrate offline on the full batch corpus, enforce online over
