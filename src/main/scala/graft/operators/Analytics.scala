@@ -1372,7 +1372,75 @@ object Analytics {
       |  CAST(min(doc_id) AS BIGINT) AS keeper_doc
       |FROM sky GROUP BY x, y ORDER BY x""".stripMargin
 
+  /** q157 — shuffle-key skew profile: the diagnostic a pipeline owner
+    * runs BEFORE picking a mitigation (q41's manual salt, AQE skew
+    * thresholds, broadcast cutoffs). Profiles the `events.user_id`
+    * key — the partitioning every sessionization/window query in the
+    * suite shuffles on — and reports the top-10 heaviest keys with
+    * each key's row count, corpus share, cumulative share, and skew
+    * factor (rows ÷ mean rows per key; rank 1's value is the
+    * max/mean ratio that decides whether a salt is worth it).
+    *
+    * Scale shape: ONE map-combined count per key (the same
+    * O(distinct keys) shuffle any groupBy pays — there is no cheaper
+    * honest skew measurement); the global stats collapse the key
+    * histogram to one row; top-10 selection is a TakeOrdered (sort
+    * pushed into a bounded per-partition heap, never a global sort);
+    * the ranking/cumulative windows then run on 10 rows crossed with
+    * the 1-row stats — O(1) regardless of corpus size. All shares
+    * divide exact integer counts in IEEE double with the shared
+    * floor-round discipline. */
+  def q157(spark: SparkSession, sfDir: String): DataFrame = {
+    // The stats row and the top-10 both consume the key histogram, and
+    // their pruned subtrees don't canonicalize equal (no exchange
+    // reuse — measured two corpus scans unhinted), so the O(keys)
+    // histogram is the profile artifact worth one eager scoped cache:
+    // the corpus is scanned ONCE (plan-pinned).
+    val hist = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .scopedCache
+    hist.count()
+    val stats = hist.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"))
+    val top = hist.orderBy(col("n").desc, col("user_id")).limit(10)
+    val wRank = Window.orderBy(col("n").desc, col("user_id"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(stats) // 1-row stats side — O(10) product
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(col("rank"), col("user_id").as("key_id"),
+        col("n").as("n_rows_key"),
+        floorRound(col("n").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share"),
+        floorRound(sum("n").over(wCum).cast("double") /
+          col("n_rows").cast("double"), 6).as("cum_share"),
+        floorRound(col("n").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"), 4).as("skew_factor"))
+      .orderBy("rank")
+  }
+
+  val q157Sql: String =
+    s"""WITH h AS (
+       |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+       |s AS (
+       |  SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows FROM h),
+       |t AS (
+       |  SELECT user_id, n FROM h ORDER BY n DESC, user_id LIMIT 10)
+       |SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
+       |  user_id AS key_id, n AS n_rows_key,
+       |  ${floorRoundSql("CAST(n AS DOUBLE) / CAST(s.n_rows AS DOUBLE)", 6)}
+       |    AS share,
+       |  ${floorRoundSql(
+            "CAST(CAST(sum(n) OVER (ORDER BY n DESC, user_id ROWS BETWEEN " +
+              "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) " +
+              "/ CAST(s.n_rows AS DOUBLE)", 6)} AS cum_share,
+       |  ${floorRoundSql(
+            "CAST(n AS DOUBLE) * CAST(s.n_keys AS DOUBLE) " +
+              "/ CAST(s.n_rows AS DOUBLE)", 4)} AS skew_factor
+       |FROM t, s
+       |WINDOW w AS (ORDER BY n DESC, user_id)
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_skew_profile" -> q157 _,
     "q156_pareto_skyline" -> q156 _,
     "q88_moment_stats" -> q88 _,
     "q89_ols_regression" -> q89 _,
@@ -1402,6 +1470,7 @@ object Analytics {
     "q146_source_lang_chi2" -> q146 _)
 
   val oracles: Map[String, String] = Map(
+    "q157_skew_profile" -> q157Sql,
     "q156_pareto_skyline" -> q156Sql,
     "q88_moment_stats" -> q88Sql,
     "q89_ols_regression" -> q89Sql,

@@ -1275,7 +1275,82 @@ object Similarity {
        |    AS centroid_norm
        |FROM g ORDER BY label""".stripMargin
 
+  /** q159 — per-dimension embedding distribution audit: for each of
+    * the 64 dimensions, count/min/max/mean/variance plus the
+    * dimension's share of total variance — the anisotropy profile an
+    * embedding pipeline reads BEFORE committing to a quantizer
+    * (q85's per-dim [min,max] grid), an IVF metric (q77's Euclidean
+    * cells), or a random-projection LSH family (q37's planes): a few
+    * dimensions hoarding the variance mean uniform int8 levels are
+    * wasted where the data isn't, and cosine bands hash mostly those
+    * dimensions.
+    *
+    * Scale shape: ONE pass over the corpus — posexplode to
+    * (pos, x) and a 64-group map-combined aggregate carrying exact
+    * DECIMAL Σx and Σx² (partial-aggregation order can't move
+    * them); everything after runs on the 64-row moment relation
+    * (variance-share total via an order-free DECIMAL sum of the
+    * already-rounded variances, crossed back 1-row). Same moment
+    * discipline as q88/q150. */
+  def q159(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === Dim)
+      .select(posexplode(col("embedding")).as(Seq("pos0", "xf")))
+      .select((col("pos0") + 1).as("pos"), col("xf").cast("double").as("x"))
+    // pv and the variance total both consume the 64-row moment
+    // relation; the pruned subtrees don't canonicalize equal (no
+    // exchange reuse — measured two corpus scans unhinted), so cache
+    // the 64 rows eagerly: the corpus posexplode runs ONCE
+    // (plan-pinned).
+    val per = e.groupBy("pos").agg(
+      count(lit(1)).as("n_vecs"),
+      min("x").as("mn"), max("x").as("mx"),
+      sum(col("x").cast("decimal(28,18)")).as("s"),
+      sum((col("x") * col("x")).cast("decimal(28,18)")).as("ssq"))
+      .scopedCache
+    per.count()
+    val pv = per
+      .withColumn("mean",
+        floorRound(col("s").cast("double") / col("n_vecs"), 9))
+      .withColumn("variance", floorRound(
+        (col("ssq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n_vecs")) /
+          col("n_vecs"), 9))
+    val tot = pv.agg(
+      sum(col("variance").cast("decimal(28,12)")).cast("double").as("tv"))
+    pv.crossJoin(tot) // 1-row total-variance side
+      .select(col("pos").cast("long").as("pos"), col("n_vecs"),
+        col("mn"), col("mx"), col("mean"), col("variance"),
+        floorRound(col("variance") / col("tv"), 6).as("var_share"))
+      .orderBy("pos")
+  }
+
+  val q159Sql: String =
+    s"""WITH e AS (
+       |  SELECT i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i) p
+       |  WHERE len(embedding) = $Dim),
+       |per AS (
+       |  SELECT pos, count(*) AS n_vecs, min(x) AS mn, max(x) AS mx,
+       |    sum(CAST(x AS DECIMAL(28,18))) AS s,
+       |    sum(CAST(x * x AS DECIMAL(28,18))) AS ssq
+       |  FROM e GROUP BY pos),
+       |pv AS (
+       |  SELECT pos, n_vecs, mn, mx,
+       |    ${floorRoundSql("CAST(s AS DOUBLE) / n_vecs", 9)} AS mean,
+       |    ${floorRoundSql(
+            "(CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) " +
+              "/ n_vecs) / n_vecs", 9)} AS variance
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(sum(CAST(variance AS DECIMAL(28,12))) AS DOUBLE) AS tv
+       |  FROM pv)
+       |SELECT CAST(pos AS BIGINT) AS pos, n_vecs, mn, mx, mean, variance,
+       |  ${floorRoundSql("variance / tv", 6)} AS var_share
+       |FROM pv, tot ORDER BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_embed_dim_stats" -> q159 _,
     "q77_kmeans_train" -> q77 _,
     "q143_cluster_silhouette" -> q143 _,
     "q58_knn_l2" -> q58 _,
@@ -1294,6 +1369,7 @@ object Similarity {
     "q137_hard_negatives" -> q137 _)
 
   val oracles: Map[String, String] = Map(
+    "q159_embed_dim_stats" -> q159Sql,
     "q77_kmeans_train" -> q77Sql,
     "q143_cluster_silhouette" -> q143Sql,
     "q58_knn_l2" -> q58Sql,

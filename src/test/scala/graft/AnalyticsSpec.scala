@@ -20,6 +20,68 @@ class AnalyticsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.get
   val sf = "/root/testdata/sf0.001"
 
+  test("q157 skew profile matches an exact local replay of the key histogram") {
+    def fr(x: Double, k: Int): Double = {
+      val m = math.pow(10, k); math.floor(x * m + 0.5) / m
+    }
+    val counts = Tables.events(spark, sf).select("user_id").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val nKeys = counts.size.toLong
+    val nRows = counts.values.sum
+    val top = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+    val out = SparkEntry.queries("q157_skew_profile")(spark, sf).collect()
+    assert(out.length === 10)
+    var cum = 0L
+    out.zipWithIndex.foreach { case (r, i) =>
+      val (key, n) = top(i)
+      cum += n
+      assert(r.getLong(0) === (i + 1).toLong, "rank")
+      assert(r.getLong(1) === key, s"key at rank ${i + 1}")
+      assert(r.getLong(2) === n, s"count at rank ${i + 1}")
+      assert(r.getDouble(3) === fr(n.toDouble / nRows.toDouble, 6), "share")
+      assert(r.getDouble(4) === fr(cum.toDouble / nRows.toDouble, 6), "cum_share")
+      assert(r.getDouble(5) ===
+        fr(n.toDouble * nKeys.toDouble / nRows.toDouble, 4), "skew_factor")
+    }
+    // the profile's defining invariants: heaviest-first, cumulative
+    assert(out.map(_.getLong(2)).toSeq === out.map(_.getLong(2)).sortBy(-_).toSeq)
+    assert(out.map(_.getDouble(4)).toSeq === out.map(_.getDouble(4)).sorted.toSeq)
+  }
+
+  test("q159 per-dim stats match an exact local replay (decimal-sum moments) and shares total ~1") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def fr(x: Double, k: Int): Double = {
+      val m = math.pow(10, k); math.floor(x * m + 0.5) / m
+    }
+    def dec18(x: Double): JBD =
+      new JBD(x).setScale(18, RoundingMode.HALF_UP)
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val out = SparkEntry.queries("q159_embed_dim_stats")(spark, sf).collect()
+    assert(out.length === 64)
+    val vars = out.map(_.getDouble(5))
+    assert(vars.forall(_ >= 0.0), "variance must be non-negative")
+    // local replay with the SAME arithmetic: double→DECIMAL(_,18)
+    // per-element sums (exact, order-free), double division, floor-round
+    val n = vecs.length
+    (0 until 64).foreach { d =>
+      val xs = vecs.map(_(d))
+      val s = xs.map(dec18).foldLeft(JBD.ZERO)(_.add(_)).doubleValue()
+      val ssq = xs.map(x => dec18(x * x)).foldLeft(JBD.ZERO)(_.add(_)).doubleValue()
+      val r = out(d)
+      assert(r.getLong(0) === (d + 1).toLong)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getDouble(2) === xs.min, s"min dim ${d + 1}")
+      assert(r.getDouble(3) === xs.max, s"max dim ${d + 1}")
+      assert(r.getDouble(4) === fr(s / n, 9), s"mean dim ${d + 1}")
+      assert(r.getDouble(5) === fr((ssq - s * s / n) / n, 9), s"var dim ${d + 1}")
+    }
+    // anisotropy shares partition total variance (up to 64 × 1e-6 rounding)
+    assert(math.abs(out.map(_.getDouble(6)).sum - 1.0) < 64e-6)
+  }
+
   test("q88 moments match a local reference implementation") {
     val rows = Analytics.q88(spark, sf).collect()
     val data = Tables.lineitem(spark, sf)

@@ -224,6 +224,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), s"checkpointed c2 missing:\n$p")
   }
 
+  test("q157: events scanned once into the cached key histogram; TakeOrdered top-10, no global sort") {
+    // The stats row and the top-10 both derive from the same key
+    // histogram, eagerly cached (their pruned subtrees don't
+    // canonicalize equal, so exchange reuse never fires — a cache
+    // regression means TWO corpus scans); and the top-10 must be a
+    // bounded per-partition heap (TakeOrderedAndProject), never a
+    // full sort of the key histogram.
+    val p = plan("q157_skew_profile")
+    // the cached histogram's plan renders once per InMemoryTableScan
+    // consumer — count DISTINCT scan node ids, not text occurrences
+    val scans = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scans.size == 1, s"expected 1 distinct events scan, got $scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"histogram cache missing from the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$p")
+  }
+
+  test("q159: embeddings posexploded once into the cached 64-row moment relation") {
+    // pv (per-dim stats) and tot (total variance) both consume the
+    // 64-row moment aggregate, eagerly cached; a cache regression
+    // means two corpus posexplode passes — double the only
+    // corpus-sized work.
+    val p = plan("q159_embed_dim_stats")
+    // distinct scan node ids — the cached 64-row relation's plan
+    // renders once per consumer (q157-pin rationale)
+    val scans = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scans.size == 1,
+      s"expected 1 distinct embeddings scan, got $scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"moment cache missing from the plan:\n$p")
+  }
+
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
     // A Window.partitionBy(term) fully sorts each term's posting list
     // — a skew cliff on hot stop-terms at scale. The bounded
