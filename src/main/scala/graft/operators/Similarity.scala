@@ -39,6 +39,13 @@ object Similarity {
   private val KmeansK = 8
   private val KmeansIters = 3
 
+  /** Product-quantization geometry (q158): M subspaces of Dim/M
+    * dimensions, each with its own [[KmeansK]]-codeword codebook
+    * trained by the same [[KmeansIters]]-step Lloyd recipe as q77.
+    * Declared with [[Dim]] for the same val-init-order reason. */
+  private val PqM = 4
+  private val PqSubDim = Dim / PqM
+
   import graft.functions.CosineSimilarity.cosine_sim
 
   /** Embeddings with double-cast vectors (a codegen'd Cast — floats
@@ -194,25 +201,27 @@ object Similarity {
   }
 
   /** Unrolled Lloyd-iteration CTE chain over base relation `$base`
-    * (must expose vec_id, v with len(v) = Dim) — defines c0 (seeds)
-    * through c[[KmeansIters]] (the trained centroids). Shared by
-    * q77Sql and the IVF oracles (q30/q132) so the trained-centroid
-    * definition can never drift between the training query and the
-    * index queries that serve it. */
-  private def kmeansCtesSql(base: String): String = {
+    * (must expose vec_id, v with len(v) = `dim`) — defines
+    * `${pfx}c0` (seeds) through `${pfx}c[[KmeansIters]]` (the
+    * trained centroids). Shared by q77Sql and the IVF oracles
+    * (q30/q132) so the trained-centroid definition can never drift
+    * between the training query and the index queries that serve
+    * it; q158's PQ oracle instantiates it once per subspace
+    * (dim = [[PqSubDim]], distinct prefixes). */
+  private def kmeansCtesSql(base: String, dim: Int = Dim, pfx: String = ""): String = {
     val iters = (1 to KmeansIters).map { i =>
-      s"""a$i AS (SELECT vec_id, v, cluster, dist FROM (
+      s"""${pfx}a$i AS (SELECT vec_id, v, cluster, dist FROM (
          |  SELECT $base.vec_id, $base.v, c.c_id AS cluster, list_distance(c.cv, $base.v) AS dist,
          |    row_number() OVER (PARTITION BY $base.vec_id
          |      ORDER BY list_distance(c.cv, $base.v), c.c_id) AS rk
-         |  FROM $base, c${i - 1} c) t WHERE rk = 1),
-         |c$i AS (SELECT cluster AS c_id, list(m ORDER BY pos) AS cv FROM (
+         |  FROM $base, ${pfx}c${i - 1} c) t WHERE rk = 1),
+         |${pfx}c$i AS (SELECT cluster AS c_id, list(m ORDER BY pos) AS cv FROM (
          |  SELECT cluster, pos,
          |    CAST(sum(CAST(v[pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
-         |  FROM a$i, (SELECT unnest(generate_series(1, $Dim)) AS pos) p
+         |  FROM ${pfx}a$i, (SELECT unnest(generate_series(1, $dim)) AS pos) p
          |  GROUP BY cluster, pos) e GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS (SELECT vec_id AS c_id, v AS cv FROM $base WHERE vec_id < $KmeansK),
+    s"""${pfx}c0 AS (SELECT vec_id AS c_id, v AS cv FROM $base WHERE vec_id < $KmeansK),
        |$iters""".stripMargin
   }
 
@@ -1349,7 +1358,151 @@ object Similarity {
        |  ${floorRoundSql("variance / tv", 6)} AS var_share
        |FROM pv, tot ORDER BY pos""".stripMargin
 
+  /** The corpus sliced into its [[PqM]] subvector views: one Generate
+    * over the (cached) vector relation emits (subspace, vec_id, v)
+    * with v the [[PqSubDim]]-dim slice — so every PQ training and
+    * assignment pass touches the corpus ONCE regardless of M. */
+  private def pqSliced(n: DataFrame): DataFrame = {
+    val entries = (0 until PqM).map { m =>
+      struct(lit(m.toLong).as("subspace"),
+        slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))
+    }
+    n.select(col("vec_id"), explode(array(entries: _*)).as("e"))
+      .select(col("e.subspace").as("subspace"), col("vec_id"),
+        col("e.sv").as("v"))
+  }
+
+  /** Narrow argmin over one subspace codebook — [[assignL2]]'s struct
+    * trick on the sliced vectors. */
+  private def pqBest(cent: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column = {
+    import graft.functions.EuclideanDistance.l2_distance
+    array_min(array(cent.map { case (cId, cv) =>
+      struct(l2_distance(typedlit(cv), col("v")).as("dist"),
+        lit(cId).as("c_id"))
+    }: _*))
+  }
+
+  /** Assign every (subspace, vector-slice) row to its nearest
+    * codeword: a CASE over the subspace id selects that subspace's
+    * codebook literals, so the assignment for ALL M codebooks is one
+    * narrow codegen'd pass — no join, no shuffle, and only the
+    * matching branch's k distances evaluate per row. */
+  private def pqAssign(sl: DataFrame,
+      cents: Map[Int, Seq[(Long, Seq[Double])]]): DataFrame = {
+    val ms = cents.toSeq.sortBy(_._1)
+    val bestExpr = ms.tail.foldLeft(
+      when(col("subspace") === ms.head._1, pqBest(ms.head._2))) {
+      case (acc, (m, cent)) => acc.when(col("subspace") === m, pqBest(cent))
+    }
+    sl.withColumn("best", bestExpr)
+      .select(col("subspace"), col("vec_id"), col("v"),
+        col("best.c_id").as("code"), col("best.dist").as("dist"))
+  }
+
+  /** Lloyd training for all [[PqM]] subspace codebooks SIMULTANEOUSLY:
+    * the per-iteration means aggregate groups by (subspace, code,
+    * pos), so one corpus-cache scan per iteration trains every
+    * codebook — M never multiplies the scan count (the real PQ
+    * trainer shape; [[lloydTrain]] is the single-space original).
+    * Per subspace the arithmetic is IDENTICAL to an independent
+    * [[lloydTrain]] run on that slice (grouping by subspace only
+    * partitions the rows), which is what the per-subspace unrolled
+    * oracle chains verify. O(M·k·d) doubles reach the driver. */
+  private def pqTrain(sl: DataFrame): Map[Int, Seq[(Long, Seq[Double])]] = {
+    var cents: Map[Int, Seq[(Long, Seq[Double])]] =
+      sl.filter(col("vec_id") < KmeansK).collect()
+        .groupBy(_.getLong(0).toInt)
+        .map { case (m, rows) =>
+          m -> rows.map(r => (r.getLong(1), r.getSeq[Double](2).toSeq))
+            .sortBy(_._1).toSeq
+        }
+    for (_ <- 1 to KmeansIters) {
+      val means = pqAssign(sl, cents)
+        .select(col("subspace"), col("code"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("subspace", "code", "pos")
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+      cents = means.groupBy(_.getLong(0).toInt).map { case (m, rows) =>
+        m -> rows.groupBy(_.getLong(1)).map { case (cId, rs) =>
+          (cId, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }.toSeq.sortBy(_._1)
+      }
+    }
+    cents
+  }
+
+  /** q158 — product-quantization codebook training + distortion
+    * audit (Jégou/Douze/Schmid, "Product Quantization for Nearest
+    * Neighbor Search", IEEE TPAMI 2011): the 64-dim embedding splits
+    * into [[PqM]]=4 subspaces of [[PqSubDim]]=16 dims; each subspace
+    * trains its own k=[[KmeansK]] codebook with the exact q77 Lloyd
+    * recipe; every vector is then encoded as M code ids. Reported
+    * per (subspace, code): member count, total and mean assignment
+    * distance — the codebook-balance / distortion table a PQ index
+    * build inspects before committing to the compression (a hot or
+    * empty codeword means the subspace's codebook wastes its
+    * 8-way budget). Completes the ANN-compression family: q85
+    * scalar int8, q77/q30 coarse IVF, q37 binary LSH, q158 PQ.
+    *
+    * Scale shape: corpus cached ONCE; [[pqSliced]]'s Generate gives
+    * every pass all M subvector views in a single scan; training is
+    * [[KmeansIters]] scans TOTAL (not per subspace — see
+    * [[pqTrain]]); assignment is the narrow CASE-over-codebooks
+    * argmin (no join); the only corpus-sized shuffle is the final
+    * map-combined (subspace, code) aggregate onto M·k = 32 groups.
+    * At 100 TB this is scans + one bounded aggregate, exactly like
+    * q77 — M multiplies only driver-side centroid literals.
+    *
+    * Determinism: same discipline as q77 bitwise — seeds are
+    * vec_id < k, means are DECIMAL(28,12) sums, distances are the
+    * codegen'd l2_distance ≙ DuckDB list_distance (proven bit-equal
+    * by the q77/q58 hash matches), ties break on code id; the
+    * oracle unrolls [[kmeansCtesSql]] once per subspace over the
+    * sliced relations. */
+  def q158(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.exactSum
+    val n = vecs(spark, sfDir).scopedCache
+    n.count() // eager: iters+2 consumers must not race the cache
+    val sl = pqSliced(n)
+    val cents = pqTrain(sl)
+    pqAssign(sl, cents)
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_vecs"),
+        floorRound(exactSum(col("dist")), 4).as("cost"),
+        floorRound(exactSum(col("dist")) / count(lit(1)), 6).as("mean_dist"))
+      .orderBy("subspace", "code")
+  }
+
+  /** Per-subspace unrolled Lloyd chains (the q77Sql generator with
+    * dim = [[PqSubDim]] and distinct CTE prefixes) + one final
+    * assignment each, unioned into the 32-cell distortion table. */
+  val q158Sql: String = {
+    import graft.functions.OracleRound.exactSumSql
+    val subs = (0 until PqM).map { m =>
+      s"""s$m AS (SELECT vec_id, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS v FROM n),
+         |${kmeansCtesSql(s"s$m", PqSubDim, s"s$m")},
+         |f$m AS (SELECT $m AS subspace, cluster AS code, dist FROM (
+         |  SELECT s$m.vec_id, c.c_id AS cluster, list_distance(c.cv, s$m.v) AS dist,
+         |    row_number() OVER (PARTITION BY s$m.vec_id
+         |      ORDER BY list_distance(c.cv, s$m.v), c.c_id) AS rk
+         |  FROM s$m, s${m}c$KmeansIters c) t WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until PqM).map(m => s"SELECT * FROM f$m").mkString(" UNION ALL ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = $Dim),
+       |$subs,
+       |u AS ($union)
+       |SELECT CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+       |  count(*) AS n_vecs,
+       |  ${floorRoundSql(exactSumSql("dist"), 4)} AS cost,
+       |  ${floorRoundSql(s"${exactSumSql("dist")} / count(*)", 6)} AS mean_dist
+       |FROM u GROUP BY subspace, code ORDER BY subspace, code""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_pq_codebook" -> q158 _,
     "q159_embed_dim_stats" -> q159 _,
     "q77_kmeans_train" -> q77 _,
     "q143_cluster_silhouette" -> q143 _,
@@ -1369,6 +1522,7 @@ object Similarity {
     "q137_hard_negatives" -> q137 _)
 
   val oracles: Map[String, String] = Map(
+    "q158_pq_codebook" -> q158Sql,
     "q159_embed_dim_stats" -> q159Sql,
     "q77_kmeans_train" -> q77Sql,
     "q143_cluster_silhouette" -> q143Sql,

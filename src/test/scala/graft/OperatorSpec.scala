@@ -1351,6 +1351,69 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 PQ codebooks match an exact local per-subspace Lloyd replay; cells partition the corpus") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.functions._
+    def fr(x: Double, k: Int): Double = {
+      val m = math.pow(10, k); math.floor(x * m + 0.5) / m
+    }
+    def dec(x: Double, s: Int): JBD = new JBD(x).setScale(s, RoundingMode.HALF_UP)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    val (mSub, dSub, k, iters) = (4, 16, 8, 3)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val out = SparkEntry.queries("q158_pq_codebook")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // each subspace's cells must partition the corpus (every vector
+    // encoded exactly once per subspace)
+    (0 until mSub).foreach { m =>
+      val n = out.collect { case ((s, _), (cnt, _, _)) if s == m => cnt }.sum
+      assert(n === vecs.length.toLong, s"subspace $m cells don't partition the corpus")
+    }
+    // exact replay: independent Lloyd per subspace slice with the
+    // SAME arithmetic — vec_id<k seeds, left-to-right double L2,
+    // (dist, c_id) tie-break, DECIMAL(28,12) per-element mean sums,
+    // DECIMAL(18,6) cost sums, floor-rounds at 4/6 dp
+    val replay = (0 until mSub).flatMap { m =>
+      val sl = vecs.map { case (id, v) => (id, v.slice(m * dSub, (m + 1) * dSub)) }
+      var cents: Seq[(Long, Array[Double])] =
+        sl.filter(_._1 < k).sortBy(_._1).toSeq
+      def nearest(v: Array[Double]): (Double, Long) =
+        cents.map { case (c, cv) => (l2(cv, v), c) }.minBy(identity)
+      for (_ <- 1 to iters) {
+        cents = sl.groupBy { case (_, v) => nearest(v)._2 }.toSeq
+          .map { case (c, vs) =>
+            val mean = Array.tabulate(dSub) { p =>
+              vs.map(x => dec(x._2(p), 12)).foldLeft(JBD.ZERO)(_.add(_))
+                .doubleValue() / vs.length
+            }
+            (c, mean)
+          }.sortBy(_._1)
+      }
+      sl.map { case (_, v) => nearest(v) }.groupBy(_._2).toSeq
+        .map { case (c, ds) =>
+          val costSum = ds.map(d => dec(d._1, 6)).foldLeft(JBD.ZERO)(_.add(_))
+            .doubleValue()
+          (m.toLong, c) -> (ds.length.toLong, fr(costSum, 4),
+            fr(costSum / ds.length, 6))
+        }
+    }.toMap
+    assert(out.keySet === replay.keySet, "non-empty (subspace, code) cell sets diverge")
+    replay.foreach { case (cell, (n, cost, meanD)) =>
+      val (gn, gc, gm) = out(cell)
+      assert(gn === n, s"cell $cell member count")
+      assert(gc === cost, s"cell $cell cost")
+      assert(gm === meanD, s"cell $cell mean_dist")
+    }
+  }
+
   test("q142 KS drift matches an exact integer-ECDF replay per source") {
     val lens = graft.sources.Tables.documents(spark, sf)
       .select("source", "text").collect()

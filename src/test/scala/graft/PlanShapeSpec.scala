@@ -258,6 +258,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"moment cache missing from the plan:\n$p")
   }
 
+  test("q158: PQ assignment is join-free (CASE-over-codebooks argmin) over the cached corpus, map-combined cell aggregate") {
+    // The codebooks are driver-side literals baked into a CASE
+    // expression, so encoding must be a narrow projection — a Join
+    // appearing here means someone rewrote assignment as a
+    // codebook-table join (a per-row k×M-way shuffle amplification
+    // at corpus scale). The 32-cell aggregate must combine map-side:
+    // the only corpus-sized shuffle carries (subspace, code) partials.
+    val p = plan("q158_pq_codebook")
+    assert(!p.contains("Join"), s"unexpected join in PQ assignment:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"corpus cache missing from the plan:\n$p")
+    val scans = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scans.size == 1,
+      s"expected 1 distinct embeddings scan, got $scans:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side partial cell aggregation:\n$p")
+  }
+
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
     // A Window.partitionBy(term) fully sorts each term's posting list
     // — a skew cliff on hot stop-terms at scale. The bounded
