@@ -49,8 +49,10 @@ object CacheScope {
 
   /** Release every cache registered since the last drain. Non-blocking
     * unpersist: the executors free the blocks asynchronously while the
-    * driver moves to the next query. Idempotent per entry. */
-  def drain(): Unit = {
+    * driver moves to the next query. Idempotent per entry. Returns the
+    * number of entries released (spec observability — the harnesses
+    * discard it). */
+  def drain(): Int = {
     val toFree = synchronized {
       val snapshot = live.toList
       live.clear()
@@ -60,10 +62,16 @@ object CacheScope {
       try ds.unpersist(blocking = false)
       catch { case _: IllegalStateException => () /* session already stopped */ }
     }
+    toFree.size
   }
 
   /** Number of registered-but-undrained caches — spec observability. */
   def liveCount: Int = synchronized(live.size)
+
+  /** Snapshot of the registered datasets — spec observability (lets a
+    * spec assert on the entries IT created by storage level, without
+    * racing other suites' global persistent-RDD traffic). */
+  private[graft] def liveSnapshot: List[Dataset[_]] = synchronized(live.toList)
 
   /** Chained form: `df.scopedCache` reads like the `.persist(...)` it
     * replaces at the operator call sites. */

@@ -1372,14 +1372,36 @@ object Similarity {
         col("e.sv").as("v"))
   }
 
-  /** Narrow argmin over one subspace codebook — [[assignL2]]'s struct
-    * trick on the sliced vectors. */
-  private def pqBest(cent: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column = {
+  /** Narrow argmin of column `v` over one subspace codebook —
+    * [[assignL2]]'s struct trick on a caller-chosen vector column
+    * (the sliced rows in [[pqAssign]], an inline slice in q160's
+    * single-pass encoder). */
+  private def pqBestOn(v: org.apache.spark.sql.Column,
+      cent: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column = {
     import graft.functions.EuclideanDistance.l2_distance
     array_min(array(cent.map { case (cId, cv) =>
-      struct(l2_distance(typedlit(cv), col("v")).as("dist"),
+      struct(l2_distance(typedlit(cv), v).as("dist"),
         lit(cId).as("c_id"))
     }: _*))
+  }
+
+  private def pqBest(cent: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+    pqBestOn(col("v"), cent)
+
+  /** PQ codebooks memoized per corpus, the [[trainedCentroids]]
+    * pattern: q158 (the training benchmark) always retrains and
+    * refreshes the memo; the ADC serving path (q160) reads it —
+    * trained once, served by the family, like a real index build. */
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[(Long, Seq[Double])]]]()
+
+  private def trainedCodebooks(spark: SparkSession, sfDir: String): Map[Int, Seq[(Long, Seq[Double])]] = {
+    val key = new java.io.File(sfDir).getCanonicalPath
+    codebookMemo.computeIfAbsent(key, _ => {
+      val n = vecs(spark, sfDir).scopedCache
+      n.count() // eager: every training iteration reads the cache
+      try pqTrain(pqSliced(n)) finally { n.unpersist(false); () }
+    })
   }
 
   /** Assign every (subspace, vector-slice) row to its nearest
@@ -1467,6 +1489,9 @@ object Similarity {
     n.count() // eager: iters+2 consumers must not race the cache
     val sl = pqSliced(n)
     val cents = pqTrain(sl)
+    // refresh the served index with the identical deterministic value
+    // (the q77 → trainedCentroids discipline)
+    codebookMemo.put(new java.io.File(sfDir).getCanonicalPath, cents)
     pqAssign(sl, cents)
       .groupBy("subspace", "code")
       .agg(count(lit(1)).as("n_vecs"),
@@ -1501,8 +1526,128 @@ object Similarity {
        |FROM u GROUP BY subspace, code ORDER BY subspace, code""".stripMargin
   }
 
+  /** q160 — PQ asymmetric-distance (ADC) approximate k-NN: the
+    * SERVING path of q158's compression (Jégou et al. TPAMI 2011
+    * §III). The corpus is represented only by its M=[[PqM]] code ids
+    * (32:1 compression of the 64-dim doubles); each of the 20 probes
+    * (q58's exact-L2 probe set, so recall is measurable against the
+    * uncompressed truth) precomputes a (code → squared-distance)
+    * lookup table per subspace against [[trainedCodebooks]]; a
+    * candidate's approximate distance is then M table lookups and
+    * M−1 additions — no vector arithmetic per pair at all, which is
+    * the entire point of PQ at scale. Top-3 by (adc², neighbor id).
+    *
+    * Scale shape: codebooks come from the per-corpus memo (q158 is
+    * the training benchmark; serving never retrains); encoding is a
+    * single NARROW projection computing all M argmins per row (no
+    * join, no shuffle, one corpus scan), materialized ONCE as the
+    * scoped-cached encoded table — the layout an ANN service
+    * actually stores, and the boundary that keeps the encode
+    * expression from re-running per candidate pair in the join
+    * stage; the O(Q·M·k) LUT rows BROADCAST onto it; the per-probe
+    * head is a WindowGroupLimit-bounded top-k over map lookups — the
+    * corpus never shuffles.
+    *
+    * Determinism: LUT entries accumulate (q_i−c_i)² left-to-right on
+    * the driver — the same order as the oracle's list_transform sum;
+    * adc² adds the M parts in fixed textual order; codebooks are
+    * bit-equal across engines (q158's hash-match proves the trainer);
+    * ties break on neighbor id. */
+  def q160(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = trainedCodebooks(spark, sfDir)
+    val n = vecs(spark, sfDir)
+    // All M codes in ONE narrow two-step projection (slice each
+    // subspace once, then its argmin), MATERIALIZED before the
+    // serving join: the encoded table is the artifact a PQ service
+    // stores (vec_id + M small ints — 32:1 vs the raw vectors), and
+    // materializing it keeps the 32-distance encode expression out
+    // of the join/window stage, where the measured plan re-evaluated
+    // it per candidate PAIR (a ×|probes| blow-up: 22 s → 3 s at ×10).
+    val sliced = n.select(
+      col("vec_id") +: (0 until PqM).map(m =>
+        slice(col("v"), m * PqSubDim + 1, PqSubDim).as(s"s$m")): _*)
+    val enc = sliced.select(
+      col("vec_id") +: (0 until PqM).map { m =>
+        pqBestOn(col(s"s$m"), cents(m)).getField("c_id").as(s"c$m")
+      }: _*).scopedCache
+    enc.count() // eager: encode once, serve many
+    // per-probe LUTs: code -> squared distance, driver-computed with
+    // the oracle's exact accumulation order
+    val probes = n.filter(col("vec_id") < 20).collect().map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val luts = (0 until PqM).map { m =>
+        cents(m).map { case (cId, cv) =>
+          var acc = 0.0
+          var i = 0
+          while (i < PqSubDim) {
+            val d = qv(m * PqSubDim + i) - cv(i); acc += d * d; i += 1
+          }
+          cId -> acc
+        }.toMap
+      }
+      (r.getLong(0), luts(0), luts(1), luts(2), luts(3))
+    }.toSeq
+    import spark.implicits._
+    val q = probes.toDF("q_id", "lut0", "lut1", "lut2", "lut3")
+    val adcSq = (0 until PqM).map(m => col(s"lut$m")(col(s"c$m")))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy("q_id").orderBy(col("adc_sq"), col("vec_id"))
+    enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("adc_sq", adcSq)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        floorRound(sqrt(col("adc_sq")), 6).as("adc_dist"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Per-subspace unrolled Lloyd chains + code assignment (the
+    * q158Sql geometry), then ADC as M per-pair list_transform sums
+    * added in the same textual order as the Spark column. */
+  val q160Sql: String = {
+    val subs = (0 until PqM).map { m =>
+      s"""s$m AS (SELECT vec_id, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS v FROM n),
+         |${kmeansCtesSql(s"s$m", PqSubDim, s"s$m")},
+         |f$m AS (SELECT vec_id, cluster AS c$m FROM (
+         |  SELECT s$m.vec_id, c.c_id AS cluster,
+         |    row_number() OVER (PARTITION BY s$m.vec_id
+         |      ORDER BY list_distance(c.cv, s$m.v), c.c_id) AS rk
+         |  FROM s$m, s${m}c$KmeansIters c) t WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val parts = (0 until PqM).map { m =>
+      s"list_aggregate(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (q.qv[${m * PqSubDim} + i] - k$m.cv[i]) * " +
+        s"(q.qv[${m * PqSubDim} + i] - k$m.cv[i])), 'sum')"
+    }
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = $Dim),
+       |$subs,
+       |enc AS (
+       |  SELECT f0.vec_id, f0.c0, f1.c1, f2.c2, f3.c3
+       |  FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
+       |    JOIN f3 USING (vec_id)),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM n WHERE vec_id < 20),
+       |pairs AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    ${parts(0)} + ${parts(1)} + ${parts(2)} + ${parts(3)} AS adc_sq
+       |  FROM q, enc e
+       |  JOIN s0c$KmeansIters k0 ON k0.c_id = e.c0
+       |  JOIN s1c$KmeansIters k1 ON k1.c_id = e.c1
+       |  JOIN s2c$KmeansIters k2 ON k2.c_id = e.c2
+       |  JOIN s3c$KmeansIters k3 ON k3.c_id = e.c3
+       |  WHERE e.vec_id <> q.q_id)
+       |SELECT q_id, rank, neighbor_id,
+       |  ${floorRoundSql("sqrt(adc_sq)", 6)} AS adc_dist
+       |FROM (
+       |  SELECT q_id, vec_id AS neighbor_id, adc_sq,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_sq, vec_id) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_pq_codebook" -> q158 _,
+    "q160_pq_adc_knn" -> q160 _,
     "q159_embed_dim_stats" -> q159 _,
     "q77_kmeans_train" -> q77 _,
     "q143_cluster_silhouette" -> q143 _,
@@ -1523,6 +1668,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q158_pq_codebook" -> q158Sql,
+    "q160_pq_adc_knn" -> q160Sql,
     "q159_embed_dim_stats" -> q159Sql,
     "q77_kmeans_train" -> q77Sql,
     "q143_cluster_silhouette" -> q143Sql,

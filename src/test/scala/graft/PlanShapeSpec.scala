@@ -277,6 +277,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no map-side partial cell aggregation:\n$p")
   }
 
+  test("q160: PQ serving — narrow one-scan encoder, LUT probes broadcast, corpus never shuffles before the top-k") {
+    // The encoded corpus is computed by ONE narrow scan (the M
+    // argmins are a projection — a join-based encoder would shuffle
+    // the corpus M times) and MATERIALIZED (InMemoryTableScan) before
+    // the serving join — without that boundary the measured plan
+    // re-evaluated the 32-distance encode per candidate PAIR, a
+    // ×|probes| blow-up. The O(Q·M·k) probe LUTs must BROADCAST onto
+    // it (nested-loop, since the probe predicate is an inequality); a
+    // SortMergeJoin or extra scan here means the serving path started
+    // paying corpus-sized shuffles for a lookup-table computation.
+    val p = plan("q160_pq_adc_knn")
+    val scans = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scans.size == 1,
+      s"expected 1 distinct embeddings scan, got $scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"encoded table not materialized before the serving join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"probe LUTs not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-shuffling join in the ADC path:\n$p")
+  }
+
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
     // A Window.partitionBy(term) fully sorts each term's posting list
     // — a skew cliff on hot stop-terms at scale. The bounded
