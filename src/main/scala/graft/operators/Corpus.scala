@@ -686,7 +686,146 @@ object Corpus {
       |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  /** q161 leg width (per-leg shortlist size) and the RRF smoothing
+    * constant (Cormack/Clarke/Büttcher SIGIR 2009's k = 60). */
+  private val RrfLegK = 30
+  private val RrfC = "60.0"
+
+  /** The RRF contribution of one leg's rank column, written ONCE and
+    * instantiated for both engines: 1/(k + rank), 0 when the doc is
+    * outside that leg's shortlist. */
+  private def rrfTermSql(rank: String): String =
+    s"coalesce(1.0 / ($RrfC + CAST($rank AS DOUBLE)), 0.0)"
+
+  /** q161 — hybrid retrieval via reciprocal-rank fusion: the standard
+    * two-tower RAG serving shape. Leg 1 (lexical) is q113's BM25
+    * scorer over the fixed query-term set; leg 2 (semantic) is cosine
+    * similarity against a probe embedding (the lowest-id nonzero-norm
+    * vector — deterministic on both engines, and the nrm > 0 guard is
+    * the q36 zero-norm/NaN discipline). Each leg keeps only its
+    * top-[[RrfLegK]] shortlist; fusion scores every shortlisted doc
+    * 1/(60+r_lex) + 1/(60+r_sem) (absent leg contributes 0 — ranks,
+    * not scores, so the two legs' incomparable scales never need
+    * calibration, the whole point of RRF) and reports the fused
+    * top-10 with both leg ranks.
+    *
+    * Scale shape: the legs are the bounded primitives the suite
+    * already prices — BM25's term-filtered tf shuffle (only docs
+    * containing a query term reach the aggregate) and one narrow
+    * cosine projection with a TakeOrdered head; NOTHING global is
+    * ranked — fusion operates on ≤ 2·[[RrfLegK]] rows, so corpus
+    * size never appears after the leg heads. At 100 TB each leg's
+    * shortlist would come from its own index (q113's inverted
+    * postings, q160's ADC) — the fusion stage is unchanged.
+    *
+    * Determinism: leg ranks are integers ordered by (bit-stable
+    * score, doc_id) — BM25's floorRound-12-per-term DECIMAL sum and
+    * the q29-proven cosine equivalence; the RRF sum is two exact
+    * divisions added in fixed textual order. */
+  def q161(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    import graft.functions.DotProduct.dot_product
+    // ---- lexical leg: q113's scorer, shortlisted ----
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      expr(bm25AvgdlFormula).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"), max("dl").as("dl"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lexScored = tf.join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", expr(bm25TermFormula))
+      .groupBy("doc_id")
+      .agg(floorRound(sum(col("term_score")).cast("double"), 6).as("score"))
+    val lex = lexScored
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfLegK)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rank")
+    // ---- semantic leg: cosine vs the lowest-id valid probe ----
+    // embeddings are 64-dim; vec_id ≡ doc_id in the fixtures
+    val nn = Tables.embeddings(spark, sfDir)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(dot_product(col("v"), col("v")) > 0.0)
+    val pr = nn.orderBy("vec_id").limit(1).collect()(0)
+    val qv = pr.getSeq[Double](1).toSeq
+    val sem = nn
+      .withColumn("cos", cosine_sim(typedlit(qv), col("v")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(RrfLegK)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    // ---- fusion: O(2·LegK) rows from here on ----
+    val rrf = expr(rrfTermSql("lex_rank")) + expr(rrfTermSql("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+        floorRound(col("rrf"), 6).as("rrf_score"))
+  }
+
+  val q161Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |docs AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+       |stats AS (SELECT count(*) AS n, $bm25AvgdlFormula AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS c, max(dl) AS dl FROM (
+       |    SELECT doc_id, dl, unnest(t) AS tok FROM docs) u
+       |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |lexscored AS (
+       |  SELECT doc_id,
+       |    ${floorRoundSql("CAST(sum(term_score) AS DOUBLE)", 6)} AS score
+       |  FROM (
+       |    SELECT tf.doc_id, $bm25TermFormula AS term_score
+       |    FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN stats) s
+       |  GROUP BY doc_id),
+       |lex AS (
+       |  SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+       |    FROM lexscored) r WHERE lex_rank <= $RrfLegK),
+       |n AS (
+       |  SELECT vec_id, v, nrm FROM (
+       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |      sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+       |        x -> x * x), 'sum')) AS nrm
+       |    FROM embeddings WHERE len(embedding) = 64) t0
+       |  WHERE nrm > 0),
+       |probe AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+       |  ORDER BY vec_id LIMIT 1),
+       |semscored AS (
+       |  SELECT n.vec_id AS doc_id,
+       |    list_inner_product(qv, n.v) / (qn * n.nrm) AS cos
+       |  FROM n, probe),
+       |sem AS (
+       |  SELECT doc_id, sem_rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+       |    FROM semscored) r WHERE sem_rank <= $RrfLegK),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    lex.lex_rank, sem.sem_rank,
+       |    ${rrfTermSql("lex.lex_rank")} + ${rrfTermSql("sem.sem_rank")} AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id,
+       |  CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |  CAST(coalesce(sem_rank, 0) AS BIGINT) AS sem_rank,
+       |  ${floorRoundSql("rrf", 6)} AS rrf_score
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_hybrid_rrf" -> q161 _,
     "q69_doc_chunking" -> q69 _,
     "q70_repetition_score" -> q70 _,
     "q71_tfidf_topterms" -> q71 _,
@@ -700,6 +839,7 @@ object Corpus {
     "q149_curriculum_interleave" -> q149 _)
 
   val oracles: Map[String, String] = Map(
+    "q161_hybrid_rrf" -> q161Sql,
     "q69_doc_chunking" -> q69Sql,
     "q70_repetition_score" -> q70Sql,
     "q71_tfidf_topterms" -> q71Sql,

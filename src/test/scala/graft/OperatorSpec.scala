@@ -1498,6 +1498,55 @@ class OperatorSpec extends AnyFunSuite {
       f"ADC top-3 recall $recall%.3f below floor (0.08) or 5× chance ($chance%.4f)")
   }
 
+  test("q161 RRF fusion: lex leg pins to q113, sem leg matches a cosine replay, scores obey the RRF law") {
+    import org.apache.spark.sql.functions._
+    def fr(x: Double, k: Int): Double = {
+      val m = math.pow(10, k); math.floor(x * m + 0.5) / m
+    }
+    val out = SparkEntry.queries("q161_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 10)
+    // (1) lexical-leg consistency: q161's lex ranks must agree with
+    // q113's published top-15 (same scorer, same ordering)
+    val bm25 = SparkEntry.queries("q113_bm25_retrieval")(spark, sf).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1).toLong }.toMap
+    out.foreach { case (doc, lexRank, _, _) =>
+      if (lexRank > 0 && lexRank <= 15)
+        assert(bm25.get(doc) === Some(lexRank),
+          s"doc $doc lex_rank $lexRank disagrees with q113")
+    }
+    // (2) semantic-leg replay: cosine vs the lowest-id nonzero-norm
+    // probe, the native expression's exact fused-loop arithmetic
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .filter { case (_, v) => v.exists(_ != 0.0) }
+    val qv = vecs.minBy(_._1)._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val semRank = vecs.map { case (id, v) => (cos(qv, v), id) }
+      .sortBy { case (c, id) => (-c, id) }.take(30).zipWithIndex
+      .map { case ((_, id), i) => id -> (i + 1).toLong }.toMap
+    out.foreach { case (doc, _, sr, _) =>
+      assert(sr === semRank.getOrElse(doc, 0L), s"doc $doc sem_rank")
+    }
+    // (3) the RRF law, recomputed from the output's own ranks
+    out.foreach { case (doc, lr, sr, score) =>
+      val exp = (if (lr > 0) 1.0 / (60.0 + lr) else 0.0) +
+        (if (sr > 0) 1.0 / (60.0 + sr) else 0.0)
+      assert(score === fr(exp, 6), s"doc $doc rrf_score")
+      assert(lr > 0 || sr > 0, s"doc $doc in neither shortlist")
+    }
+    // (4) fused list is rank-ordered (non-increasing scores)
+    assert(out.map(_._4).toSeq === out.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("q160 absolute recall vs q58 truth ≥ 0.10 at sf0.1 (measured: 0.167, 67× chance)") {
     // The q132-style fixed-scale pin: at the driver gate's ×10 scale
     // the 12-bit ADC shortlist still recalls a sixth of the exact-L2

@@ -277,6 +277,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no map-side partial cell aggregation:\n$p")
   }
 
+  test("q161: RRF legs end in bounded heads; fusion never ranks the corpus globally") {
+    // Both legs must shortlist via TakeOrderedAndProject (bounded
+    // per-partition heaps), the BM25 tf aggregate must combine
+    // map-side, and no CartesianProduct may appear — the only
+    // permitted cross joins are 1-row broadcast stats/probe sides.
+    val p = plan("q161_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded leg head:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in the fusion path:\n$p")
+  }
+
   test("q160: PQ serving — narrow one-scan encoder, LUT probes broadcast, corpus never shuffles before the top-k") {
     // The encoded corpus is computed by ONE narrow scan (the M
     // argmins are a projection — a join-based encoder would shuffle
