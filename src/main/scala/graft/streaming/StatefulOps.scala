@@ -34,6 +34,18 @@ case class AnonReport(event_type: String, n_groups: Long, n_rows: Long,
     min_group: Long, n_small_groups: Long, n_rows_at_risk: Long,
     risk_share: Double)
 
+/** SpaceSaving sketch state for the live skew monitor: at most
+  * `capacity` (key → estimated count) counters plus each counter's
+  * overestimation bound, and the exact total row count. */
+case class SkewSketch(counts: Map[Long, Long], errs: Map[Long, Long],
+    n: Long)
+
+/** One shortlist row from [[StatefulOps.skewMonitor]]: the current
+  * rank-`rank` heaviest key of `event_type`, with the SpaceSaving
+  * bracket true ∈ [est − err, est]. */
+case class SkewTop(event_type: String, n_rows: Long, rank: Long,
+    key_id: Long, est: Long, err: Long)
+
 /** Custom stateful streaming operators via KeyValueGroupedDataset
   * state APIs — the arbitrary-state tier beyond watermark + windowed
   * aggregation (EventStreams): blow's conceptually-unbounded pipelines
@@ -159,6 +171,67 @@ object StatefulOps {
     * monitor's no-GC argument — so NoTimeout is safe indefinitely.
     * risk_share goes through the same floor(x·10⁶+0.5)/10⁶ recipe
     * as every compared double. */
+  implicit val skewSketchEnc: Encoder[SkewSketch] = Encoders.product[SkewSketch]
+  implicit val skewTopEnc: Encoder[SkewTop] = Encoders.product[SkewTop]
+
+  /** One SpaceSaving step (Metwally/Agrawal/El Abbadi, ICDT 2005),
+    * factored out so the eviction path is unit-testable without a
+    * streaming harness. Deterministic victim choice: the entry with
+    * the smallest count, smallest key (the sorted-batch discipline
+    * makes the whole monitor replay-deterministic). Invariants the
+    * spec leans on: est(k) ≥ true(k) ≥ est(k) − err(k), and any key
+    * with true count > n/capacity is guaranteed present. */
+  private[graft] def ssStep(counts: Map[Long, Long], errs: Map[Long, Long],
+      capacity: Int, key: Long): (Map[Long, Long], Map[Long, Long]) =
+    counts.get(key) match {
+      case Some(c) => (counts.updated(key, c + 1), errs)
+      case None if counts.size < capacity =>
+        (counts.updated(key, 1L), errs.updated(key, 0L))
+      case None =>
+        val (victim, vCount) = counts.toSeq.minBy { case (k, c) => (c, k) }
+        (counts - victim + (key -> (vCount + 1)),
+          errs - victim + (key -> vCount))
+    }
+
+  /** Streaming twin of the shuffle-key skew profile (Analytics.q157)
+    * — the salt/AQE-threshold diagnostic as a LIVE monitor. The batch
+    * profile's O(distinct keys) histogram is the honest answer for a
+    * nightly job, but a monitor that must run forever needs BOUNDED
+    * state: per event type a [[ssStep SpaceSaving]] table of
+    * `capacity` counters (the q66 sketch family's streaming member),
+    * re-emitting the current top-`topK` estimate bracket each
+    * micro-batch. Any key whose true share exceeds 1/capacity — the
+    * only keys that can matter for a salt decision — is guaranteed in
+    * the table with true ∈ [est − err, est]; when distinct keys ≤
+    * capacity (the spec's replay regime) the sketch IS exact and the
+    * final emission reproduces the batch top-10 verbatim.
+    *
+    * State per type: ≤ capacity counters + errors — O(types ×
+    * capacity) total, stream-volume-independent, so NoTimeout is safe
+    * indefinitely (the q142-monitor no-GC argument). Batch rows are
+    * sorted by (ts, event_id) before the fold (the sessionsCustom
+    * discipline), making emissions bit-replayable for a fixed
+    * batching. */
+  def skewMonitor(events: Dataset[Ev], capacity: Int = 64,
+      topK: Int = 10): Dataset[SkewTop] =
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SkewSketch, SkewTop](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Ev], state: GroupState[SkewSketch]) =>
+          var (counts, errs, n) = state.getOption
+            .map(s => (s.counts, s.errs, s.n)).getOrElse(
+              (Map.empty[Long, Long], Map.empty[Long, Long], 0L))
+          rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val (c2, e2) = ssStep(counts, errs, capacity, e.user_id)
+            counts = c2; errs = e2; n += 1
+          }
+          state.update(SkewSketch(counts, errs, n))
+          counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(topK)
+            .zipWithIndex.iterator.map { case ((k, c), i) =>
+              SkewTop(etype, n, (i + 1).toLong, k, c, errs(k))
+            }
+      }
+
   def anonymityMonitor(events: Dataset[Ev]): Dataset[AnonReport] = {
     import graft.operators.Events.{AnonK, DayNs, ValueBandWidth}
     val dayMs = DayNs / 1000000L

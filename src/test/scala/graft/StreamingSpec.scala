@@ -572,6 +572,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming skew monitor (q157 twin): final emissions ≡ exact per-type top-10 after a multi-batch replay") {
+    import graft.streaming.{Ev, StatefulOps}
+    import graft.streaming.StatefulOps.evEnc
+    val multiDir = writeEventsJson(4, "graft_skewstream")
+    val stream = EventStreams.readEventStream(spark, multiDir, maxFilesPerTrigger = 1).as[Ev]
+    val q = EventStreams.runToMemory(
+      StatefulOps.skewMonitor(stream).toDF(), "skew_out", outputMode = "update")
+    try {
+      assert(q.recentProgress.length >= 4, "cross-batch state path not exercised")
+      val rows = spark.table("skew_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      // final emission per type = the one carrying the full row count
+      val finals = rows.groupBy(_._1).map { case (t, rs) =>
+        val nMax = rs.map(_._2).max
+        t -> rs.filter(_._2 == nMax).sortBy(_._3)
+      }
+      // exact per-type histogram: the fixture has ≤15 users per type,
+      // far under the 64-counter capacity, so the sketch must be
+      // EXACT (err 0) and the shortlist must equal the true top-10
+      val exact = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select("event_type", "user_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (t, es) =>
+          val counts = es.groupBy(_._2).map { case (u, o) => (u, o.length.toLong) }
+          t -> (es.length.toLong,
+            counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10))
+        }
+      assert(finals.keySet === exact.keySet, "event_type coverage diverges")
+      finals.foreach { case (t, got) =>
+        val (nRows, top) = exact(t)
+        assert(got.length === top.length, s"type $t shortlist length")
+        got.zip(top).zipWithIndex.foreach { case (((_, n, rank, key, est, err), (ek, ec)), i) =>
+          assert(n === nRows, s"type $t n_rows")
+          assert(rank === (i + 1).toLong)
+          assert(key === ek, s"type $t rank ${i + 1} key")
+          assert(est === ec, s"type $t rank ${i + 1} count")
+          assert(err === 0L, s"type $t rank ${i + 1}: sketch evicted below capacity")
+        }
+      }
+      assert(rows.length > finals.values.map(_.length).sum,
+        "no intermediate emissions seen")
+    } finally q.stop()
+  }
+
+  test("SpaceSaving step: eviction keeps the no-false-negative bracket, deterministic victim") {
+    import graft.streaming.StatefulOps.ssStep
+    // capacity 3, stream: a a a b c d — d must evict the smallest
+    // (count, key) victim (b, count 1) and inherit its count as err
+    val seq = Seq(1L, 1L, 1L, 2L, 3L, 4L)
+    var (c, e) = (Map.empty[Long, Long], Map.empty[Long, Long])
+    seq.foreach { k => val r = ssStep(c, e, 3, k); c = r._1; e = r._2 }
+    assert(c.keySet === Set(1L, 3L, 4L), s"counter set $c")
+    assert(c(1L) === 3L && e(1L) === 0L, "heavy key stays exact")
+    assert(c(4L) === 2L && e(4L) === 1L, "newcomer inherits victim count + err")
+    // invariants on a longer adversarial replay: est >= true >= est - err
+    val stream2 = (1 to 200).map(i => (i % 7).toLong) ++ Seq.fill(50)(9L)
+    var (c2, e2) = (Map.empty[Long, Long], Map.empty[Long, Long])
+    stream2.foreach { k => val r = ssStep(c2, e2, 4, k); c2 = r._1; e2 = r._2 }
+    val truth = stream2.groupBy(identity).map { case (k, o) => (k, o.length.toLong) }
+    c2.foreach { case (k, est) =>
+      assert(est >= truth.getOrElse(k, 0L), s"key $k est below true")
+      assert(est - e2(k) <= truth.getOrElse(k, 0L), s"key $k floor above true")
+    }
+    // the one key above n/capacity must be present
+    val n = stream2.length
+    truth.filter(_._2 > n / 4).keys.foreach { k =>
+      assert(c2.contains(k), s"heavy key $k missing after eviction churn")
+    }
+  }
+
   test("custom bounded top-k aggregator accumulates across micro-batches to the batch answer") {
     // The claim: TopKPostings (the q87 skew-safe posting-list head) is
     // not just map-side mergeable — its merge() is correct across
