@@ -1645,7 +1645,120 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** q162 geometry: shortlist width, selection size, and the
+    * relevance/diversity trade-off λ (Carbonell/Goldstein SIGIR 1998
+    * use 0.7 for their summarization runs). Written as SQL-text
+    * fragments so both engines evaluate the identical expression. */
+  private val MmrShortlist = 30
+  private val MmrK = 5
+  private val MmrScoreSql: String => String =
+    maxSim => s"0.7 * rel - 0.3 * $maxSim"
+
+  /** q162 — maximal-marginal-relevance (MMR) diversified selection:
+    * the diversity-aware retrieval head (Carbonell/Goldstein 1998)
+    * a curation pipeline runs when the plain top-k is redundant —
+    * few-shot example selection, dedup-aware context packing, eval
+    * set construction. From the cosine top-[[MmrShortlist]] shortlist
+    * against the q161 probe (lowest-id nonzero-norm vector), greedily
+    * pick [[MmrK]] documents maximizing 0.7·rel − 0.3·max-sim-to-
+    * already-picked (ties → doc id), reporting rank, relevance, and
+    * the marginal score at pick time.
+    *
+    * Scale shape: the corpus-sized work is exactly one narrow cosine
+    * projection with a TakeOrdered head (the q29/q161 leg); the
+    * greedy head is INHERENTLY sequential (step i depends on picks
+    * 1..i−1), so it runs on the driver over the collected 30-row
+    * shortlist — O(shortlist·k) flops on O(shortlist·d) bounded
+    * bytes, the same driver-state class as k-means' O(k·d) centroids
+    * (distributing 30 rows through k dependent stages would pay k
+    * job launches to avoid kilobytes of driver state). At 100 TB the
+    * shortlist would come from an index (q30/q160) — the head is
+    * unchanged.
+    *
+    * Determinism: rel comes from the codegen'd [[cosine_sim]] (q29's
+    * proven DuckDB equivalence); pairwise sims replay the SAME fused
+    * dot/norms loop on the driver; the score is the shared
+    * [[MmrScoreSql]] text on both engines; max over picked sims is
+    * exact; floor-rounds only at presentation. */
+  def q162(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = cvecs(spark, sfDir)
+    val qv = n.orderBy("vec_id").limit(1).collect()(0).getSeq[Double](1).toSeq
+    val cand = n
+      .withColumn("rel", cosine_sim(typedlit(qv), col("v")))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrShortlist)
+      .select("vec_id", "rel", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Array[Double])]
+    var remaining = cand.toSeq
+    for (_ <- 1 to math.min(MmrK, cand.length)) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => cos(v, p._4)).max
+        (0.7 * rel - 0.3 * maxSim, id, rel, v)
+      }
+      val best = scored.minBy { case (sc, id, _, _) => (-sc, id) }
+      picked += ((best._2, best._3, best._1, best._4))
+      remaining = remaining.filterNot(_._1 == best._2)
+    }
+    def fr6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val rows = picked.toSeq.zipWithIndex.map { case ((id, rel, sc, _), i) =>
+      ((i + 1).toLong, id, fr6(rel), fr6(sc))
+    }
+    import spark.implicits._
+    rows.toDF("rank", "doc_id", "rel", "mmr_score").orderBy("rank")
+  }
+
+  /** Unrolled greedy chain: pick_i selects the argmax of the shared
+    * [[MmrScoreSql]] over candidates outside sel_{i-1}, with max-sim
+    * computed from the 30×29 pairwise-cosine relation — bounded CTEs
+    * throughout, the [[kmeansCtesSql]] oracle discipline. */
+  val q162Sql: String = {
+    val steps = (2 to MmrK).map { i =>
+      s"""pick$i AS (
+         |  SELECT c.doc_id, c.rel, ${MmrScoreSql("ms.m")} AS score
+         |  FROM cand c JOIN (
+         |    SELECT ia, max(sim) AS m FROM p
+         |    WHERE ib IN (SELECT doc_id FROM sel${i - 1}) GROUP BY ia) ms
+         |    ON ms.ia = c.doc_id
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+         |  ORDER BY score DESC, c.doc_id LIMIT 1),
+         |sel$i AS (SELECT doc_id FROM sel${i - 1}
+         |  UNION ALL SELECT doc_id FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(i =>
+      s"SELECT $i AS rank, doc_id, rel, score FROM pick$i").mkString(" UNION ALL ")
+    s"""WITH $normedSql,
+       |probe AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+       |  ORDER BY vec_id LIMIT 1),
+       |cand AS (
+       |  SELECT vec_id AS doc_id,
+       |    list_inner_product(qv, v) / (qn * nrm) AS rel, v, nrm
+       |  FROM n, probe ORDER BY rel DESC, vec_id LIMIT $MmrShortlist),
+       |p AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |    list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+       |  FROM cand a, cand b WHERE a.doc_id <> b.doc_id),
+       |pick1 AS (
+       |  SELECT doc_id, rel, ${MmrScoreSql("0.0")} AS score
+       |  FROM cand ORDER BY score DESC, doc_id LIMIT 1),
+       |sel1 AS (SELECT doc_id FROM pick1),
+       |$steps
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       |  ${floorRoundSql("rel", 6)} AS rel,
+       |  ${floorRoundSql("score", 6)} AS mmr_score
+       |FROM ($out) u ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_mmr_select" -> q162 _,
     "q158_pq_codebook" -> q158 _,
     "q160_pq_adc_knn" -> q160 _,
     "q159_embed_dim_stats" -> q159 _,
@@ -1667,6 +1780,7 @@ object Similarity {
     "q137_hard_negatives" -> q137 _)
 
   val oracles: Map[String, String] = Map(
+    "q162_mmr_select" -> q162Sql,
     "q158_pq_codebook" -> q158Sql,
     "q160_pq_adc_knn" -> q160Sql,
     "q159_embed_dim_stats" -> q159Sql,

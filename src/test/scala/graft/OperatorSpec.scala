@@ -1547,6 +1547,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq === out.map(_._4).sortBy(-_).toSeq)
   }
 
+  test("q162 MMR selection matches a full greedy replay; scores non-increasing; rank 1 is the plain argmax") {
+    import org.apache.spark.sql.functions._
+    def fr6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .filter { case (_, v) => v.exists(_ != 0.0) }
+    val qv = vecs.minBy(_._1)._2
+    val cand = vecs.map { case (id, v) => (id, cos(qv, v), v) }
+      .sortBy { case (id, rel, _) => (-rel, id) }.take(30)
+    // greedy replay with the query's exact formula text
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val pickedVs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var rem = cand.toSeq
+    for (_ <- 1 to 5) {
+      val best = rem.map { case (id, rel, v) =>
+        val maxSim = if (pickedVs.isEmpty) 0.0 else pickedVs.map(cos(v, _)).max
+        (0.7 * rel - 0.3 * maxSim, id, rel, v)
+      }.minBy { case (sc, id, _, _) => (-sc, id) }
+      picked += ((best._2, best._3, best._1))
+      pickedVs += best._4
+      rem = rem.filterNot(_._1 == best._2)
+    }
+    val out = SparkEntry.queries("q162_mmr_select")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 5)
+    out.zip(picked).zipWithIndex.foreach { case (((rank, doc, rel, sc), (eid, erel, esc)), i) =>
+      assert(rank === (i + 1).toLong)
+      assert(doc === eid, s"rank ${i + 1} pick")
+      assert(rel === fr6(erel), s"rank ${i + 1} rel")
+      assert(sc === fr6(esc), s"rank ${i + 1} score")
+    }
+    // structural invariants: rank 1 is the relevance argmax (empty
+    // penalty), marginal scores never increase (shrinking pool,
+    // growing penalty), and all picks are distinct shortlist members
+    assert(out.head._2 === cand.maxBy { case (id, rel, _) => (rel, -id) }._1)
+    assert(out.head._4 === fr6(0.7 * out.head._3 - 0.3 * 0.0), "rank-1 score law")
+    assert(out.map(_._4).toSeq === out.map(_._4).sortBy(-_).toSeq,
+      "marginal scores increased")
+    assert(out.map(_._2).distinct.length === 5, "duplicate picks")
+    val candIds = cand.map(_._1).toSet
+    assert(out.forall(r => candIds(r._2)), "pick outside the shortlist")
+  }
+
   test("q160 absolute recall vs q58 truth ≥ 0.10 at sf0.1 (measured: 0.167, 67× chance)") {
     // The q132-style fixed-scale pin: at the driver gate's ×10 scale
     // the 12-bit ADC shortlist still recalls a sixth of the exact-L2
