@@ -1757,7 +1757,120 @@ object Similarity {
        |FROM ($out) u ORDER BY rank""".stripMargin
   }
 
+  /** q163 language pair: mine English-source / German-target
+    * candidates (the fixture's largest and a mid-size lang). */
+  private val BitextSrcLang = "en"
+  private val BitextTgtLang = "de"
+
+  /** q163 — margin-based bitext mining: the parallel-corpus miner
+    * (Artetxe/Schwenk margin criterion, the difference variant) that
+    * harvests translation-pair candidates for multilingual training.
+    * Every document's embedding is assigned to its q77-trained IVF
+    * cell (the q30/q132 serving assignment, verbatim); within each
+    * cell, every source-language doc scores its target-language
+    * candidates by cosine, and the MARGIN — best minus second-best —
+    * separates genuine translation pairs (one clear match) from
+    * dense-region noise (many near-equal neighbors, the hubness
+    * failure absolute-threshold mining suffers). Reports the top-10
+    * pairs by margin with the candidate count that backed each.
+    *
+    * Scale shape: assignment is the narrow centroid-literal argmax
+    * (no shuffle); the cross-language pair build joins ONLY within a
+    * cell with the smaller language side broadcast — a probe touches
+    * |tgt-lang|/nlist of the corpus, never all-pairs (at 100 TB the
+    * target side is a per-cell ANN index, this query prices its
+    * layout); ranking is per-source-doc over cell-bounded candidates;
+    * the final head is a TakeOrdered top-10. Requiring a second-best
+    * candidate (margin needs one) drops singleton-cell sources — the
+    * criterion is undefined there, exactly as in the paper.
+    *
+    * Determinism: cell assignment and cosine are the q30/q132-proven
+    * expressions; the margin is one subtraction of bit-equal doubles;
+    * ties break on doc ids; floor-rounds at presentation only. */
+  def q163(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = trainedCentroids(spark, sfDir)
+    val n = cvecs(spark, sfDir)
+    val langs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val assigned = n.withColumn("best", array_min(centStructs(cents)))
+      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
+      .join(langs, col("vec_id") === col("doc_id"))
+    val src = assigned.filter(col("lang") === BitextSrcLang)
+      .select(col("vec_id").as("src_doc"), col("v").as("sv"), col("cluster"))
+    val tgt = assigned.filter(col("lang") === BitextTgtLang)
+      .select(col("vec_id").as("tgt_doc"), col("v").as("tv"), col("cluster"))
+    val wRank = Window.partitionBy("src_doc").orderBy(col("cos").desc, col("tgt_doc"))
+    val wCnt = Window.partitionBy("src_doc")
+    val ranked = src.join(broadcast(tgt), Seq("cluster"))
+      .withColumn("cos", cosine_sim(col("sv"), col("tv")))
+      .withColumn("n_cands", count(lit(1)).over(wCnt))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 2)
+    ranked.groupBy("src_doc")
+      .agg(max(when(col("rk") === 1,
+          struct(col("cos"), col("tgt_doc")))).as("first"),
+        max(when(col("rk") === 2, col("cos"))).as("cos2"),
+        max("n_cands").as("n_cands"))
+      .filter(col("cos2").isNotNull) // margin undefined for singletons
+      .select(col("src_doc"), col("first.tgt_doc").as("tgt_doc"),
+        col("n_cands"),
+        col("first.cos").as("cos1"), (col("first.cos") - col("cos2")).as("mg"))
+      .orderBy(col("mg").desc, col("src_doc")).limit(10)
+      .select(col("src_doc"), col("tgt_doc"), col("n_cands"),
+        floorRound(col("cos1"), 6).as("cos_best"),
+        floorRound(col("mg"), 6).as("margin"))
+  }
+
+  /** The q132Sql cell-assignment chain, then the within-cell
+    * cross-language rank/margin in plain SQL. */
+  val q163Sql: String =
+    s"""WITH nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = $Dim),
+       |${kmeansCtesSql("nv")},
+       |n AS (
+       |  SELECT vec_id, v, nrm FROM (
+       |    SELECT vec_id, v,
+       |      sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+       |    FROM nv) t0
+       |  WHERE nrm > 0),
+       |cent AS (SELECT c_id, cv AS qv,
+       |    sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')) AS qn
+       |  FROM c$KmeansIters),
+       |rankedc AS (
+       |  SELECT n.vec_id, n.v, n.nrm, cent.c_id,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY list_inner_product(cent.qv, n.v) / (cent.qn * n.nrm) DESC,
+       |               cent.c_id) AS rk
+       |  FROM n, cent),
+       |al AS (
+       |  SELECT r.vec_id, r.v, r.nrm, r.c_id AS cluster, d.lang
+       |  FROM rankedc r JOIN documents d ON d.doc_id = r.vec_id
+       |  WHERE r.rk = 1),
+       |src AS (SELECT vec_id AS src_doc, v AS sv, nrm AS sn, cluster
+       |  FROM al WHERE lang = '$BitextSrcLang'),
+       |tgt AS (SELECT vec_id AS tgt_doc, v AS tv, nrm AS tn, cluster
+       |  FROM al WHERE lang = '$BitextTgtLang'),
+       |pairs AS (
+       |  SELECT s.src_doc, t.tgt_doc,
+       |    list_inner_product(s.sv, t.tv) / (s.sn * t.tn) AS cos
+       |  FROM src s JOIN tgt t ON s.cluster = t.cluster),
+       |rk AS (
+       |  SELECT src_doc, tgt_doc, cos,
+       |    row_number() OVER (PARTITION BY src_doc
+       |      ORDER BY cos DESC, tgt_doc) AS rk,
+       |    count(*) OVER (PARTITION BY src_doc) AS n_cands
+       |  FROM pairs),
+       |top AS (
+       |  SELECT r1.src_doc, r1.tgt_doc, r1.n_cands, r1.cos AS cos1,
+       |    r2.cos AS cos2
+       |  FROM rk r1 JOIN rk r2
+       |    ON r1.src_doc = r2.src_doc AND r1.rk = 1 AND r2.rk = 2)
+       |SELECT src_doc, tgt_doc, CAST(n_cands AS BIGINT) AS n_cands,
+       |  ${floorRoundSql("cos1", 6)} AS cos_best,
+       |  ${floorRoundSql("cos1 - cos2", 6)} AS margin
+       |FROM top ORDER BY cos1 - cos2 DESC, src_doc LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_bitext_mining" -> q163 _,
     "q162_mmr_select" -> q162 _,
     "q158_pq_codebook" -> q158 _,
     "q160_pq_adc_knn" -> q160 _,
@@ -1780,6 +1893,7 @@ object Similarity {
     "q137_hard_negatives" -> q137 _)
 
   val oracles: Map[String, String] = Map(
+    "q163_bitext_mining" -> q163Sql,
     "q162_mmr_select" -> q162Sql,
     "q158_pq_codebook" -> q158Sql,
     "q160_pq_adc_knn" -> q160Sql,

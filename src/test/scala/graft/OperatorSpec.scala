@@ -1599,6 +1599,75 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.forall(r => candIds(r._2)), "pick outside the shortlist")
   }
 
+  test("q163 bitext margins match a full local replay (Lloyd cells → within-cell cross-lang rank)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.functions._
+    def fr6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    def dec(x: Double): JBD = new JBD(x).setScale(12, RoundingMode.HALF_UP)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    // q77's Lloyd recipe, replayed (L2 training; cosine serving)
+    var cents: Seq[(Long, Array[Double])] = all.filter(_._1 < 8).sortBy(_._1).toSeq
+    for (_ <- 1 to 3) {
+      cents = all.groupBy { case (_, v) =>
+        cents.map { case (c, cv) => (l2(cv, v), c) }.minBy(identity)._2
+      }.toSeq.map { case (c, vs) =>
+        (c, Array.tabulate(64) { p =>
+          vs.map(x => dec(x._2(p))).foldLeft(JBD.ZERO)(_.add(_))
+            .doubleValue() / vs.length
+        })
+      }.sortBy(_._1)
+    }
+    val nz = all.filter(_._2.exists(_ != 0.0))
+    val cellOf = nz.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (-cos(cv, v), c) }.minBy(identity)._2
+    }.toMap
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byId = nz.toMap
+    val src = nz.filter { case (id, _) => langs.get(id).contains("en") }
+    val tgtByCell = nz.filter { case (id, _) => langs.get(id).contains("de") }
+      .groupBy { case (id, _) => cellOf(id) }
+    val mined = src.flatMap { case (sid, sv) =>
+      val cands = tgtByCell.getOrElse(cellOf(sid), Array.empty)
+      if (cands.length < 2) None
+      else {
+        val ranked = cands.map { case (tid, tv) => (cos(sv, tv), tid) }
+          .sortBy { case (c, id) => (-c, id) }
+        Some((ranked(0)._1 - ranked(1)._1, sid, ranked(0)._2,
+          cands.length.toLong, ranked(0)._1))
+      }
+    }.sortBy { case (m, sid, _, _, _) => (-m, sid) }.take(10)
+    val out = SparkEntry.queries("q163_bitext_mining")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.length === mined.length)
+    out.zip(mined).foreach { case ((sd, td, nc, cb, mg), (em, esid, etid, enc, ecos)) =>
+      assert(sd === esid, "source doc")
+      assert(td === etid, s"target doc for source $sd")
+      assert(nc === enc, s"candidate count for source $sd")
+      assert(cb === fr6(ecos), s"cos_best for source $sd")
+      assert(mg === fr6(em), s"margin for source $sd")
+      assert(mg >= 0.0, "negative margin — rank order broken")
+      assert(langs(sd) === "en" && langs(td) === "de", "language sides swapped")
+      assert(byId.contains(sd) && byId.contains(td))
+    }
+  }
+
   test("q160 absolute recall vs q58 truth ≥ 0.10 at sf0.1 (measured: 0.167, 67× chance)") {
     // The q132-style fixed-scale pin: at the driver gate's ×10 scale
     // the 12-bit ADC shortlist still recalls a sixth of the exact-L2

@@ -289,6 +289,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cartesian product in the fusion path:\n$p")
   }
 
+  test("q163: bitext pair build is a broadcast join within cells — no shuffle on the 8-valued cluster key, no cartesian") {
+    // Joining corpus-sized sides on the nlist-valued cluster key via
+    // SMJ/shuffle would cap reducer parallelism at nlist (the q30
+    // lesson); the target-language side must BROADCAST. No cartesian
+    // product may appear anywhere.
+    val p = plan("q163_bitext_mining")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast pair join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in pair build:\n$p")
+    val smjOnCluster = p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("cluster"))
+    assert(!smjOnCluster, s"cluster-key shuffle join:\n$p")
+  }
+
   test("q160: PQ serving — narrow one-scan encoder, LUT probes broadcast, corpus never shuffles before the top-k") {
     // The encoded corpus is computed by ONE narrow scan (the M
     // argmins are a projection — a join-based encoder would shuffle
