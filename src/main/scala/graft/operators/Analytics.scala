@@ -938,6 +938,51 @@ object Analytics {
             "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)", 6)} AS p
        |FROM trans ORDER BY from_type, to_type""".stripMargin
 
+  /** q164 — sequential pattern mining (the contiguous-trigram tier):
+    * the top event-type 3-sequences by user support — the classic
+    * SPM statistic (which journeys actually happen) behind funnel
+    * DISCOVERY, where q81 checks one hypothesized funnel and q109
+    * models single transitions. Support = distinct users exhibiting
+    * the pattern (the GSP/PrefixSpan support notion, restricted to
+    * contiguous occurrences so counts are exact window arithmetic,
+    * not a combinatorial lattice walk); occurrence count reported
+    * alongside. Top-10 by (support, occurrences, pattern).
+    *
+    * Scale shape: ONE user_id shuffle for the ordering window (the
+    * q93/q109 (ts, event_id) order), two leads in the SAME window —
+    * no second shuffle; the trigram aggregate map-combines onto at
+    * most |types|³ groups (125 here) with the distinct-user count
+    * shuffling (pattern, user) partials; the head is a TakeOrdered
+    * over the bounded pattern table. */
+  def q164(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("t2"), col("t3")).as("pattern"))
+      .groupBy("pattern")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_occ"))
+      .orderBy(col("n_users").desc, col("n_occ").desc, col("pattern"))
+      .limit(10)
+  }
+
+  val q164Sql: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type, 1) OVER w AS t2,
+       |    lead(event_type, 2) OVER w AS t3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+       |tri AS (
+       |  SELECT user_id, concat_ws('>', event_type, t2, t3) AS pattern
+       |  FROM ordered WHERE t3 IS NOT NULL)
+       |SELECT pattern, count(DISTINCT user_id) AS n_users, count(*) AS n_occ
+       |FROM tri GROUP BY pattern
+       |ORDER BY n_users DESC, n_occ DESC, pattern LIMIT 10""".stripMargin
+
   /** q110 — data-contract audit: the dbt-test suite as ONE query —
     * referential integrity (orphaned fact rows via LEFT ANTI joins
     * that shuffle on the key, the scale-correct orphan check),
@@ -1463,6 +1508,7 @@ object Analytics {
     "q106_sql_udf" -> q106 _,
     "q108_zorder_layout" -> q108 _,
     "q109_event_transitions" -> q109 _,
+    "q164_seq_patterns" -> q164 _,
     "q110_constraint_audit" -> q110 _,
     "q111_rfm_segmentation" -> q111 _,
     "q112_winsorized_stats" -> q112 _,
@@ -1492,6 +1538,7 @@ object Analytics {
     "q106_sql_udf" -> q106Sql,
     "q108_zorder_layout" -> q108Sql,
     "q109_event_transitions" -> q109Sql,
+    "q164_seq_patterns" -> q164Sql,
     "q110_constraint_audit" -> q110Sql,
     "q111_rfm_segmentation" -> q111Sql,
     "q112_winsorized_stats" -> q112Sql,

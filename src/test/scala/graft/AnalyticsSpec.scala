@@ -82,6 +82,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(out.map(_.getDouble(6)).sum - 1.0) < 64e-6)
   }
 
+  test("q164 trigram patterns match an exact local replay of the per-user sequence walk") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val types = es.sortBy(e => (e._2, e._3)).map(_._4)
+      types.sliding(3).filter(_.length == 3)
+        .map(t => (uid, t.mkString(">"))).toSeq
+    }
+    val exp = tris.groupBy(_._2).map { case (p, occ) =>
+      p -> (occ.map(_._1).distinct.length.toLong, occ.length.toLong)
+    }
+    val top = exp.toSeq.map { case (p, (u, o)) => (p, u, o) }
+      .sortBy { case (p, u, o) => (-u, -o, p) }.take(10)
+    val out = SparkEntry.queries("q164_seq_patterns")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === top, "trigram support table diverges from the replay")
+    // support can never exceed occurrences, nor total users
+    val nUsers = evs.map(_._1).distinct.length.toLong
+    out.foreach { case (p, u, o) =>
+      assert(u <= o, s"$p support above occurrences")
+      assert(u <= nUsers, s"$p support above user count")
+    }
+  }
+
   test("q88 moments match a local reference implementation") {
     val rows = Analytics.q88(spark, sf).collect()
     val data = Tables.lineitem(spark, sf)

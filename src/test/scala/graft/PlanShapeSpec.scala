@@ -289,6 +289,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cartesian product in the fusion path:\n$p")
   }
 
+  test("q164: one user_id shuffle feeds both leads; bounded TakeOrdered head") {
+    // Both lead() columns must ride the SAME window sort (a second
+    // hashpartitioning on user_id means the window was split), and
+    // the top-10 must be a bounded heap, not a global sort of the
+    // pattern table.
+    val p = plan("q164_seq_patterns")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1,
+      s"expected 1 user_id exchange, got $userExchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$p")
+  }
+
   test("q163: bitext pair build is a broadcast join within cells — no shuffle on the 8-valued cluster key, no cartesian") {
     // Joining corpus-sized sides on the nlist-valued cluster key via
     // SMJ/shuffle would cap reducer parallelism at nlist (the q30
