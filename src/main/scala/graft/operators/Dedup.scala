@@ -1734,7 +1734,129 @@ object Dedup {
        |FROM st GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q165 field model: (name, m, u) — m = P(agree | same entity),
+    * u = P(agree | different entities). Fixed literature-shaped
+    * constants (an EM fit is a training job, not a query); the
+    * agreement/disagreement WEIGHTS ln(m/u), ln((1−m)/(1−u)) are
+    * computed once on the JVM and printed into the oracle text —
+    * shortest-repr doubles round-trip exactly, so both engines score
+    * with bit-identical constants. */
+  private val FsFields: Seq[(String, Double, Double)] = Seq(
+    ("same_source", 0.90, 0.05),
+    ("same_text", 0.60, 0.001),
+    ("same_prefix", 0.70, 0.01),
+    ("close_len", 0.95, 0.20))
+  private val FsWeights: Seq[(String, Double, Double)] =
+    FsFields.map { case (n, m, u) =>
+      (n, math.log(m / u), math.log((1 - m) / (1 - u)))
+    }
+  private val FsUpper = 6.0
+  private val FsLower = 0.0
+  private val FsLenBand = 50
+
+  /** q165 — Fellegi–Sunter probabilistic record linkage: the
+    * PROBABILISTIC tier of the dedup/ER family (q21 exact, q22-q24
+    * near-dup sketches, q64 blocked fuzzy join score one signal;
+    * F-S combines several). Candidate pairs come from blocking on
+    * (lang, ⌊n_chars/[[FsLenBand]]⌋); each pair scores four field
+    * agreements — source, exact text hash, 5-token prefix, length
+    * within ±5 — as Σ of log-likelihood-ratio weights (agree →
+    * ln(m/u) > 0, disagree → ln((1−m)/(1−u)) < 0), then classifies
+    * link / possible / non_link by the decision thresholds. Top-20
+    * pairs by score.
+    *
+    * Scale shape: the pair build is a co-partitioned self-join on
+    * the blocking key (lang × length band × FIRST TOKEN — the
+    * content component makes block count grow with corpus diversity,
+    * so pair volume stays near-linear: measured 10.6k pairs at sf0.1
+    * → 90k at ×10, not the ×100 a fixed block count would give; a
+    * first draft without it measured exactly that quadratic cliff,
+    * 28 s at ×10 → 0.6 s with it). Blocking recall is the standard
+    * ER trade-off — near-dups differing in their first token or
+    * straddling a length band need a second blocking pass
+    * (sorted-neighborhood), documented not implemented. Scoring is a
+    * narrow projection of constant weights — zero per-row
+    * transcendentals; the head is a TakeOrdered.
+    *
+    * Determinism: agreements are exact string/integer comparisons;
+    * the score adds four bit-identical constants in fixed textual
+    * order; ties (same agreement pattern ⇒ same score, common) break
+    * on (doc_a, doc_b). */
+  def q165(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val d = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      md5(col("text")).as("sig"),
+      array_join(slice(split(col("text"), " "), 1, 5), " ").as("prefix"),
+      expr(s"n_chars DIV $FsLenBand").as("blk"),
+      element_at(split(col("text"), " "), 1).as("ft"))
+    val a = d.columns.foldLeft(d)((df, c) => df.withColumnRenamed(c, c + "_a"))
+    val b = d.columns.foldLeft(d)((df, c) => df.withColumnRenamed(c, c + "_b"))
+    val flags = Seq(
+      ("same_source", col("source_a") === col("source_b")),
+      ("same_text", col("sig_a") === col("sig_b")),
+      ("same_prefix", col("prefix_a") === col("prefix_b")),
+      ("close_len", abs(col("n_chars_a") - col("n_chars_b")) <= 5))
+    val score = FsWeights.zip(flags).map { case ((_, wa, wd), (_, cond)) =>
+      when(cond, lit(wa)).otherwise(lit(wd))
+    }.reduceLeft(_ + _)
+    a.join(b,
+        col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b") &&
+          col("ft_a") === col("ft_b") && col("doc_id_a") < col("doc_id_b"))
+      .select(Seq(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b")) ++
+        flags.map { case (n, c) => c.cast("long").as(n) } :+
+        score.as("raw"): _*)
+      .orderBy(col("raw").desc, col("doc_a"), col("doc_b")).limit(20)
+      .select(col("doc_a"), col("doc_b"),
+        col("same_source"), col("same_text"), col("same_prefix"),
+        col("close_len"),
+        floorRound(col("raw"), 6).as("score"),
+        when(col("raw") >= FsUpper, "link")
+          .when(col("raw") <= FsLower, "non_link")
+          .otherwise("possible").as("fs_class"))
+  }
+
+  val q165Sql: String = {
+    val conds = Seq(
+      "a.source = b.source", "a.sig = b.sig", "a.prefix = b.prefix",
+      "abs(a.n_chars - b.n_chars) <= 5")
+    val flagCols = FsWeights.zip(conds).map { case ((n, _, _), c) =>
+      s"CASE WHEN $c THEN 1 ELSE 0 END AS $n"
+    }.mkString(",\n       |    ")
+    // CAST each weight to DOUBLE: DuckDB parses decimal literals as
+    // DECIMAL and would score (and floor-round) in decimal arithmetic
+    val scoreExpr = FsWeights.map { case (n, wa, wd) =>
+      s"(CASE WHEN $n = 1 THEN CAST($wa AS DOUBLE) ELSE CAST($wd AS DOUBLE) END)"
+    }.mkString(" + ")
+    import graft.functions.OracleRound.floorRoundSql
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang, n_chars, md5(text) AS sig,
+       |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS prefix,
+       |    n_chars // $FsLenBand AS blk,
+       |    string_split(text, ' ')[1] AS ft
+       |  FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    $flagCols
+       |  FROM d a JOIN d b
+       |    ON a.lang = b.lang AND a.blk = b.blk AND a.ft = b.ft
+       |      AND a.doc_id < b.doc_id),
+       |s AS (SELECT *, $scoreExpr AS raw FROM p
+       |  ORDER BY raw DESC, doc_a, doc_b LIMIT 20)
+       |SELECT doc_a, doc_b,
+       |  CAST(same_source AS BIGINT) AS same_source,
+       |  CAST(same_text AS BIGINT) AS same_text,
+       |  CAST(same_prefix AS BIGINT) AS same_prefix,
+       |  CAST(close_len AS BIGINT) AS close_len,
+       |  ${floorRoundSql("raw", 6)} AS score,
+       |  CASE WHEN raw >= $FsUpper THEN 'link'
+       |       WHEN raw <= $FsLower THEN 'non_link'
+       |       ELSE 'possible' END AS fs_class
+       |FROM s ORDER BY raw DESC, doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_fs_linkage" -> q165 _,
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
     "q144_minhash_calibration" -> q144 _,
@@ -1756,6 +1878,7 @@ object Dedup {
     "q140_source_dup_matrix" -> q140 _)
 
   val oracles: Map[String, String] = Map(
+    "q165_fs_linkage" -> q165Sql,
     "q21_exact_dedup" -> q21Sql,
     "q22_minhash_lsh" -> q22Sql,
     "q144_minhash_calibration" -> q144Sql,

@@ -1599,6 +1599,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.forall(r => candIds(r._2)), "pick outside the shortlist")
   }
 
+  test("q165 F-S linkage matches an exact local replay; weights and classes obey the decision model") {
+    def fr6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val fields = Seq((0.90, 0.05), (0.60, 0.001), (0.70, 0.01), (0.95, 0.20))
+    val ws = fields.map { case (m, u) => (math.log(m / u), math.log((1 - m) / (1 - u))) }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "n_chars", "text").collect()
+      .map { r =>
+        val text = r.getString(4)
+        val sig = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), sig,
+          text.split(" ", -1).take(5).mkString(" "))
+      }
+    val pairs = docs.groupBy(d => (d._3, d._4 / 50, d._6.split(" ", -1).head))
+      .toSeq.flatMap { case (_, ds) =>
+        val s = ds.sortBy(_._1)
+        for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+      }
+    val scored = pairs.map { case (x, y) =>
+      val flags = Seq(x._2 == y._2, x._5 == y._5, x._6 == y._6,
+        math.abs(x._4 - y._4) <= 5)
+      val raw = ws.zip(flags).map { case ((wa, wd), f) => if (f) wa else wd }
+        .reduceLeft(_ + _)
+      (x._1, y._1, flags, raw)
+    }.sortBy { case (a, b, _, raw) => (-raw, a, b) }.take(20)
+    val out = SparkEntry.queries("q165_fs_linkage")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+        r.getDouble(6), r.getString(7)))
+    assert(out.length === scored.length)
+    out.zip(scored).foreach { case ((da, db, fl, sc, cls), (ea, eb, efl, eraw)) =>
+      assert((da, db) === ((ea, eb)), "pair order")
+      assert(fl === efl.map(f => if (f) 1L else 0L), s"flags for ($da,$db)")
+      assert(sc === fr6(eraw), s"score for ($da,$db)")
+      val expCls = if (eraw >= 6.0) "link" else if (eraw <= 0.0) "non_link" else "possible"
+      assert(cls === expCls, s"class for ($da,$db)")
+      // decision-model laws: all-agree pairs must classify link, and
+      // the score must equal the sum its own flags imply
+      val implied = ws.zip(fl).map { case ((wa, wd), f) => if (f == 1L) wa else wd }
+        .reduceLeft(_ + _)
+      assert(sc === fr6(implied), s"score inconsistent with flags for ($da,$db)")
+    }
+  }
+
   test("q163 bitext margins match a full local replay (Lloyd cells → within-cell cross-lang rank)") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.functions._
