@@ -724,7 +724,6 @@ object Corpus {
     * divisions added in fixed textual order. */
   def q161(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.CosineSimilarity.cosine_sim
-    import graft.functions.DotProduct.dot_product
     // ---- lexical leg: q113's scorer, shortlisted ----
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -748,11 +747,11 @@ object Corpus {
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select("doc_id", "lex_rank")
     // ---- semantic leg: cosine vs the lowest-id valid probe ----
-    // embeddings are 64-dim; vec_id ≡ doc_id in the fixtures
-    val nn = Tables.embeddings(spark, sfDir)
-      .filter(size(col("embedding")) === 64)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .filter(dot_product(col("v"), col("v")) > 0.0)
+    // vec_id ≡ doc_id in the fixtures; the reader is Similarity's
+    // canonical cvecs (len filter + double cast + zero-norm guard) so
+    // this leg can never rank a different vector universe than
+    // q29/q162 when that discipline evolves
+    val nn = Similarity.cvecs(spark, sfDir)
     val pr = nn.orderBy("vec_id").limit(1).collect()(0)
     val qv = pr.getSeq[Double](1).toSeq
     val sem = nn
@@ -794,13 +793,7 @@ object Corpus {
        |    SELECT doc_id,
        |      row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
        |    FROM lexscored) r WHERE lex_rank <= $RrfLegK),
-       |n AS (
-       |  SELECT vec_id, v, nrm FROM (
-       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |      sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-       |        x -> x * x), 'sum')) AS nrm
-       |    FROM embeddings WHERE len(embedding) = 64) t0
-       |  WHERE nrm > 0),
+       |${Similarity.normedSql},
        |probe AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
        |  ORDER BY vec_id LIMIT 1),
        |semscored AS (

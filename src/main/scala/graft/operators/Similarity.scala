@@ -61,7 +61,7 @@ object Similarity {
     * compute something instead. Every oracle CTE applies the twin
     * `len(embedding) = Dim` filter. Exercised by the ragged/NULL
     * adversarial probe (dev notes). */
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .filter(size(col("embedding")) === Dim)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -78,12 +78,12 @@ object Similarity {
     * [[vecs]]: distance to a zero vector is well-defined and both
     * engines agree. Exercised by the adversarial zero-vector stratum
     * dev/nasty_fixture.py always applies to embeddings. */
-  private def cvecs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def cvecs(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.DotProduct.dot_product
     vecs(spark, sfDir).filter(dot_product(col("v"), col("v")) > 0.0)
   }
 
-  private val normedSql: String =
+  private[graft] val normedSql: String =
     s"""n AS (
       |  SELECT vec_id, v, nrm FROM (
       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1572,8 +1572,10 @@ object Similarity {
       }: _*).scopedCache
     enc.count() // eager: encode once, serve many
     // per-probe LUTs: code -> squared distance, driver-computed with
-    // the oracle's exact accumulation order
-    val probes = n.filter(col("vec_id") < 20).collect().map { r =>
+    // the oracle's exact accumulation order; the frame is built from
+    // an explicit PqM-wide schema (a fixed-arity tuple here would
+    // compile under a PqM change and then fail at runtime)
+    val probeRows = n.filter(col("vec_id") < 20).collect().map { r =>
       val qv = r.getSeq[Double](1).toArray
       val luts = (0 until PqM).map { m =>
         cents(m).map { case (cId, cv) =>
@@ -1585,10 +1587,17 @@ object Similarity {
           cId -> acc
         }.toMap
       }
-      (r.getLong(0), luts(0), luts(1), luts(2), luts(3))
-    }.toSeq
-    import spark.implicits._
-    val q = probes.toDF("q_id", "lut0", "lut1", "lut2", "lut3")
+      org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: luts)
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("q_id",
+        org.apache.spark.sql.types.LongType) +:
+        (0 until PqM).map(m => org.apache.spark.sql.types.StructField(s"lut$m",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.DoubleType))))
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
     val adcSq = (0 until PqM).map(m => col(s"lut$m")(col(s"c$m")))
       .reduceLeft(_ + _)
     val w = Window.partitionBy("q_id").orderBy(col("adc_sq"), col("vec_id"))
@@ -1651,8 +1660,15 @@ object Similarity {
     * fragments so both engines evaluate the identical expression. */
   private val MmrShortlist = 30
   private val MmrK = 5
+  // λ and (1−λ) as SQL-text constants — the ONE edit point; both the
+  // driver greedy and the oracle derive from these strings (parsing
+  // "0.3" beats computing 1 − 0.7 = 0.30000000000000004)
+  private val MmrL = "0.7"
+  private val MmrD = "0.3"
   private val MmrScoreSql: String => String =
-    maxSim => s"0.7 * rel - 0.3 * $maxSim"
+    maxSim => s"$MmrL * rel - $MmrD * $maxSim"
+  private val MmrLW = MmrL.toDouble
+  private val MmrDW = MmrD.toDouble
 
   /** q162 — maximal-marginal-relevance (MMR) diversified selection:
     * the diversity-aware retrieval head (Carbonell/Goldstein 1998)
@@ -1702,7 +1718,7 @@ object Similarity {
         val maxSim =
           if (picked.isEmpty) 0.0
           else picked.map(p => cos(v, p._4)).max
-        (0.7 * rel - 0.3 * maxSim, id, rel, v)
+        (MmrLW * rel - MmrDW * maxSim, id, rel, v)
       }
       val best = scored.minBy { case (sc, id, _, _) => (-sc, id) }
       picked += ((best._2, best._3, best._1, best._4))
@@ -1776,7 +1792,10 @@ object Similarity {
     *
     * Scale shape: assignment is the narrow centroid-literal argmax
     * (no shuffle); the cross-language pair build joins ONLY within a
-    * cell with the smaller language side broadcast — a probe touches
+    * cell, with the join strategy left UNHINTED — AQE broadcasts the
+    * target slice while it fits and falls back to a shuffle join
+    * when it doesn't (a forced broadcast of a corpus-proportional
+    * side is the q154 driver-OOM hazard); a probe touches
     * |tgt-lang|/nlist of the corpus, never all-pairs (at 100 TB the
     * target side is a per-cell ANN index, this query prices its
     * layout); ranking is per-source-doc over cell-bounded candidates;
@@ -1800,7 +1819,13 @@ object Similarity {
       .select(col("vec_id").as("tgt_doc"), col("v").as("tv"), col("cluster"))
     val wRank = Window.partitionBy("src_doc").orderBy(col("cos").desc, col("tgt_doc"))
     val wCnt = Window.partitionBy("src_doc")
-    val ranked = src.join(broadcast(tgt), Seq("cluster"))
+    // No broadcast hint: the target-language slice is
+    // corpus-proportional (the q154 lesson — hint-forcing a
+    // data-dependent-size side is the driver-OOM path at 100 TB).
+    // AQE picks broadcast while the slice fits and degrades to a
+    // shuffle join when it doesn't; the real 100 TB layout is a
+    // per-cell target-language index, which this query prices.
+    val ranked = src.join(tgt, Seq("cluster"))
       .withColumn("cos", cosine_sim(col("sv"), col("tv")))
       .withColumn("n_cands", count(lit(1)).over(wCnt))
       .withColumn("rk", row_number().over(wRank))

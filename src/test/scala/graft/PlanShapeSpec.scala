@@ -301,17 +301,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$p")
   }
 
-  test("q163: bitext pair build is a broadcast join within cells — no shuffle on the 8-valued cluster key, no cartesian") {
-    // Joining corpus-sized sides on the nlist-valued cluster key via
-    // SMJ/shuffle would cap reducer parallelism at nlist (the q30
-    // lesson); the target-language side must BROADCAST. No cartesian
-    // product may appear anywhere.
+  test("q163: bitext pair build — size-conditional broadcast (unhinted), no cartesian") {
+    // The pair join is deliberately UNHINTED (a forced broadcast of
+    // the corpus-proportional target slice is the q154 driver-OOM
+    // hazard). Pin both halves of the size-conditional contract:
+    // (a) at this scale AQE's size estimate picks broadcast (avoiding
+    //     the nlist-valued shuffle-key parallelism cap);
+    // (b) with auto-broadcast disabled on a cloned session, the plan
+    //     degrades to a shuffle join — i.e., nothing is hint-forced.
     val p = plan("q163_bitext_mining")
-    assert(p.contains("BroadcastHashJoin"), s"no broadcast pair join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the small target slice at test scale:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in pair build:\n$p")
-    val smjOnCluster = p.linesIterator.exists(l =>
-      l.contains("SortMergeJoin") && l.contains("cluster"))
-    assert(!smjOnCluster, s"cluster-key shuffle join:\n$p")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pNoBc = SparkEntry.queries("q163_bitext_mining")(s2, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!pNoBc.contains("BroadcastHashJoin"),
+      s"a broadcast survives autoBroadcastJoinThreshold=-1 — hint-forced:\n$pNoBc")
   }
 
   test("q160: PQ serving — narrow one-scan encoder, LUT probes broadcast, corpus never shuffles before the top-k") {
@@ -579,10 +587,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // (b) with default conf the plan stays sound (sig-keyed prefix
     //     exchange, no all-pairs product).
     try {
-      val key = "spark.sql.autoBroadcastJoinThreshold"
-      val saved = spark.conf.get(key)
-      val pNoBc = try { spark.conf.set(key, "-1"); plan("q154_prefix_ssjoin") }
-      finally spark.conf.set(key, saved)
+      // The no-broadcast probe runs on a CLONED session (own SQLConf,
+      // shared context/cache): flipping autoBroadcastJoinThreshold on
+      // the shared session would leak into concurrently-planning
+      // suites and silently degrade their unhinted joins.
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pNoBc = SparkEntry.queries("q154_prefix_ssjoin")(s2, sf)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(!pNoBc.contains("BroadcastHashJoin") &&
         !pNoBc.contains("BroadcastExchange"),
         s"a broadcast survives autoBroadcastJoinThreshold=-1 — the join " +
