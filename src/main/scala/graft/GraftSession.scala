@@ -32,6 +32,17 @@ object GraftSession {
       // failure modes a static plan hits first at 100 TB.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime (MEASURED-size) broadcast ceiling. The engine's joins
+      // against data-dependent relations are hint-free by policy (a
+      // forced broadcast of a corpus-proportional side is a driver
+      // OOM at 100 TB); the flip side is that the static 10 MiB
+      // default under-broadcasts mid-size sides whose true size AQE
+      // has already measured at a stage boundary. 64 MiB is a sane
+      // executor/driver budget at any cluster size, applies ONLY to
+      // AQE's runtime decision (the static planner threshold is
+      // untouched), and at real scale the measured corpus side blows
+      // past it, degrading to the shuffle join by construction.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
       // 128 MiB scan splits: large enough to amortize task overhead,
       // small enough that a task's working set fits executor memory.
       .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -33,6 +33,19 @@ import org.apache.spark.storage.StorageLevel
   * concurrent queries (the FAIR-scheduler capability lanes) each
   * register safely, and the harnesses drain between queries, not
   * concurrently with them.
+  *
+  * CONTRACT — drains are process-global and must be serialized with
+  * query execution: a drain issued while another query is mid-flight
+  * releases that query's registered caches too. Correctness survives
+  * (Spark recomputes), but the persist is silently defeated and the
+  * double-scan plans the PlanShape pins guard against come back at
+  * runtime, where the pins can't see them. Every harness in this repo
+  * (Verify, Bench, DevProbe, the specs) already drains only BETWEEN
+  * fully-consumed queries; a future concurrent multi-query driver must
+  * either keep that discipline or scope its own registry per lane.
+  * (Family-lifetime persists — the overlap-pair index, trained-model
+  * memos — are deliberately NOT registered here; their owners manage
+  * their lifetime.)
   */
 object CacheScope {
 

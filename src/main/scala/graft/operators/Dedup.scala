@@ -557,8 +557,8 @@ object Dedup {
     * self-join chain: 4 exchanges + 2 joins became 1 exchange + 1
     * explode — measured faster at sf0.1 and strictly safer at
     * 100 TB (no unbounded collect, no hot-key join fan-out). */
-  private def overlapPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val buckets = shingles(spark, sfDir, distinct = false)
+  private def overlapBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    shingles(spark, sfDir, distinct = false)
       .withColumn("h", md5(col("sh")))
       .select(col("doc_id"),
         expr("CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT)").as("h1"),
@@ -566,8 +566,17 @@ object Dedup {
       .groupBy("h1", "h2")
       .agg(graft.functions.BoundedDocSet.bounded_doc_set(MaxShingleDf)(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= MaxShingleDf)
-      .scopedCache
-    buckets.count() // eager — sizes and pair expansion both read the cache
+
+  /** Pair expansion + per-doc size attach over a (possibly cached)
+    * bucket relation. The sizes joins are deliberately UNHINTED:
+    * `sizes` has one row per document holding any informative shingle
+    * — essentially O(corpus) — and a hint-forced broadcast of a
+    * data-dependent relation that grows with the corpus is the
+    * driver-OOM-at-100TB class (the q154/q163 lesson). AQE broadcasts
+    * it while its measured size fits and falls back to a shuffle join
+    * keyed on doc_a/doc_b past that; a PlanShapeSpec probe pins that
+    * nothing here survives autoBroadcastJoinThreshold=-1. */
+  private def overlapPairsOn(buckets: DataFrame): DataFrame = {
     val sizes = buckets.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = buckets
@@ -578,8 +587,59 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b")), "doc_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+  }
+
+  /** Un-memoized, un-persisted overlap relation — plan-shape
+    * observability ONLY (the family copy served by [[overlapPairs]]
+    * renders as an InMemoryTableScan in explain, which hides the join
+    * strategy from the PlanShapeSpec probes). Same code path as the
+    * real build: [[overlapPairsOn]] over [[overlapBuckets]]. */
+  private[graft] def overlapPairsPlan(spark: SparkSession, sfDir: String): DataFrame =
+    overlapPairsOn(overlapBuckets(spark, sfDir))
+
+  /** Family-lifetime memo of the overlap-pair index, the
+    * [[graft.operators.Similarity]] `trainedCentroids` precedent
+    * ("index built once, served by the family"): q23 (Jaccard) and
+    * q134 (containment) consume the IDENTICAL (doc_a, doc_b, n_inter,
+    * sh_a, sh_b) relation, and with caches drained per query each used
+    * to pay the full tokenize + bucket + expand build. Keyed by
+    * (session identity, corpus fingerprint): sessions can't serve each
+    * other's plans, and a regenerated fixture re-builds instead of
+    * serving stale pairs. The persisted relation is pair-bounded
+    * (≤ T²/2 pairs per informative shingle bucket by the
+    * [[MaxShingleDf]] construction), never corpus bytes; the build's
+    * bucket cache is released as soon as the pair table materializes.
+    * This persist is memo-managed, NOT CacheScope-registered — its
+    * lifetime is the family's, not one query's. */
+  private val overlapMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def overlapPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = (System.identityHashCode(spark).toString,
+      Tables.fingerprint(sfDir, Seq("documents")))
+    def build(): DataFrame = {
+      val buckets = overlapBuckets(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      buckets.count() // eager — sizes and pair expansion both read the cache
+      val pairs = overlapPairsOn(buckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // eager — the bucket cache must not outlive the build
+      buckets.unpersist(false)
+      pairs
+    }
+    val served = overlapMemo.computeIfAbsent(key, _ => build())
+    // Self-heal: a harness-level clearCache() (Verify's per-query
+    // isolation backstop) unpersists the index out from under the
+    // memo; serving the now-uncached plan would recompute the bucket
+    // subtree once per consumer branch. Rebuild — never serve an
+    // unpersisted index.
+    if (served.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val rebuilt = build()
+      overlapMemo.put(key, rebuilt)
+      rebuilt
+    } else served
   }
 
   /** q23 — exact n-gram Jaccard similarity: pairs sharing shingles,
@@ -1754,6 +1814,14 @@ object Dedup {
   private val FsLower = 0.0
   private val FsLenBand = 50
 
+  /** Sorted-neighborhood window width (pass 2): each document pairs
+    * with the w−1 documents on either side of it in the per-lang
+    * (n_chars, doc_id) sort order. Classic multi-pass blocking
+    * (Hernández–Stolfo sorted-neighborhood): pass 1's equality
+    * blocks miss near-dups that differ in their first token or
+    * straddle a length-band boundary; rank adjacency catches both. */
+  private val FsSnWindow = 8
+
   /** q165 — Fellegi–Sunter probabilistic record linkage: the
     * PROBABILISTIC tier of the dedup/ER family (q21 exact, q22-q24
     * near-dup sketches, q64 blocked fuzzy join score one signal;
@@ -1765,47 +1833,49 @@ object Dedup {
     * link / possible / non_link by the decision thresholds. Top-20
     * pairs by score.
     *
-    * Scale shape: the pair build is a co-partitioned self-join on
-    * the blocking key (lang × length band × FIRST TOKEN — the
-    * content component makes block count grow with corpus diversity,
-    * so pair volume stays near-linear: measured 10.6k pairs at sf0.1
-    * → 90k at ×10, not the ×100 a fixed block count would give; a
-    * first draft without it measured exactly that quadratic cliff,
-    * 28 s at ×10 → 0.6 s with it). Blocking recall is the standard
-    * ER trade-off — near-dups differing in their first token or
-    * straddling a length band need a second blocking pass
-    * (sorted-neighborhood), documented not implemented. Scoring is a
-    * narrow projection of constant weights — zero per-row
-    * transcendentals; the head is a TakeOrdered.
+    * Scale shape, pass 1: a co-partitioned self-join on the blocking
+    * key (lang × length band × FIRST TOKEN — the content component
+    * makes block count grow with corpus diversity, so pair volume
+    * stays near-linear: measured 10.6k pairs at sf0.1 → 90k at ×10,
+    * not the ×100 a fixed block count would give; a first draft
+    * without it measured exactly that quadratic cliff, 28 s at ×10
+    * → 0.6 s with it). The length band uses the FLOOR form
+    * `(n_chars − pmod(n_chars, B)) DIV B` so Spark and the oracle's
+    * `//` agree for negative values too (DIV truncates toward zero,
+    * `//` floors — the Events.scala day-bucket lesson).
+    *
+    * Pass 2 (sorted neighborhood, [[FsSnWindow]]) closes pass 1's
+    * recall gap. Its rank assignment is built to distribute: the
+    * per-(lang, length band) COUNT table — O(langs × bands) rows,
+    * bounded by the n_chars domain, never the corpus — gets each
+    * band's global rank offset from a prefix-sum window over that
+    * tiny table and broadcasts back (domain-bounded hint, the q54
+    * centroid precedent); within-band ranks are a window over
+    * (lang, band) — partitions are band-sized, never lang-sized, so
+    * no single reducer sorts a whole language. (Residual hazard: a
+    * degenerate corpus where most docs share one length band re-
+    * concentrates that band's window; the escape is a range partition
+    * on (n_chars, doc_id) with per-partition offsets — same offsets
+    * algebra, sampling-chosen boundaries — not needed at any measured
+    * scale here.) Neighborhood pairs come from an equi-join on the
+    * rank BUCKET ⌊(r−1)/w⌋ (each left row probes its own and the next
+    * bucket — the banded-LSH trick), so the pair stage is a shuffle
+    * join too, never a rank-range theta join.
+    * Candidates from both passes union and dedup BEFORE the head;
+    * flags are symmetric so pair orientation is least/greatest.
+    * Scoring is a narrow projection of constant weights — zero
+    * per-row transcendentals; the head is a TakeOrdered.
     *
     * Determinism: agreements are exact string/integer comparisons;
     * the score adds four bit-identical constants in fixed textual
     * order; ties (same agreement pattern ⇒ same score, common) break
-    * on (doc_a, doc_b). */
+    * on (doc_a, doc_b). The oracle's per-lang row_number rank equals
+    * the offset+window rank because the band is monotone in n_chars
+    * and doc_id is unique. */
   def q165(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.floorRound
-    val d = Tables.documents(spark, sfDir).select(
-      col("doc_id"), col("source"), col("lang"), col("n_chars"),
-      md5(col("text")).as("sig"),
-      array_join(slice(split(col("text"), " "), 1, 5), " ").as("prefix"),
-      expr(s"n_chars DIV $FsLenBand").as("blk"),
-      element_at(split(col("text"), " "), 1).as("ft"))
-    val a = d.columns.foldLeft(d)((df, c) => df.withColumnRenamed(c, c + "_a"))
-    val b = d.columns.foldLeft(d)((df, c) => df.withColumnRenamed(c, c + "_b"))
-    val flags = Seq(
-      ("same_source", col("source_a") === col("source_b")),
-      ("same_text", col("sig_a") === col("sig_b")),
-      ("same_prefix", col("prefix_a") === col("prefix_b")),
-      ("close_len", abs(col("n_chars_a") - col("n_chars_b")) <= 5))
-    val score = FsWeights.zip(flags).map { case ((_, wa, wd), (_, cond)) =>
-      when(cond, lit(wa)).otherwise(lit(wd))
-    }.reduceLeft(_ + _)
-    a.join(b,
-        col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b") &&
-          col("ft_a") === col("ft_b") && col("doc_id_a") < col("doc_id_b"))
-      .select(Seq(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b")) ++
-        flags.map { case (n, c) => c.cast("long").as(n) } :+
-        score.as("raw"): _*)
+    val (p1, p2) = fsScoredPasses(spark, sfDir)
+    p1.union(p2).distinct()
       .orderBy(col("raw").desc, col("doc_a"), col("doc_b")).limit(20)
       .select(col("doc_a"), col("doc_b"),
         col("same_source"), col("same_text"), col("same_prefix"),
@@ -1814,6 +1884,70 @@ object Dedup {
         when(col("raw") >= FsUpper, "link")
           .when(col("raw") <= FsLower, "non_link")
           .otherwise("possible").as("fs_class"))
+  }
+
+  /** The two scored candidate passes of [[q165]] (pre-union, pre-head)
+    * — `private[graft]` so the sorted-neighborhood recall spec can
+    * inject a first-token-divergent duplicate pair and assert pass 2
+    * scores it while pass 1 (equality blocks) cannot. */
+  private[graft] def fsScoredPasses(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      md5(col("text")).as("sig"),
+      array_join(slice(split(col("text"), " "), 1, 5), " ").as("prefix"),
+      expr(s"CAST((n_chars - pmod(n_chars, $FsLenBand)) DIV $FsLenBand AS BIGINT)").as("blk"),
+      element_at(split(col("text"), " "), 1).as("ft"))
+      .scopedCache
+    // no separate eager count: the ranked build's eager count below is
+    // the first action over d and materializes the cache for every
+    // later consumer (p1's two sides, the band join's two sides)
+    val flags = Seq(
+      ("same_source", col("source_a") === col("source_b")),
+      ("same_text", col("sig_a") === col("sig_b")),
+      ("same_prefix", col("prefix_a") === col("prefix_b")),
+      ("close_len", abs(col("n_chars_a") - col("n_chars_b")) <= 5))
+    val score = FsWeights.zip(flags).map { case ((_, wa, wd), (_, cond)) =>
+      when(cond, lit(wa)).otherwise(lit(wd))
+    }.reduceLeft(_ + _)
+    def scored(pairs: DataFrame): DataFrame =
+      pairs.select(Seq(
+        least(col("doc_id_a"), col("doc_id_b")).as("doc_a"),
+        greatest(col("doc_id_a"), col("doc_id_b")).as("doc_b")) ++
+        flags.map { case (n, c) => c.cast("long").as(n) } :+
+        score.as("raw"): _*)
+    // pass 1: equality blocks
+    val a = d.columns.foldLeft(d)((df, c) => df.withColumnRenamed(c, c + "_a"))
+    val b = d.columns.foldLeft(d)((df, c) => df.withColumnRenamed(c, c + "_b"))
+    val p1 = a.join(b,
+      col("lang_a") === col("lang_b") && col("blk_a") === col("blk_b") &&
+        col("ft_a") === col("ft_b") && col("doc_id_a") < col("doc_id_b"))
+    // pass 2: sorted neighborhood — distributed rank via domain-bounded
+    // band offsets + within-band window, pairs via rank-bucket equi-join.
+    // The offset prefix-sum window runs over the (lang, band) COUNT
+    // table — O(langs × length-bands) rows, bounded by the n_chars
+    // domain, never the corpus — so its single-partition-per-lang
+    // frame is safe at any scale, and no driver round-trip is needed.
+    val offsets = d.groupBy("lang", "blk").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(Window.partitionBy("lang").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "blk", "off")
+    val ranked = d
+      .join(broadcast(offsets), Seq("lang", "blk")) // domain-bounded side
+      .withColumn("r", row_number().over(
+        Window.partitionBy("lang", "blk").orderBy("n_chars", "doc_id")) + col("off"))
+      .withColumn("g", expr(s"(r - 1) DIV $FsSnWindow"))
+      .scopedCache
+    ranked.count() // eager — the band join's two sides both read it
+    val ra = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_a"))
+      .withColumn("gj", explode(array(col("g_a"), col("g_a") + 1)))
+    val rb = ranked.columns.foldLeft(ranked)((df, c) => df.withColumnRenamed(c, c + "_b"))
+    val p2 = ra.join(rb,
+      col("lang_a") === col("lang_b") && col("gj") === col("g_b") &&
+        col("r_b") > col("r_a") && col("r_b") - col("r_a") < FsSnWindow)
+    (scored(p1), scored(p2))
   }
 
   val q165Sql: String = {
@@ -1835,12 +1969,22 @@ object Dedup {
        |    n_chars // $FsLenBand AS blk,
        |    string_split(text, ' ')[1] AS ft
        |  FROM documents),
+       |rnk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY lang ORDER BY n_chars, doc_id) AS r
+       |  FROM d),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    $flagCols
        |  FROM d a JOIN d b
        |    ON a.lang = b.lang AND a.blk = b.blk AND a.ft = b.ft
-       |      AND a.doc_id < b.doc_id),
+       |      AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b,
+       |    $flagCols
+       |  FROM rnk a JOIN rnk b
+       |    ON a.lang = b.lang AND b.r - a.r BETWEEN 1 AND ${FsSnWindow - 1}),
        |s AS (SELECT *, $scoreExpr AS raw FROM p
        |  ORDER BY raw DESC, doc_a, doc_b LIMIT 20)
        |SELECT doc_a, doc_b,

@@ -224,15 +224,122 @@ object Multimodal {
       |FROM m WHERE width > 0 AND height > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic "media tower": a 64-dim embedding of the payload,
+    * standing in for a real cross-modal encoder (CLIP image tower)
+    * the way [[StubCodec.decode]] stands in for a codec. Four chained
+    * md5 rounds seeded by the content hash give 4×16 bytes; each byte
+    * centers to (x − 127.5)/127.5 ∈ [−1, 1]. Every arithmetic step is
+    * integer-or-IEEE-double and hex-replayable, so DuckDB reproduces
+    * the vector bit-for-bit ([[q166Sql]]). No component can be zero
+    * (x is an integer, 127.5 is not), so the vector always has a
+    * direction — no zero-norm guard needed on the media side. */
+  def mediaEmbed(payload: Array[Byte]): Array[Double] = {
+    val h = StubCodec.md5Hex(payload)
+    val out = new Array[Double](64)
+    var g = 0
+    while (g < 4) {
+      val hg = StubCodec.md5Hex((h + "_" + g).getBytes("UTF-8"))
+      var i = 0
+      while (i < 16) {
+        val x = Integer.parseInt(hg.substring(2 * i, 2 * i + 2), 16)
+        out(16 * g + i) = (x - 127.5) / 127.5
+        i += 1
+      }
+      g += 1
+    }
+    out
+  }
+
+  /** q166 — cross-modal retrieval, the multimodal family's capstone
+    * (r8 verdict: the family was decode/metadata plumbing with no
+    * query joining media features to the embedding surface): top-5
+    * embedding-table neighbors by cosine for each of the 10 probe
+    * media blobs — the CLIP-retrieval shape (encode the image, search
+    * the text/embedding index).
+    *
+    * Scale shape = q29's serving pattern, with the media tower in
+    * q32's decode stage: (1) the probe blobs decode/encode inside ONE
+    * `mapPartitions` pass (a real GPU encoder amortizes its model
+    * load there; the deterministic tower keeps it oracle-checkable);
+    * (2) the encoded probes BROADCAST — bounded by the constant probe
+    * cutoff, never corpus-proportional, so the hint is safe by
+    * construction; (3) the embedding corpus streams through one scan
+    * with the codegen'd native cosine, no shuffle before the
+    * per-probe top-k window over O(probes) partitions. At 100 TB the
+    * corpus side would instead probe an ANN index (q30/q160); this is
+    * the exact-serving tier those indexes are recall-measured
+    * against. */
+  def q166(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CosineSimilarity.cosine_sim
+    import org.apache.spark.sql.expressions.Window
+    val probes = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"))
+      .as[MediaBlob]
+      .mapPartitions { it =>
+        // per-partition setup of a real cross-modal encoder goes HERE
+        it.map(b => (b.doc_id, mediaEmbed(b.payload)))
+      }
+      .toDF("doc_id", "mv")
+    val n = Similarity.cvecs(spark, sfDir)
+    val w = Window.partitionBy("doc_id").orderBy(col("cos").desc, col("vec_id"))
+    n.join(broadcast(probes), lit(true))
+      .withColumn("cos", cosine_sim(col("mv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("vec_id"),
+        graft.functions.OracleRound.floorRound(col("cos"), 6).as("cos"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** DuckDB twin: rebuilds the media vectors with the same md5-chain
+    * hex arithmetic (hex pair → BIGINT via the shared '0x' cast
+    * idiom; 127.5 CAST to DOUBLE so the centering runs in IEEE
+    * doubles, not DECIMAL), norms them with the [[Similarity]]
+    * list_aggregate recipe (same sequential accumulation order as
+    * the native cosine), and replays the top-5 window. */
+  val q166Sql: String =
+    s"""WITH ${graft.operators.Similarity.normedSql},
+      |m AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 10),
+      |mg AS (
+      |  SELECT m.doc_id, t.g,
+      |    md5(m.h || '_' || CAST(t.g AS VARCHAR)) AS hg
+      |  FROM m, range(4) t(g)),
+      |md AS (
+      |  SELECT doc_id, 16 * g + i.i AS d,
+      |    (CAST(('0x' || substring(hg, 2 * i.i + 1, 2)) AS BIGINT)
+      |       - CAST(127.5 AS DOUBLE)) / CAST(127.5 AS DOUBLE) AS vd
+      |  FROM mg, range(16) i(i)),
+      |mq AS (
+      |  SELECT doc_id, mv,
+      |    sqrt(list_aggregate(list_transform(mv, x -> x * x), 'sum')) AS mn
+      |  FROM (SELECT doc_id, list(vd ORDER BY d) AS mv FROM md GROUP BY doc_id) t),
+      |pairs AS (
+      |  SELECT mq.doc_id, n.vec_id,
+      |    list_inner_product(mq.mv, n.v) / (mq.mn * n.nrm) AS cos
+      |  FROM mq, n)
+      |SELECT doc_id, rank, vec_id,
+      |  floor(cos * 1000000 + 0.5) / 1000000 AS cos
+      |FROM (
+      |  SELECT doc_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM pairs) t
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_media_metadata" -> q31 _,
     "q32_media_decode_stub" -> q32 _,
     "q42_frame_sample" -> q42 _,
-    "q44_resize_plan" -> q44 _)
+    "q44_resize_plan" -> q44 _,
+    "q166_crossmodal_knn" -> q166 _)
 
   val oracles: Map[String, String] = Map(
     "q31_media_metadata" -> q31Sql,
     "q32_media_decode_stub" -> q32Sql,
     "q42_frame_sample" -> q42Sql,
-    "q44_resize_plan" -> q44Sql)
+    "q44_resize_plan" -> q44Sql,
+    "q166_crossmodal_knn" -> q166Sql)
 }

@@ -186,12 +186,15 @@ object Similarity {
     * and the entry is plain driver values — O(k·d) doubles — so it
     * survives `spark.catalog.clearCache()` and never pins executor
     * memory. q77 always re-trains (it IS the training benchmark) and
-    * refreshes the memo with the identical value. */
+    * refreshes the memo with the identical value. Keyed by the corpus
+    * FINGERPRINT (path + file sizes/mtimes — [[graft.sources.Tables.fingerprint]]),
+    * not the bare path: if the data at the path is regenerated within
+    * a session the memo re-trains instead of serving stale centroids. */
   private val centroidMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
 
   private def trainedCentroids(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] = {
-    val key = new java.io.File(sfDir).getCanonicalPath
+    val key = graft.sources.Tables.fingerprint(sfDir, Seq("embeddings"))
     centroidMemo.computeIfAbsent(key, _ => {
       val n = vecs(spark, sfDir)
         .scopedCache
@@ -510,15 +513,19 @@ object Similarity {
     * → 48 sign bits → 12 bands × 4 bits; vectors sharing any band
     * signature are candidates ([[lshCandidates]]); exact cosine then
     * keeps true pairs, so the output is a (recall-bounded, measured —
-    * see [[NumPlanes]]) subset of q36's. The candidate→vector joins
-    * broadcast (candidates are O(near-dup pairs)). Everything
+    * see [[NumPlanes]]) subset of q36's. The candidate→vector fetch
+    * joins are deliberately UNHINTED: the vector side is the FULL
+    * normalized corpus — a forced broadcast of it is the
+    * driver-OOM-at-100TB class (the q154/q163 lesson) — so AQE
+    * broadcasts it only while its measured size fits, and degrades to
+    * a shuffle join keyed on vec_id otherwise (plan-pinned). Everything
     * downstream of the deterministic planes is exact, so the oracle
     * reproduces it. */
   def q37(spark: SparkSession, sfDir: String): DataFrame = {
     val n = cvecs(spark, sfDir)
     lshCandidates(spark, sfDir)
-      .join(broadcast(n.select(col("vec_id").as("vec_a"), col("v").as("va"))), "vec_a")
-      .join(broadcast(n.select(col("vec_id").as("vec_b"), col("v").as("vb"))), "vec_b")
+      .join(n.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(n.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .withColumn("cos", cosine_sim(col("va"), col("vb")))
       .filter(col("cos") >= NearDupCos)
       .select(col("vec_a"), col("vec_b"), graft.functions.OracleRound.floorRound(col("cos"), 6).as("cos"))
@@ -579,8 +586,11 @@ object Similarity {
   def q54(spark: SparkSession, sfDir: String): DataFrame = {
     val n = cvecs(spark, sfDir)
     val dupIds = lshCandidates(spark, sfDir)
-      .join(broadcast(n.select(col("vec_id").as("vec_a"), col("v").as("va"))), "vec_a")
-      .join(broadcast(n.select(col("vec_id").as("vec_b"), col("v").as("vb"))), "vec_b")
+      // UNHINTED like q37's fetch joins: the vector side is the full
+      // corpus; AQE broadcasts while it fits, shuffles on vec_id past
+      // that — never a forced driver broadcast of corpus bytes.
+      .join(n.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(n.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .filter(cosine_sim(col("va"), col("vb")) >= NearDupCos)
       .select(col("vec_b").as("vec_id")).distinct()
     val survivors = n.join(dupIds, Seq("vec_id"), "left_anti")
@@ -797,7 +807,7 @@ object Similarity {
       .scopedCache
     n.count() // eager: iters+1 consumers must not race the cache
     val cent = lloydTrain(n)
-    centroidMemo.put(new java.io.File(sfDir).getCanonicalPath, cent)
+    centroidMemo.put(graft.sources.Tables.fingerprint(sfDir, Seq("embeddings")), cent)
     assignL2(n, cent)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),
@@ -1391,12 +1401,13 @@ object Similarity {
   /** PQ codebooks memoized per corpus, the [[trainedCentroids]]
     * pattern: q158 (the training benchmark) always retrains and
     * refreshes the memo; the ADC serving path (q160) reads it —
-    * trained once, served by the family, like a real index build. */
+    * trained once, served by the family, like a real index build.
+    * Fingerprint-keyed like [[centroidMemo]] (stale-corpus safety). */
   private val codebookMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Seq[(Long, Seq[Double])]]]()
 
   private def trainedCodebooks(spark: SparkSession, sfDir: String): Map[Int, Seq[(Long, Seq[Double])]] = {
-    val key = new java.io.File(sfDir).getCanonicalPath
+    val key = graft.sources.Tables.fingerprint(sfDir, Seq("embeddings"))
     codebookMemo.computeIfAbsent(key, _ => {
       val n = vecs(spark, sfDir).scopedCache
       n.count() // eager: every training iteration reads the cache
@@ -1491,7 +1502,7 @@ object Similarity {
     val cents = pqTrain(sl)
     // refresh the served index with the identical deterministic value
     // (the q77 → trainedCentroids discipline)
-    codebookMemo.put(new java.io.File(sfDir).getCanonicalPath, cents)
+    codebookMemo.put(graft.sources.Tables.fingerprint(sfDir, Seq("embeddings")), cents)
     pqAssign(sl, cents)
       .groupBy("subspace", "code")
       .agg(count(lit(1)).as("n_vecs"),

@@ -72,6 +72,26 @@ object Tables {
     }
   }
 
+  /** Cheap corpus fingerprint for JVM-lifetime memos (trained
+    * centroids, PQ codebooks, the overlap-pair index): canonical dir
+    * path + each named table's file sizes and mtimes. Memos keyed by
+    * this instead of the bare path re-build when the data at the path
+    * changes within a session, so a regenerated fixture can never be
+    * served stale driver state. Directory-shaped tables (the 100 TB
+    * case: one dir of many part files) are walked one level — file
+    * listing is a driver-side O(files) stat, the same metadata a scan
+    * planning pass reads anyway. */
+  def fingerprint(sfDir: String, tables: Seq[String]): String = {
+    def stat(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).toSeq
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    val dir = new java.io.File(sfDir).getCanonicalPath
+    val parts = tables.sorted.flatMap(t => stat(new java.io.File(s"$dir/$t.parquet")))
+    s"$dir|${parts.mkString(",")}"
+  }
+
   /** Register every fixture table as a temp view (events with the
     * ns-workaround applied), so the full ANSI surface is available via
     * `spark.sql("SELECT ... FROM lineitem JOIN orders ...")` — temp

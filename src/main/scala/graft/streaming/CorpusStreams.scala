@@ -438,9 +438,12 @@ object CorpusStreams {
             }
             // Per-member GC: a member is only pairable while a partner
             // could still arrive inside its delay window; past that,
-            // drop it so hot boilerplate buckets stay bounded.
+            // drop it so hot boilerplate buckets stay bounded. >= not
+            // >: a partner arriving EXACTLY delayMs after a member is
+            // still inside the documented closed-interval "arrives
+            // within the watermark delay" detection guarantee.
             val wm = state.getCurrentWatermarkMs()
-            members = members.filter(_.tsMs + delayMs > wm)
+            members = members.filter(_.tsMs + delayMs >= wm)
             state.update(DocBucketState(members))
             state.setTimeoutTimestamp(math.max(maxTs + delayMs, wm + 1))
             out.iterator

@@ -20,22 +20,27 @@ class CacheScopeSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.get
   val sf = "/root/testdata/sf0.001"
 
-  test("a persisting query registers its caches; drain releases at least those entries") {
-    graft.functions.CacheScope.drain() // clean slate for the snapshot
-    // q23's bounded-bucket engine persists its bucket relation during
+  test("a persisting query registers its caches; drain releases those entries") {
+    // q22's MinHash engine persists its signature table during
     // construction (eager count) — a known scoped-cache creator.
-    val df = SparkEntry.queries("q23_ngram_jaccard")(spark, sf)
+    // (q23, the previous subject, moved its persists to the
+    // family-lifetime overlap memo, which is deliberately NOT
+    // CacheScope-registered.)
+    val df = SparkEntry.queries("q22_minhash_lsh")(spark, sf)
     df.count()
     val regs = graft.functions.CacheScope.liveSnapshot
     assert(regs.nonEmpty,
       "the query's persist did not register with CacheScope")
     assert(regs.exists(_.storageLevel != StorageLevel.NONE),
       "nothing registered was actually cached")
-    // drain must release every entry registered at snapshot time (a
-    // concurrent suite may have added MORE since — hence >=, not ==)
-    val freed = graft.functions.CacheScope.drain()
-    assert(freed >= regs.size,
-      s"drain released $freed entries but ${regs.size} were registered")
+    graft.functions.CacheScope.drain()
+    // Assert on THIS spec's snapshot entries transitioning to NONE —
+    // never on the global freed count, which races a concurrent
+    // suite's own drain() between our snapshot and our drain().
+    regs.foreach { ds =>
+      assert(ds.storageLevel == StorageLevel.NONE,
+        "a snapshot entry is still cached after drain()")
+    }
   }
 
   test("drain is idempotent and safe across inline-managed caches") {

@@ -1612,11 +1612,21 @@ class OperatorSpec extends AnyFunSuite {
         (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), sig,
           text.split(" ", -1).take(5).mkString(" "))
       }
-    val pairs = docs.groupBy(d => (d._3, d._4 / 50, d._6.split(" ", -1).head))
+    // pass 1: equality blocks (lang, floor length band, first token)
+    val p1 = docs.groupBy(d => (d._3, Math.floorDiv(d._4, 50), d._6.split(" ", -1).head))
       .toSeq.flatMap { case (_, ds) =>
         val s = ds.sortBy(_._1)
         for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
       }
+    // pass 2: sorted neighborhood, w = 8, per-lang (n_chars, doc_id) order
+    val p2 = docs.groupBy(_._3).toSeq.flatMap { case (_, ds) =>
+      val s = ds.sortBy(d => (d._4, d._1))
+      for (i <- s.indices; j <- (i + 1) until math.min(i + 8, s.length))
+        yield (s(i), s(j))
+    }
+    val pairs = (p1 ++ p2)
+      .map { case (x, y) => if (x._1 < y._1) (x, y) else (y, x) }
+      .distinctBy { case (x, y) => (x._1, y._1) }
     val scored = pairs.map { case (x, y) =>
       val flags = Seq(x._2 == y._2, x._5 == y._5, x._6 == y._6,
         math.abs(x._4 - y._4) <= 5)
@@ -1641,6 +1651,66 @@ class OperatorSpec extends AnyFunSuite {
         .reduceLeft(_ + _)
       assert(sc === fr6(implied), s"score inconsistent with flags for ($da,$db)")
     }
+  }
+
+  test("q165 sorted-neighborhood pass scores a first-token-divergent duplicate that equality blocks miss") {
+    // The r8 scaladoc documented this recall gap; this pins the fix:
+    // two near-identical docs whose texts differ ONLY in the first
+    // token share no (lang, band, first-token) block — pass 1 is
+    // structurally blind to them — but are rank-adjacent in the
+    // per-lang (n_chars, doc_id) order, so pass 2 must score them.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q165_sn").toString
+    val base = graft.sources.Tables.documents(spark, sf)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "omega beta gamma delta epsilon zeta eta theta"
+    import spark.implicits._
+    val injected = Seq(
+      (9001L, t1, "xx", "srcI", t1.length.toLong),
+      (9002L, t2, "xx", "srcI", t2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.select("doc_id", "text", "lang", "source", "n_chars")
+      .union(injected)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (p1, p2) = graft.operators.Dedup.fsScoredPasses(spark, dir)
+    val inP1 = p1.filter(col("doc_a") === 9001L && col("doc_b") === 9002L).collect()
+    assert(inP1.isEmpty,
+      "equality blocks claimed the first-token-divergent pair — the gap this spec exists to pin is gone from the wrong side")
+    val inP2 = p2.filter(col("doc_a") === 9001L && col("doc_b") === 9002L).collect()
+    assert(inP2.length === 1, "sorted-neighborhood pass did not score the injected pair")
+    val r = inP2.head
+    // same source, different text, different 5-token prefix, equal length
+    assert((r.getAs[Long]("same_source"), r.getAs[Long]("same_text"),
+      r.getAs[Long]("same_prefix"), r.getAs[Long]("close_len")) === ((1L, 0L, 0L, 1L)))
+    graft.functions.CacheScope.drain()
+  }
+
+  test("q166 cross-modal retrieval matches a full local replay (media tower → cosine top-5)") {
+    import org.apache.spark.sql.functions._
+    def fr6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (_, v) => v.exists(_ != 0.0) }
+    val probes = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 10).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        graft.operators.Multimodal.mediaEmbed(r.getString(1).getBytes("UTF-8"))))
+    val expected = probes.toSeq.sortBy(_._1).flatMap { case (did, mv) =>
+      corpus.toSeq.map { case (vid, v) => (vid, cos(mv, v)) }
+        .sortBy { case (vid, c) => (-c, vid) }.take(5)
+        .zipWithIndex.map { case ((vid, c), i) => (did, (i + 1).toLong, vid, fr6(c)) }
+    }
+    val out = SparkEntry.queries("q166_crossmodal_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out === expected, "cross-modal top-5 diverged from the local replay")
   }
 
   test("q163 bitext margins match a full local replay (Lloyd cells → within-cell cross-lang rank)") {

@@ -54,15 +54,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no map-side partial aggregation:\n$p")
   }
 
-  test("q23: Jaccard has NO join before the pair aggregate — bounded buckets, not a self-join") {
-    // The df-cutoff rewrite's whole point: candidate pairs come from
-    // within-bucket expansion of the single (h1,h2) aggregate, so the
-    // plan must contain no shuffled self-join producing the pairs.
-    // (The only joins allowed are the two small broadcast joins that
-    // attach per-doc sizes at the very end.)
-    val p = plan("q23_ngram_jaccard")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"q23 regressed to a shuffled self-join:\n$p")
+  test("q23/q134 overlap engine: pairs from bounded buckets (no self-join); sizes joins not hint-forced") {
+    // Probed via the raw (un-memoized) builder — the family copy the
+    // queries serve renders as an InMemoryTableScan, which hides the
+    // join strategy from explain. Two halves:
+    // (a) candidate pairs come from within-bucket expansion of the
+    //     single (h1,h2) aggregate — the ONLY joins in the plan are
+    //     the two that attach per-doc sizes at the very end;
+    // (b) `sizes` is O(documents), so those joins must be UNHINTED:
+    //     with auto-broadcast disabled on a cloned session the plan
+    //     degrades to shuffle joins — nothing is hint-forced (the
+    //     q154/q163 driver-OOM-class probe).
+    val p = graft.operators.Dedup.overlapPairsPlan(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // count in the details section — "(id) JoinName" — one line per node
+    val joins = "\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 2, s"expected exactly the 2 size-attach joins, got $joins:\n$p")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val pNoBc = graft.operators.Dedup.overlapPairsPlan(s2, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!pNoBc.contains("BroadcastHashJoin"),
+      s"a broadcast survives autoBroadcastJoinThreshold=-1 — hint-forced:\n$pNoBc")
+  }
+
+  test("q37/q54: candidate→vector fetch joins are not hint-forced broadcasts of the corpus") {
+    // The fetch joins' vector side is the FULL normalized corpus; a
+    // forced broadcast of it is the driver-OOM-at-100TB class. With
+    // auto-broadcast disabled on a cloned session, no broadcast may
+    // survive anywhere in either plan — AQE alone decides.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (q <- Seq("q37_srp_lsh_neardup", "q54_embed_pipeline")) {
+      val pNoBc = SparkEntry.queries(q)(s2, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!pNoBc.contains("BroadcastHashJoin"),
+        s"$q: a broadcast survives autoBroadcastJoinThreshold=-1 — hint-forced:\n$pNoBc")
+    }
   }
 
   test("q37/q54: no all-pairs operator (banded LSH, not a corpus×corpus product)") {
@@ -343,6 +372,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"probe LUTs not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"corpus-shuffling join in the ADC path:\n$p")
+  }
+
+  test("q166: probes broadcast onto one embeddings scan (q29 serving shape); decode stays in mapPartitions") {
+    // The probe side is constant-bounded (doc_id < 10), so it must
+    // broadcast (BNLJ — the probe fan-out has no equi-key); the
+    // embedding corpus must stream through exactly one scan with no
+    // shuffle-based cartesian anywhere.
+    val p = plan("q166_crossmodal_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"shuffle cartesian in serving path:\n$p")
+    // exactly 2 distinct scans: documents (probes) + embeddings (corpus)
+    val scans = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scans.size == 2,
+      s"expected 2 distinct scans (documents probes + embeddings corpus), got $scans:\n$p")
+    assert(p.contains("MapPartitions"), s"media decode left the mapPartitions stage:\n$p")
   }
 
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
