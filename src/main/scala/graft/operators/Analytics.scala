@@ -1250,10 +1250,11 @@ object Analytics {
     * token) counts first (one map-side-combined aggregate — the only
     * corpus-sized stage). The KL sum then splits by support:
     *
-    *  - tokens present in a OR b: each observed (source, tok) count
-    *    is expanded against the other S-1 sources and the two
-    *    directions FULL-OUTER-joined on (src_a, src_b, tok) — that is
-    *    2·|observed|·(S-1) narrow rows, partitioned by the join key,
+    *  - tokens present in a OR b: ONE shuffle of the observed
+    *    (source, tok) cells by token builds a per-token {source → c}
+    *    map (≤ S entries — bounded); a narrow explode then emits each
+    *    ordered pair's union-support cell directly, ≤ 2·|observed|·
+    *    (S-1) rows with no second shuffle and no sort-merge join —
     *    never the |V|·S² dense product (at a 10M-token vocabulary and
     *    20 sources: ~40M·2 rows instead of 4B).
     *  - tokens absent from BOTH: their smoothed p_a, p_b are the
@@ -1285,21 +1286,37 @@ object Analytics {
     val totals = counts.groupBy("source").agg(sum("c").as("ntok"))
     val srcA = totals.select(col("source").as("src_a"), col("ntok").as("ntok_a"))
     val srcB = totals.select(col("source").as("src_b"), col("ntok").as("ntok_b"))
-    // Union-support cells: observed a-side counts against every other
-    // b (and symmetrically), full-outer on (pair, tok) so a token in
-    // exactly one support still yields its row, c coalesced to 0 on
-    // the absent side. n_union = |supp_a ∪ supp_b| rides along for
-    // the zero-tail count — one aggregate, no second pass.
-    val ga = counts
-      .select(col("source").as("src_a"), col("tok"), col("c").as("c_a"))
-      .crossJoin(broadcast(srcB.select("src_b")))
-      .filter(col("src_a") =!= col("src_b"))
-    val gb = counts
-      .select(col("source").as("src_b"), col("tok"), col("c").as("c_b"))
-      .crossJoin(broadcast(srcA.select("src_a")))
-      .filter(col("src_a") =!= col("src_b"))
-    val unionAgg = ga.join(gb, Seq("src_a", "src_b", "tok"), "full_outer")
-      .na.fill(0L, Seq("c_a", "c_b"))
+    // Union-support cells via the per-token SOURCE MAP (r9: replaces
+    // the two-sided expansion + full-outer join, whose sort-merge of
+    // 2·|observed|·(S−1) rows was the query's measured hot stage —
+    // re-timed 1.4 s isolated vs the 0.75 s reference, ~1.0 s of it
+    // in this stage): ONE shuffle of the |observed| cells by token
+    // builds {source → c} per token (map size ≤ S — bounded); a
+    // NARROW explode then emits each ordered pair's cell directly —
+    // from the observed side for tok ∈ supp_a, and the reversed
+    // direction only when the partner is absent (m[o] IS NULL), so
+    // each (pair, tok) union-support cell appears exactly once with
+    // the same coalesced counts the full-outer produced. No second
+    // expansion shuffle, no sort-merge; the pair aggregate collapses
+    // map-side to S² rows. n_union = |supp_a ∪ supp_b| rides along
+    // for the zero-tail count — one aggregate, no second pass.
+    val others = totals.select(col("source").as("o"))
+    val cells = counts.groupBy("tok")
+      .agg(map_from_entries(collect_list(struct(col("source"), col("c")))).as("m"))
+      .select(col("tok"), col("m"), explode(map_keys(col("m"))).as("s"))
+      .join(broadcast(others), col("o") =!= col("s"))
+      .select(col("tok"), explode(array(
+        struct(col("s").as("src_a"), col("o").as("src_b"),
+          col("m")(col("s")).as("c_a"),
+          coalesce(col("m")(col("o")), lit(0L)).as("c_b"),
+          lit(true).as("keep")),
+        struct(col("o").as("src_a"), col("s").as("src_b"),
+          lit(0L).as("c_a"), col("m")(col("s")).as("c_b"),
+          col("m")(col("o")).isNull.as("keep")))).as("e"))
+      .filter(col("e.keep"))
+      .select(col("e.src_a").as("src_a"), col("e.src_b").as("src_b"),
+        col("tok"), col("e.c_a").as("c_a"), col("e.c_b").as("c_b"))
+    val unionAgg = cells
       .join(broadcast(srcA), "src_a")
       .join(broadcast(srcB), "src_b")
       .crossJoin(broadcast(vstat))

@@ -497,18 +497,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q114: sparse KL — full-outer union join on (pair, tok), never the dense |V|·S² grid") {
+  test("q114: sparse KL — per-token source map, no sort-merge, never the dense |V|·S² grid") {
     // The zero-zero tail is closed-form (z·term0), so the plan must
-    // carry only OBSERVED (source, tok) rows: the union-support cells
-    // come from one FULL-OUTER join keyed (src_a, src_b, tok). The
-    // dense formulation's signatures were (a) a sources×vocab
-    // cross-expansion densified by a LEFT join and (b) an a/b
-    // self-join keyed on tok ALONE — |V|·S² rows; neither may return.
+    // carry only OBSERVED (source, tok) rows. r9 replaced the
+    // two-sided expansion + FULL-OUTER sort-merge (the measured hot
+    // stage) with ONE tok-keyed aggregate building a {source → c}
+    // map and a narrow explode into the ordered-pair cells. Pinned:
+    // (a) no sort-merge/shuffled-hash join anywhere (the union cells
+    //     are built without joining two corpus-expansion streams);
+    // (b) no join keyed on tok alone — the dense self-join's
+    //     signature — and no cartesian;
+    // (c) the per-token map aggregate + its explode exist (Generate
+    //     over the map keys).
     val p = plan("q114_source_kl")
-    assert(p.contains("FullOuter"), s"sparse union join gone:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a corpus-expansion join is back:\n$p")
     assert(!"keys \\[1\\]: \\[tok#".r.findFirstIn(p).isDefined,
       s"a join keyed on tok alone = the dense self-join is back:\n$p")
     assert(!p.contains("CartesianProduct"), s"q114 cartesian:\n$p")
+    assert(p.contains("map_from_entries") || p.contains("collect_list"),
+      s"per-token source map gone:\n$p")
+    assert(p.contains("Generate"), s"map-keys explode gone:\n$p")
   }
 
   test("q137: probe side broadcasts with the vec_id filter pushed; rank-limit pushdown holds") {
