@@ -222,10 +222,37 @@ object Dedup {
     * q22 (which adds the orderBy) and q62 (whose edge list doesn't
     * care about order). */
   /** The persisted MinHash signature table (doc_id, m0..m11) — shared
-    * by [[minhashCandidates]] (q22/q62/q140) and q144 (which needs
-    * the raw component values, not just band buckets). */
-  private[graft] def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
-    minhashSigFrom(shingles(spark, sfDir, distinct = false))
+    * by [[minhashCandidates]] (q22/q62/q136/q140) and q144 (which
+    * needs the raw component values, not just band buckets; it builds
+    * from its own distinct shingle cache — [[minhashSigFrom]] — and
+    * refreshes nothing, since min() over multiset ≡ distinct).
+    *
+    * Family-lifetime memo, the [[overlapMemo]] pattern: the signature
+    * INDEX is built once per (session, corpus fingerprint) and served
+    * to every MinHash-family query in the session instead of paying
+    * the corpus tokenize + md5 + 12-min aggregate per query. The
+    * persisted relation is N docs × 12 longs — signature-sized, never
+    * corpus bytes. Memo-managed persist (NOT CacheScope-registered)
+    * with the same self-heal against a harness clearCache(). */
+  private val minhashSigMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] def minhashSig(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = (System.identityHashCode(spark).toString,
+      Tables.fingerprint(sfDir, Seq("documents")))
+    def build(): DataFrame = {
+      val sig = minhashSigPlan(shingles(spark, sfDir, distinct = false))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sig.count() // eager — both band-join sides read the cache
+      sig
+    }
+    val served = minhashSigMemo.computeIfAbsent(key, _ => build())
+    if (served.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val rebuilt = build()
+      minhashSigMemo.put(key, rebuilt)
+      rebuilt
+    } else served
+  }
 
   /** Signature table from an arbitrary (doc_id, sh) relation: min()
     * is idempotent over multisets, so the multiset (q22's cheap path
@@ -233,6 +260,15 @@ object Dedup {
     * distinct relation anyway and reuses its cache instead of a
     * second corpus tokenize) inputs yield the IDENTICAL table. */
   private def minhashSigFrom(sh: DataFrame): DataFrame = {
+    val sig = minhashSigPlan(sh).scopedCache
+    sig.count() // eager materialization — see q23
+    sig
+  }
+
+  /** Un-persisted signature plan — shared by the family memo
+    * ([[minhashSig]], memo-managed persist) and [[minhashSigFrom]]
+    * (query-scoped persist for q144's distinct path). */
+  private def minhashSigPlan(sh: DataFrame): DataFrame = {
     // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, split
     // into two 32-bit halves h1/h2; the s-th hash is h1 + s·h2 (fits
     // in 36 bits — no overflow on either engine). Replaces 12 md5
@@ -246,15 +282,13 @@ object Dedup {
       .withColumn("h2", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
     val minhashes = (0 until NumHashes).map(s =>
       min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s"))
-    // Persist the signature table (N docs × 12 longs — tiny relative
-    // to the corpus) and self-join on the band key: the codegen'd
-    // hash join beats the collect_list + higher-order pair expansion
-    // (CodegenFallback) and the shingle→minhash subtree runs once.
-    val sig = withH.groupBy("doc_id")
+    // The callers persist the signature table (N docs × 12 longs —
+    // tiny relative to the corpus) and self-join on the band key: the
+    // codegen'd hash join beats the collect_list + higher-order pair
+    // expansion (CodegenFallback) and the shingle→minhash subtree
+    // runs once.
+    withH.groupBy("doc_id")
       .agg(minhashes.head, minhashes.tail: _*)
-      .scopedCache
-    sig.count() // eager materialization — see q23
-    sig
   }
 
   private def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =

@@ -21,12 +21,12 @@ class CacheScopeSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("a persisting query registers its caches; drain releases those entries") {
-    // q22's MinHash engine persists its signature table during
-    // construction (eager count) — a known scoped-cache creator.
-    // (q23, the previous subject, moved its persists to the
-    // family-lifetime overlap memo, which is deliberately NOT
-    // CacheScope-registered.)
-    val df = SparkEntry.queries("q22_minhash_lsh")(spark, sf)
+    // q144 persists its distinct shingle relation and its signature
+    // table during construction (eager counts) — a known scoped-cache
+    // creator. (q23 and q22, the previous subjects, moved their
+    // persists to the family-lifetime index memos, which are
+    // deliberately NOT CacheScope-registered.)
+    val df = SparkEntry.queries("q144_minhash_calibration")(spark, sf)
     df.count()
     val regs = graft.functions.CacheScope.liveSnapshot
     assert(regs.nonEmpty,
