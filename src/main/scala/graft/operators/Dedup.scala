@@ -227,32 +227,20 @@ object Dedup {
     * from its own distinct shingle cache — [[minhashSigFrom]] — and
     * refreshes nothing, since min() over multiset ≡ distinct).
     *
-    * Family-lifetime memo, the [[overlapMemo]] pattern: the signature
-    * INDEX is built once per (session, corpus fingerprint) and served
-    * to every MinHash-family query in the session instead of paying
-    * the corpus tokenize + md5 + 12-min aggregate per query. The
-    * persisted relation is N docs × 12 longs — signature-sized, never
-    * corpus bytes. Memo-managed persist (NOT CacheScope-registered)
-    * with the same self-heal against a harness clearCache(). */
-  private val minhashSigMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-
-  private[graft] def minhashSig(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = (System.identityHashCode(spark).toString,
-      Tables.fingerprint(sfDir, Seq("documents")))
-    def build(): DataFrame = {
+    * Family-lifetime memo ([[graft.functions.FamilyIndex]]): the
+    * signature INDEX is built once per (session, corpus fingerprint)
+    * and served to every MinHash-family query in the session instead
+    * of paying the corpus tokenize + md5 + 12-min aggregate per
+    * query. The persisted relation is N docs × 12 longs —
+    * signature-sized, never corpus bytes. */
+  private[graft] def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.FamilyIndex.of("minhash-sig", spark,
+      Tables.fingerprint(sfDir, Seq("documents"))) { () =>
       val sig = minhashSigPlan(shingles(spark, sfDir, distinct = false))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sig.count() // eager — both band-join sides read the cache
       sig
     }
-    val served = minhashSigMemo.computeIfAbsent(key, _ => build())
-    if (served.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      val rebuilt = build()
-      minhashSigMemo.put(key, rebuilt)
-      rebuilt
-    } else served
-  }
 
   /** Signature table from an arbitrary (doc_id, sh) relation: min()
     * is idempotent over multisets, so the multiset (q22's cheap path
@@ -633,27 +621,19 @@ object Dedup {
   private[graft] def overlapPairsPlan(spark: SparkSession, sfDir: String): DataFrame =
     overlapPairsOn(overlapBuckets(spark, sfDir))
 
-  /** Family-lifetime memo of the overlap-pair index, the
-    * [[graft.operators.Similarity]] `trainedCentroids` precedent
-    * ("index built once, served by the family"): q23 (Jaccard) and
-    * q134 (containment) consume the IDENTICAL (doc_a, doc_b, n_inter,
-    * sh_a, sh_b) relation, and with caches drained per query each used
-    * to pay the full tokenize + bucket + expand build. Keyed by
-    * (session identity, corpus fingerprint): sessions can't serve each
-    * other's plans, and a regenerated fixture re-builds instead of
-    * serving stale pairs. The persisted relation is pair-bounded
-    * (≤ T²/2 pairs per informative shingle bucket by the
-    * [[MaxShingleDf]] construction), never corpus bytes; the build's
-    * bucket cache is released as soon as the pair table materializes.
-    * This persist is memo-managed, NOT CacheScope-registered — its
-    * lifetime is the family's, not one query's. */
-  private val overlapMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-
-  private def overlapPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = (System.identityHashCode(spark).toString,
-      Tables.fingerprint(sfDir, Seq("documents")))
-    def build(): DataFrame = {
+  /** Family-lifetime memo of the overlap-pair index
+    * ([[graft.functions.FamilyIndex]] — "index built once, served by
+    * the family", the `trainedCentroids` precedent): q23 (Jaccard)
+    * and q134 (containment) consume the IDENTICAL (doc_a, doc_b,
+    * n_inter, sh_a, sh_b) relation, and with caches drained per query
+    * each used to pay the full tokenize + bucket + expand build. The
+    * persisted relation is pair-bounded (≤ T²/2 pairs per informative
+    * shingle bucket by the [[MaxShingleDf]] construction), never
+    * corpus bytes; the build's bucket cache is released as soon as
+    * the pair table materializes. */
+  private def overlapPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.FamilyIndex.of("overlap-pairs", spark,
+      Tables.fingerprint(sfDir, Seq("documents"))) { () =>
       val buckets = overlapBuckets(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       buckets.count() // eager — sizes and pair expansion both read the cache
@@ -663,18 +643,6 @@ object Dedup {
       buckets.unpersist(false)
       pairs
     }
-    val served = overlapMemo.computeIfAbsent(key, _ => build())
-    // Self-heal: a harness-level clearCache() (Verify's per-query
-    // isolation backstop) unpersists the index out from under the
-    // memo; serving the now-uncached plan would recompute the bucket
-    // subtree once per consumer branch. Rebuild — never serve an
-    // unpersisted index.
-    if (served.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      val rebuilt = build()
-      overlapMemo.put(key, rebuilt)
-      rebuilt
-    } else served
-  }
 
   /** q23 — exact n-gram Jaccard similarity: pairs sharing shingles,
     * J = |∩| / |∪| ≥ 0.5, over df-bounded shingles (see
@@ -1873,10 +1841,16 @@ object Dedup {
     * stays near-linear: measured 10.6k pairs at sf0.1 → 90k at ×10,
     * not the ×100 a fixed block count would give; a first draft
     * without it measured exactly that quadratic cliff, 28 s at ×10
-    * → 0.6 s with it). The length band uses the FLOOR form
-    * `(n_chars − pmod(n_chars, B)) DIV B` so Spark and the oracle's
-    * `//` agree for negative values too (DIV truncates toward zero,
-    * `//` floors — the Events.scala day-bucket lesson).
+    * → 0.6 s with it). The length band uses the explicit
+    * largest-multiple FLOOR form on BOTH engines —
+    * `(n_chars − pmod(n_chars, B)) DIV B` in Spark, the `%`-built
+    * pmod twin in the oracle — because Spark's `DIV` AND DuckDB
+    * 1.0's `//` BOTH truncate toward zero (measured: `(-101)//50`
+    * = −2 there, not the floored −3 its docs suggest); subtracting
+    * the non-negative pmod first makes the numerator an exact
+    * multiple of B, which divides exactly under either truncation
+    * or floor semantics, so the bucket is floor-exact and
+    * engine/version-independent even for negative n_chars.
     *
     * Pass 2 (sorted neighborhood, [[FsSnWindow]]) closes pass 1's
     * recall gap. Its rank assignment is built to distribute: the
@@ -2000,7 +1974,7 @@ object Dedup {
     s"""WITH d AS (
        |  SELECT doc_id, source, lang, n_chars, md5(text) AS sig,
        |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS prefix,
-       |    n_chars // $FsLenBand AS blk,
+       |    (n_chars - ((n_chars % $FsLenBand + $FsLenBand) % $FsLenBand)) // $FsLenBand AS blk,
        |    string_split(text, ' ')[1] AS ft
        |  FROM documents),
        |rnk AS (

@@ -396,16 +396,19 @@ object Events {
   /** THE quasi-identifier tuple — one definition consumed by both
     * q153 (k-anonymity) and q155 (l-diversity) on both engines, so
     * the two audits can never group different universes. BOTH
-    * buckets use FLOOR division, not truncation: Spark's `DIV`
-    * truncates toward zero while DuckDB's `//` floors, so a negative
-    * input (a refund value, a pre-epoch sentinel timestamp) would
-    * land in a different bucket per engine under plain `DIV`. The
-    * value band floors on the shared IEEE double (exact — values are
+    * buckets use FLOOR division, via the explicit largest-multiple
+    * form on BOTH engines: Spark's `DIV` and DuckDB 1.0's `//` BOTH
+    * truncate toward zero (measured — `(-101)//50` = −2 there, not
+    * the floored −3; the r8 oracle's bare `//` therefore did NOT
+    * floor, and a pre-epoch sentinel timestamp would have bucketed
+    * differently per engine — caught by the r9 review). The value
+    * band floors on the shared IEEE double (exact — values are
     * small). The day bucket CANNOT go through a double (epoch-nanos
-    * ≈ 1.7·10¹⁸ exceeds the 2⁵³ exact-integer range), so it floors
-    * in exact integer arithmetic instead: pmod is non-negative, so
-    * ts − pmod(ts, d) is the largest multiple of d ≤ ts and the DIV
-    * is exact — ≡ DuckDB's integer `//` for every BIGINT including
+    * ≈ 1.7·10¹⁸ exceeds the 2⁵³ exact-integer range), so both sides
+    * subtract the non-negative pmod first: ts − pmod(ts, d) is the
+    * largest multiple of d ≤ ts, and an exact multiple divides
+    * exactly under truncation OR floor semantics — floor-exact and
+    * engine/version-independent for every BIGINT including
     * pre-epoch negatives. */
   private val qidSparkExprs: Seq[String] = Seq(
     "event_type",
@@ -413,7 +416,8 @@ object Events {
     s"CAST(floor(value / $ValueBandWidth) AS BIGINT) AS value_band")
 
   private val qidSqlExprs: String =
-    s"""event_type, epoch_ns(ts) // $DayNs AS day_bucket,
+    s"""event_type,
+       |    (epoch_ns(ts) - ((epoch_ns(ts) % $DayNs + $DayNs) % $DayNs)) // $DayNs AS day_bucket,
        |    CAST(floor(value / $ValueBandWidth) AS BIGINT) AS value_band""".stripMargin
 
   /** q153 — k-anonymity audit over quasi-identifiers: before

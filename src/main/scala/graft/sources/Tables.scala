@@ -80,12 +80,23 @@ object Tables {
     * served stale driver state. Directory-shaped tables (the 100 TB
     * case: one dir of many part files) are walked one level — file
     * listing is a driver-side O(files) stat, the same metadata a scan
-    * planning pass reads anyway. */
+    * planning pass reads anyway. The walk is FULLY recursive (a
+    * partitioned table dir's subdirectory mtime does not change when
+    * a nested part file is rewritten in place — only the leaf stats
+    * detect it) and null-safe (`listFiles` returns null on an I/O
+    * error or a regeneration race; an unreadable dir contributes a
+    * distinct marker so the fingerprint still changes vs the
+    * readable state). */
   def fingerprint(sfDir: String, tables: Seq[String]): String = {
     def stat(f: java.io.File): Seq[String] =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toSeq
-          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+        Option(f.listFiles()) match {
+          case Some(children) =>
+            children.sortBy(_.getName).toSeq.flatMap { c =>
+              stat(c).map(s => s"${f.getName}/$s")
+            }
+          case None => Seq(s"${f.getName}:unreadable")
+        }
       else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
     val dir = new java.io.File(sfDir).getCanonicalPath
     val parts = tables.sorted.flatMap(t => stat(new java.io.File(s"$dir/$t.parquet")))
