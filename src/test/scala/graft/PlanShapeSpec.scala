@@ -388,6 +388,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.size == 2,
       s"expected 2 distinct scans (documents probes + embeddings corpus), got $scans:\n$p")
     assert(p.contains("MapPartitions"), s"media decode left the mapPartitions stage:\n$p")
+    assert(p.contains("LessThan(doc_id,10)"),
+      s"probe filter not pushed to the documents scan:\n$p")
   }
 
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
