@@ -16,6 +16,10 @@ case class NearDupPair(vec_a: Long, vec_b: Long)
 /** One vector retained in a band bucket's state window. */
 case class BucketMember(vec_id: Long, v: Seq[Double], tsMs: Long)
 
+/** One cross-modal retrieval hit emitted by
+  * [[VectorStreams.crossModalTopKStream]] — the q166 row shape. */
+case class CrossModalHit(doc_id: Long, rank: Long, vec_id: Long, cos: Double)
+
 /** State of one (band_idx, band_val) bucket: the vectors seen within
   * the watermark window. */
 case class BucketState(members: List[BucketMember])
@@ -130,12 +134,85 @@ object VectorStreams {
             }
             // Per-member GC: a member is only detectable while a
             // partner could still arrive inside its delay window;
-            // past that, drop it so hot buckets stay bounded.
+            // past that, drop it so hot buckets stay bounded. >= not
+            // >: a partner arriving EXACTLY delayMs after a member is
+            // inside the documented closed-interval guarantee (the
+            // CorpusStreams pair-GC boundary, fixed the same way).
             val wm = state.getCurrentWatermarkMs()
-            members = members.filter(_.tsMs + delayMs > wm)
+            members = members.filter(_.tsMs + delayMs >= wm)
             state.update(BucketState(members))
             state.setTimeoutTimestamp(math.max(maxTs + delayMs, wm + 1))
             out.iterator
+          }
+      }
+  }
+
+  implicit val hitEnc: Encoder[CrossModalHit] = Encoders.product[CrossModalHit]
+
+  /** Streaming twin of the cross-modal retrieval capstone (q166): new
+    * media documents arrive on a stream, encode through the SAME
+    * deterministic media tower inside a mapPartitions pass (where a
+    * real GPU encoder's model load amortizes per partition), and
+    * retrieve their top-k embedding-table neighbors from the STATIC
+    * corpus — the online tier of a retrieval service (index static,
+    * queries streaming).
+    *
+    * Shape: the stream-static join is STATELESS (each probe's corpus
+    * rows materialize entirely within its own micro-batch, because
+    * the static side is complete), the cosine is the same native
+    * codegen'd expression as the batch plan (bit-identical threshold
+    * and ordering decisions), and the per-probe top-k is a bounded
+    * k-element insertion inside one stateless flatMapGroupsWithState
+    * pass — O(k) heap per group, never a per-probe sort of the
+    * corpus. At 100 TB the static side would be the IVF/PQ index
+    * (q30/q160) instead of the exact scan, same topology.
+    *
+    * Contract: each doc_id is ingested once (a re-sent probe re-emits
+    * its top-k — idempotent for a set-consumer, exactly like the
+    * batch query re-run). StreamingSpec pins stream ≡ batch q166 row
+    * parity over a 2-batch replay. */
+  def crossModalTopKStream(mediaDocs: DataFrame, corpus: DataFrame,
+      k: Int = 5): Dataset[CrossModalHit] = {
+    import graft.functions.CosineSimilarity.cosine_sim
+    val session = mediaDocs.sparkSession
+    import session.implicits._
+    val probes = mediaDocs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // per-partition setup of a real cross-modal encoder goes HERE
+        it.map { case (id, text) =>
+          (id, graft.operators.Multimodal.mediaEmbed(
+            Option(text).getOrElse("").getBytes("UTF-8")))
+        }
+      }
+      .toDF("doc_id", "mv")
+    val scored = probes
+      .join(corpus.select(col("vec_id"), col("v")), expr("true"))
+      .withColumn("cos", cosine_sim(col("mv"), col("v")))
+      .select(col("doc_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, CrossModalHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (docId: Long, rows: Iterator[(Long, Long, Double)],
+         _: GroupState[Int]) =>
+          // bounded (cos DESC, vec_id ASC) insertion — the batch
+          // window's exact tie-break, O(k) state per group
+          val top = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          rows.foreach { case (_, vecId, cos) =>
+            var i = 0
+            while (i < top.length &&
+                (top(i)._1 > cos || (top(i)._1 == cos && top(i)._2 < vecId)))
+              i += 1
+            if (i < k) {
+              top.insert(i, (cos, vecId))
+              if (top.length > k) top.remove(k)
+            }
+          }
+          top.iterator.zipWithIndex.map { case ((cos, vecId), i) =>
+            CrossModalHit(docId, (i + 1).toLong, vecId,
+              math.floor(cos * 1000000.0 + 0.5) / 1000000.0)
           }
       }
   }

@@ -370,6 +370,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cross-modal retrieval (q166 twin): stream hits ≡ batch rows over a 2-batch replay") {
+    import graft.streaming.VectorStreams
+    import org.apache.spark.sql.types._
+    // Replay the 10 probe documents as TWO micro-batches against the
+    // STATIC embedding corpus (the online-retrieval topology: index
+    // static, queries streaming). Every probe's corpus rows
+    // materialize inside its own micro-batch (stream-static join), so
+    // exact row parity with batch q166 — same tower, same native
+    // cosine, same (cos DESC, vec_id ASC) tie-break, same floor-6 —
+    // is the correct oracle, not an approximation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_xmodal").toString + "/in"
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") < 5).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= 5).coalesce(1).write.mode("append").json(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val corpus = graft.operators.Similarity.cvecs(spark, "/root/testdata/sf0.001")
+    val q = EventStreams.runToMemory(
+      VectorStreams.crossModalTopKStream(stream, corpus).toDF(),
+      "xmodal_out", outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2,
+        s"expected >=2 micro-batches, got ${q.recentProgress.length}")
+      val got = spark.table("xmodal_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = SparkEntry.queries("q166_crossmodal_knn")(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(want.size === 50, s"degenerate batch truth: ${want.size} rows")
+      assert(got === want,
+        s"stream hits diverged from batch: missing ${want -- got}, extra ${got -- want}")
+    } finally q.stop()
+  }
+
   test("streaming MinHash near-dup candidates (q22 twin): stream pair-set ≡ batch candidates over a 2-batch replay") {
     import graft.streaming.CorpusStreams
     // Replay the document corpus in doc_id order as TWO micro-batches:
