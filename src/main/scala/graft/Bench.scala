@@ -83,14 +83,51 @@ object Bench {
     // multi-second stop-the-world outliers observed landing on
     // whichever timed query the collector happened to interrupt.
     System.gc()
+    // The committed quiet-host reference run, loaded BEFORE timing:
+    // it drives both the reference-relative re-time rule below and the
+    // drift echo after the results. Per-cell minima of quiet full-
+    // roster runs of the CURRENT plans (see dev/bench_reference.json
+    // provenance note) — a deliberate plan-price change must refresh
+    // its cell, or it flags forever.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "dev/bench_reference.json")
+    val reference: Map[String, Double] = {
+      val f = new java.io.File(refPath)
+      if (!f.isFile) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f)
+        val s = try txt.mkString finally txt.close()
+        "\"(q[0-9][A-Za-z0-9_]*)\"\\s*:\\s*([0-9.]+)".r
+          .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    // Opt-in isolation audit (SPARK_GRAFT_CACHE_AUDIT=1): after each
+    // query's drain, every persisted RDD still alive must belong to a
+    // family-lifetime index memo — a query-scoped persist that forgot
+    // scopedCache would otherwise silently leak its cache into every
+    // later query's timing with no safety net (the r9 change dropped
+    // the success-path clearCache precisely because memos must
+    // survive; this assertion is the replacement net). Uses the
+    // driver-side persistent-RDD registry: only MATERIALIZED caches
+    // appear there, which is exactly the set that can skew timings.
+    val cacheAudit = sys.env.get("SPARK_GRAFT_CACHE_AUDIT").contains("1")
     // Single-run timings on this host occasionally absorb a
     // multi-second stop-the-world pause (GC/VM steal) that lands on a
     // random query — observed as 4-10x spikes (q35 2s→13s) that
     // reverse on re-run. Steady-state cost is what the suite tracks,
-    // so a query whose first timing crosses the outlier threshold is
-    // re-timed once and the MIN reported; sub-threshold queries stay
-    // single-run, keeping total bench wall-clock bounded.
+    // so a query is re-timed (MIN reported) when its first timing
+    // crosses the absolute outlier threshold OR runs >1.5x its
+    // committed quiet-host reference cell (r9's driver bench showed
+    // host steal inflating sub-threshold cells 15-30x — pure
+    // projections at 3+ s — which the absolute rule alone can't
+    // catch). Reference-flagged cells get up to two re-times (best of
+    // three: one transient pause can land on the retry too); the
+    // 50 ms absolute-excess floor keeps scheduling jitter on
+    // millisecond cells from triggering re-runs. Worst case (every
+    // cell flagged on a fully loaded host) is 3x bench wall — bounded,
+    // and exactly the situation where the minima are worth the wall.
     val OutlierSec = 2.5
+    def overReference(name: String, dt: Double): Boolean =
+      reference.get(name).exists(ref => ref > 0 && dt > 1.5 * ref && dt - ref > 0.05)
     val results = picked.map { case (name, fn) =>
       // A failed query must be LOUD and must record the -1 sentinel —
       // never its elapsed-until-crash time, which would pass as a fast
@@ -115,42 +152,51 @@ object Bench {
         // the failure path, as the exception-leak safety net.
         graft.functions.CacheScope.drain()
         if (!ok) spark.catalog.clearCache()
+        if (cacheAudit && ok) {
+          val persisted = spark.sparkContext.getPersistentRDDs.size
+          val memos = graft.functions.FamilyIndex.liveMaterializedCount(spark)
+          if (persisted > memos) {
+            System.err.println(
+              s"[bench] CACHE AUDIT FAILED after $name: $persisted persistent RDDs " +
+              s"vs $memos family-memo entries — a query-scoped persist is not " +
+              "CacheScope-registered and would skew later timings")
+            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+              System.err.println(s"[bench]   rdd $id: ${rdd.name} ${rdd.getStorageLevel}")
+            }
+            sys.exit(3)
+          }
+        }
         if (ok) dt else -1.0
       }
       val first = timed()
       // Guard the retry's -1 sentinel: a query that succeeded on the
       // first run must never be reported failed because the outlier
       // RE-time crashed (min(first, -1) = -1).
-      val dt = if (first > OutlierSec) {
-        val second = timed()
-        if (second < 0) first else math.min(first, second)
-      } else first
+      def retimes(best: Double, left: Int): Double =
+        if (left <= 0 || !(best > OutlierSec || overReference(name, best))) best
+        else {
+          val again = timed()
+          if (again < 0) best else retimes(math.min(best, again), left - 1)
+        }
+      val dt =
+        if (first < 0) first
+        else if (overReference(name, first)) retimes(first, 2)
+        else if (first > OutlierSec) retimes(first, 1)
+        else first
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // Drift triage (self-reporting): compare each timing against the
-    // committed quiet-host reference run and flag >1.5x moves, so a
-    // single noisy bench run TELLS the reader which queries moved
-    // instead of leaving the per-query diff to archaeology. The
-    // absolute floor (0.3 s) keeps 50ms->90ms scheduling jitter out of
-    // the flag; the documented 52-78 s host band means a handful of
-    // flagged queries on a loaded host is drift, not regression —
-    // the signature of a real plan regression is the SAME query
-    // flagged across runs.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "dev/bench_reference.json")
-    val reference: Map[String, Double] = {
-      val f = new java.io.File(refPath)
-      if (!f.isFile) Map.empty
-      else {
-        val txt = scala.io.Source.fromFile(f)
-        val s = try txt.mkString finally txt.close()
-        "\"(q[0-9][A-Za-z0-9_]*)\"\\s*:\\s*([0-9.]+)".r
-          .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }
+    // Drift triage (self-reporting): compare each REPORTED timing
+    // (already best-of-re-times) against the committed quiet-host
+    // reference run and flag >1.5x survivors, so a noisy bench run
+    // TELLS the reader which queries stayed slow through the re-time
+    // minima instead of leaving the per-query diff to archaeology.
+    // The absolute floor (0.3 s) keeps 50ms->90ms scheduling jitter
+    // out of the flag; the signature of a real plan regression is the
+    // SAME query flagged across runs.
     val regressed = results.filter { case (name, dt) =>
       dt > 0.3 && reference.get(name).exists(ref => ref > 0 && dt > 1.5 * ref)
     }
@@ -159,6 +205,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
     println(s"""{"metric":"total_echo","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_regressed":${regressed.size},"regressed":$regJson,"ref":"${if (reference.isEmpty) "none" else refPath}","sf":"$sfDir"}""")
+    // Final COMPACT total line, after the (potentially long) regressed
+    // map: r9's driver artifact stored only a truncated tail of the
+    // bench output and the total was unrecoverable. This line is short
+    // enough to survive any tail/line truncation, so a mangled capture
+    // still contains the headline number.
+    println(s"""{"metric":"total_min","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_regressed":${regressed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

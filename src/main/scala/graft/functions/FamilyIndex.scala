@@ -63,4 +63,31 @@ object FamilyIndex {
 
   /** Live entry count — spec observability. */
   private[graft] def liveCount: Int = synchronized(memos.size)
+
+  /** Live entries for `spark` whose blocks are actually persisted —
+    * the set that can occupy executor storage (Bench's isolation
+    * audit compares this against the persistent-RDD registry). */
+  private[graft] def liveMaterializedCount(spark: SparkSession): Int =
+    synchronized(memos.count { case ((_, s), (_, df)) =>
+      (s eq spark) && df.storageLevel != StorageLevel.NONE
+    })
+
+  /** Retire every memo owned by `spark`: unpersist the index blocks
+    * and drop the entries. The isStopped purge in [[of]] only fires
+    * when the shared SparkContext stops, but session CLONES
+    * (`spark.newSession()`) share one context — a long-lived JVM that
+    * churns clone sessions (one per lane/tenant) would otherwise pin
+    * each abandoned clone's SparkSession object and persisted blocks
+    * until the whole context dies. A lane that retires its session
+    * calls this; the single-session harnesses (Verify/Bench/specs)
+    * never need to. Returns the number of entries released. */
+  def release(spark: SparkSession): Int = synchronized {
+    val owned = memos.collect { case (k @ (_, s), (_, df)) if s eq spark => (k, df) }
+    owned.foreach { case (k, df) =>
+      try df.unpersist(false)
+      catch { case _: IllegalStateException => () /* context already stopped */ }
+      memos.remove(k)
+    }
+    owned.size
+  }
 }

@@ -273,8 +273,13 @@ object Multimodal {
     import spark.implicits._
     import graft.functions.CosineSimilarity.cosine_sim
     import org.apache.spark.sql.expressions.Window
+    // Null-text probes are FILTERED, not encoded: a probe with no
+    // payload cannot go through the encoder, and this contract is
+    // shared by all three tiers (this batch plan, the streaming twin,
+    // and the DuckDB oracle's WHERE) — before r10 the three disagreed
+    // (batch would NPE, stream encoded "", oracle propagated NULL).
     val probes = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") < 10)
+      .filter(col("doc_id") < 10 && col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         col("source"))
       .as[MediaBlob]
@@ -303,7 +308,8 @@ object Multimodal {
   val q166Sql: String =
     s"""WITH ${graft.operators.Similarity.normedSql},
       |m AS (
-      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 10),
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |  WHERE doc_id < 10 AND text IS NOT NULL),
       |mg AS (
       |  SELECT m.doc_id, t.g,
       |    md5(m.h || '_' || CAST(t.g AS VARCHAR)) AS hg

@@ -178,12 +178,14 @@ object VectorStreams {
     import session.implicits._
     val probes = mediaDocs
       .select(col("doc_id"), col("text"))
+      // null-text probes are dropped, not encoded as "" — the one
+      // contract shared with batch q166 and its DuckDB oracle
+      .filter(col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         // per-partition setup of a real cross-modal encoder goes HERE
         it.map { case (id, text) =>
-          (id, graft.operators.Multimodal.mediaEmbed(
-            Option(text).getOrElse("").getBytes("UTF-8")))
+          (id, graft.operators.Multimodal.mediaEmbed(text.getBytes("UTF-8")))
         }
       }
       .toDF("doc_id", "mv")

@@ -50,6 +50,37 @@ class FamilyIndexSpec extends AnyFunSuite {
     assert(next.storageLevel != StorageLevel.NONE)
   }
 
+  test("release(session) retires a clone's memos without touching its siblings'") {
+    // Session clones share one SparkContext, so the isStopped purge
+    // never fires for an abandoned clone — release() is the lane-
+    // retirement hook (r9 ADVICE). The clone's entries must drop AND
+    // unpersist; the parent session's entry must survive untouched.
+    val clone = spark.newSession()
+    val parentIdx = graft.functions.FamilyIndex.of("spec-family-d", spark, "fp1") { () =>
+      freshIndex("d-parent")
+    }
+    val cloneIdx = graft.functions.FamilyIndex.of("spec-family-d", clone, "fp1") { () =>
+      freshIndex("d-clone")
+    }
+    assert(!(parentIdx eq cloneIdx), "clone shared the parent's entry — keying broke")
+    val before = graft.functions.FamilyIndex.liveCount
+    val released = graft.functions.FamilyIndex.release(clone)
+    assert(released === 1, s"expected exactly the clone's one entry, got $released")
+    assert(graft.functions.FamilyIndex.liveCount === before - 1)
+    assert(cloneIdx.storageLevel == StorageLevel.NONE,
+      "released clone index still holds persisted blocks")
+    assert(parentIdx.storageLevel != StorageLevel.NONE,
+      "release(clone) dropped the parent session's blocks")
+    // A later access by the clone self-heals by rebuilding, not by
+    // serving a retired relation.
+    var rebuilt = false
+    val again = graft.functions.FamilyIndex.of("spec-family-d", clone, "fp1") { () =>
+      rebuilt = true; freshIndex("d-clone-2")
+    }
+    assert(rebuilt && !(again eq cloneIdx))
+    graft.functions.FamilyIndex.release(clone)
+  }
+
   test("self-heal: an externally unpersisted index is rebuilt, never served uncached") {
     var builds = 0
     def get() = graft.functions.FamilyIndex.of("spec-family-c", spark, "fp1") { () =>

@@ -1713,6 +1713,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(out === expected, "cross-modal top-5 diverged from the local replay")
   }
 
+  test("cross-modal null-text contract: an un-encodable probe is dropped, not NPE'd or encoded as empty") {
+    // Before r10 the three tiers disagreed on a NULL probe text: batch
+    // q166 NPE'd in the tower, the streaming twin encoded "", and the
+    // DuckDB oracle propagated NULL. The pinned contract is FILTER in
+    // all tiers. flatMapGroupsWithState executes in batch mode too, so
+    // the streaming twin's topology is exercised directly here.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val media = Seq((1L, "alpha doc"), (2L, null: String), (3L, "gamma doc"))
+      .toDF("doc_id", "text")
+    val corpus = graft.operators.Similarity.cvecs(spark, sf).limit(20)
+    val hits = graft.streaming.VectorStreams
+      .crossModalTopKStream(media, corpus, k = 3).collect()
+    assert(hits.map(_.doc_id).toSet === Set(1L, 3L),
+      s"null-text probe not dropped by the twin: ${hits.map(_.doc_id).toSet}")
+    assert(hits.count(_.doc_id == 1L) === 3 && hits.count(_.doc_id == 3L) === 3)
+  }
+
   test("q163 bitext margins match a full local replay (Lloyd cells → within-cell cross-lang rank)") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.functions._

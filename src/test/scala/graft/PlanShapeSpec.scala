@@ -390,6 +390,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"), s"media decode left the mapPartitions stage:\n$p")
     assert(p.contains("LessThan(doc_id,10)"),
       s"probe filter not pushed to the documents scan:\n$p")
+    assert(p.contains("IsNotNull(text)"),
+      s"null-text probe filter (shared 3-tier contract) not pushed:\n$p")
   }
 
   test("q87: posting-list head is a partial (map-side) bounded top-k, not a per-term window") {
