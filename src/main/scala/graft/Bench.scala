@@ -65,7 +65,7 @@ object Bench {
         case t: Throwable =>
           System.err.println(s"[bench] warm-up failed for $name: $t")
       }
-      graft.functions.CacheScope.drain(); spark.catalog.clearCache()
+      graft.functions.CacheScope.drain(); graft.functions.CacheScope.drainCheckpoints(); spark.catalog.clearCache()
     }
     // q61 materializes per-(session, sfDir) bucketed catalog tables on
     // first call; the warm pass above only created warmDir's tag, so
@@ -75,7 +75,7 @@ object Bench {
     if (picked.exists(_._1 == "q61_bucketed_join")) {
       try SparkEntry.queries("q61_bucketed_join")(spark, sfDir).count()
       catch { case t: Throwable => System.err.println(s"[bench] q61 pre-create failed: $t") }
-      graft.functions.CacheScope.drain(); spark.catalog.clearCache()
+      graft.functions.CacheScope.drain(); graft.functions.CacheScope.drainCheckpoints(); spark.catalog.clearCache()
     }
     // One collection after the 100+-plan warm-up pass: it leaves the
     // heap full of dead generated classes/broadcasts, and paying the
@@ -151,6 +151,12 @@ object Bench {
         // would time the build once per consumer. clearCache only on
         // the failure path, as the exception-leak safety net.
         graft.functions.CacheScope.drain()
+        // checkpointed intermediates (CC labels, q119/q122/q130
+        // rollups, PageRank tables) have no CacheManager entry and
+        // are invisible to clearCache — release them explicitly;
+        // Bench serializes queries, so the stricter drainCheckpoints
+        // contract holds here.
+        graft.functions.CacheScope.drainCheckpoints()
         if (!ok) spark.catalog.clearCache()
         if (cacheAudit && ok) {
           val persisted = spark.sparkContext.getPersistentRDDs.size

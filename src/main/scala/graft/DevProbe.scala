@@ -39,7 +39,7 @@ object DevProbe {
       try fn(spark, warmDir).count() catch {
         case t: Throwable => System.err.println(s"[probe] warm-up failed for $n: $t")
       }
-      graft.functions.CacheScope.drain(); spark.catalog.clearCache()
+      graft.functions.CacheScope.drain(); graft.functions.CacheScope.drainCheckpoints(); spark.catalog.clearCache()
       // Bench parity: drain per run, NO blanket clearCache — family-
       // lifetime index memos survive between queries there too. After
       // the clearCache above, r1 shows the index BUILD cost (self-heal
@@ -47,6 +47,7 @@ object DevProbe {
       for (round <- 1 to 2) {
         time(s"$n r$round")(fn(spark, sfDir).count())
         graft.functions.CacheScope.drain()
+        graft.functions.CacheScope.drainCheckpoints()
       }
     }
     spark.stop()

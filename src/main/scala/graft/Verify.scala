@@ -35,6 +35,7 @@ object Verify {
         // as the safety net for anything inline-managed that leaked
         // on an exception path.
         graft.functions.CacheScope.drain()
+        graft.functions.CacheScope.drainCheckpoints()
         spark.catalog.clearCache()
       }
     }

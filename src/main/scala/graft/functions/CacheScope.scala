@@ -78,6 +78,74 @@ object CacheScope {
     toFree.size
   }
 
+  // ---- localCheckpoint scope ----------------------------------------
+  //
+  // The operators' eager localCheckpoints (CC labels, q119's hourly
+  // rollup, q122's bigram counts, q130's power sums, the PageRank
+  // edge/node tables) have NO CacheManager entry: catalog.clearCache
+  // never touches their blocks, and reclamation falls to the
+  // ContextCleaner — which only runs when the driver happens to GC, so
+  // across a 166-query bench the blocks accumulate and skew later
+  // queries' storage. The registry below gives SERIALIZED harnesses
+  // (Bench, Verify, DevProbe — one query fully consumed at a time)
+  // deterministic release.
+  //
+  // CONTRACT — stricter than [[drain]]: a released checkpoint does
+  // NOT recompute (its lineage was truncated at materialization), so
+  // [[drainCheckpoints]] must only run between fully-consumed queries
+  // in a harness that serializes them. The parallel spec suites must
+  // NOT call it — a drain from suite A would hard-kill a checkpointed
+  // relation suite B is still consuming (caches survive that race by
+  // recomputing; checkpoints throw). Specs and library users keep the
+  // ContextCleaner backstop: blocks free when the plan is GC'd.
+
+  // WEAK references: a session that never calls drainCheckpoints (the
+  // parallel spec suites, plain library users) must keep the full
+  // ContextCleaner behavior — a strong registry reference would pin
+  // every checkpointed RDD and defeat the GC-driven backstop.
+  private val liveCheckpoints =
+    scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
+
+  /** The localCheckpoint-backed RDDs inside `ds`'s analyzed plan —
+    * shared by [[registerCheckpoint]] and the CC loop's round
+    * supersede (which frees superseded rounds directly, since nothing
+    * outside the loop can reference them). */
+  private[graft] def checkpointRdds(ds: Dataset[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Register a MATERIALIZED localCheckpoint'ed dataset's blocks for
+    * release at the next [[drainCheckpoints]]. Returns `ds` so call
+    * sites chain like the `.localCheckpoint(...)` they wrap. */
+  def registerCheckpoint[T](ds: Dataset[T]): Dataset[T] = {
+    val rdds = checkpointRdds(ds)
+      .map(r => new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](r))
+    synchronized { liveCheckpoints ++= rdds }
+    ds
+  }
+
+  /** Release every checkpoint registered since the last call (entries
+    * the ContextCleaner already collected deref to null and are
+    * skipped). See the section contract above: serialized harnesses
+    * only. Returns the number of RDDs actually unpersisted. */
+  def drainCheckpoints(): Int = {
+    val toFree = synchronized {
+      val snapshot = liveCheckpoints.toList
+      liveCheckpoints.clear()
+      snapshot
+    }
+    toFree.count { ref =>
+      Option(ref.get()).exists { r =>
+        try { r.unpersist(blocking = false); true }
+        catch { case _: Exception => false /* context already stopped */ }
+      }
+    }
+  }
+
+  /** Number of registered-but-undrained checkpoints — observability. */
+  def liveCheckpointCount: Int = synchronized(liveCheckpoints.size)
+
   /** Number of registered-but-undrained caches — spec observability. */
   def liveCount: Int = synchronized(live.size)
 

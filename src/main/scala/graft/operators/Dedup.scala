@@ -77,7 +77,7 @@ object Dedup {
     * document is one arriving record and the batch path's
     * explode→groupBy aggregation has no streaming analog. The batch
     * side computes the identical values relationally
-    * ([[minhashSigFrom]]); OperatorSpec pins per-document equality of
+    * ([[minhashSigPlan]]); OperatorSpec pins per-document equality of
     * the two evaluations over the corpus, so the recipes cannot
     * drift. A document with no shingles returns empty — it is absent
     * from the batch signature table and can never be a candidate. */
@@ -223,9 +223,10 @@ object Dedup {
     * care about order). */
   /** The persisted MinHash signature table (doc_id, m0..m11) — shared
     * by [[minhashCandidates]] (q22/q62/q136/q140) and q144 (which
-    * needs the raw component values, not just band buckets; it builds
-    * from its own distinct shingle cache — [[minhashSigFrom]] — and
-    * refreshes nothing, since min() over multiset ≡ distinct).
+    * needs the raw component values, not just band buckets; min()
+    * over the multiset input ≡ over distinct shingles — spec-pinned —
+    * so the one memo table serves both the multiset and the
+    * distinct-shingle consumers).
     *
     * Family-lifetime memo ([[graft.functions.FamilyIndex]]): the
     * signature INDEX is built once per (session, corpus fingerprint)
@@ -242,20 +243,9 @@ object Dedup {
       sig
     }
 
-  /** Signature table from an arbitrary (doc_id, sh) relation: min()
-    * is idempotent over multisets, so the multiset (q22's cheap path
-    * — no dedup shuffle) and distinct (q144's path — it needs the
-    * distinct relation anyway and reuses its cache instead of a
-    * second corpus tokenize) inputs yield the IDENTICAL table. */
-  private def minhashSigFrom(sh: DataFrame): DataFrame = {
-    val sig = minhashSigPlan(sh).scopedCache
-    sig.count() // eager materialization — see q23
-    sig
-  }
-
-  /** Un-persisted signature plan — shared by the family memo
-    * ([[minhashSig]], memo-managed persist) and [[minhashSigFrom]]
-    * (query-scoped persist for q144's distinct path). */
+  /** Un-persisted signature plan — the family memo ([[minhashSig]])
+    * is its only caller; kept separate so the recipe reads standalone
+    * and the memo wrapper stays pure lifecycle. */
   private def minhashSigPlan(sh: DataFrame): DataFrame = {
     // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, split
     // into two 32-bit halves h1/h2; the s-th hash is h1 + s·h2 (fits
@@ -364,9 +354,13 @@ object Dedup {
     * Scale shape — the standard LSH estimate→VERIFY stage: the exact
     * leg touches only candidate pairs (O(cand)·doc-shingles rows
     * through two doc-keyed equi-joins), never all pairs; the estimate
-    * leg joins the O(docs)-sized persisted signature table (12 longs
-    * per doc, built once and shared with candidate generation) onto
-    * the pair list; output is ≤ 13 rows (one per agreement count).
+    * leg joins the O(docs)-sized signature table onto the pair list —
+    * and since r10 that table (plus the candidates derived from it)
+    * is SERVED from the family-lifetime memo ([[minhashSig]]) rather
+    * than rebuilt per query: min() over the memo's multiset shingles
+    * ≡ min() over this query's distinct shingles (spec-pinned), so
+    * only the distinct shingle relation for the EXACT leg remains
+    * query-scoped. Output is ≤ 13 rows (one per agreement count).
     *
     * Engine-exactness: agreement counts and intersection sizes are
     * integers; the per-pair divisions are IEEE-on-identical-ints; the
@@ -379,8 +373,8 @@ object Dedup {
     import graft.functions.OracleRound.floorRound
     val shd = shingles(spark, sfDir, distinct = true)
       .scopedCache
-    shd.count() // eager: sig, sizes and both intersection legs read the cache
-    val sig = minhashSigFrom(shd) // one corpus tokenize total — see minhashSigFrom
+    shd.count() // eager: sizes and both intersection legs read the cache
+    val sig = minhashSig(spark, sfDir) // family memo — see its scaladoc
     val cand = minhashCandidatesFrom(sig)
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
@@ -1186,6 +1180,9 @@ object Dedup {
       }
       .toDF("id", "label")
       .localCheckpoint(true)
+      // blocks freed at the harness's drainCheckpoints(); the
+      // ContextCleaner reclaims them for non-harness users
+      .transform(graft.functions.CacheScope.registerCheckpoint)
   }
 
   /** Distributed min-label propagation with pointer jumping — the
@@ -1250,6 +1247,14 @@ object Dedup {
       var prevSum = labelSum(lab)
       var converged = lab.isEmpty
       var iter = 0
+      // Superseded rounds are freed as soon as the next round's
+      // checkpoint has materialized (the labelSum action): the new
+      // round's lineage is truncated at its own checkpoint, so the
+      // old blocks can never be read again — without this, a 10-round
+      // loop leaks 10 label tables until the driver happens to GC.
+      def freeRound(df: DataFrame): Unit =
+        graft.functions.CacheScope.checkpointRdds(df)
+          .foreach(_.unpersist(blocking = false))
       while (!converged && iter < MaxCcRounds) {
         // lab is repartitioned to match the cached edge layout
         // (HashPartitioning(8, src)) so the join shuffles only the
@@ -1266,6 +1271,7 @@ object Dedup {
           .select(col("id"), col("plabel").as("label"))
           .localCheckpoint(false)
         val s = labelSum(jumped)
+        freeRound(lab) // jumped is materialized — lab is unreachable
         lab = jumped
         converged = s == prevSum
         prevSum = s
@@ -1280,7 +1286,9 @@ object Dedup {
       if (!converged) throw new IllegalStateException(
         s"q62 label propagation did not converge within $MaxCcRounds rounds — " +
           "labels are not component minima; refusing to return them")
-      lab
+      // final round outlives the loop — released by the harness's
+      // drainCheckpoints(), not here
+      graft.functions.CacheScope.registerCheckpoint(lab)
     }
     labels
   }
@@ -1629,32 +1637,82 @@ object Dedup {
     * arithmetic (⌈0.8n⌉ = (4n+4) div 5; membership 9·I ≥ 4·(A+B))
     * — no double compare decides membership, so the pruning
     * guarantee and the emitted set use the SAME true-J condition. */
-  def q154(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.OracleRound
-    // 24-hex (96-bit) sigs — q23's collision posture, not q131's
-    // 64-bit counting sigs: this operator's spec pins row-for-row
-    // equality with q23, and at a web-corpus 10¹² distinct shingles
-    // 64-bit sigs WOULD collide (birthday ~5·10⁹) and perturb
-    // jaccard values; 96 bits keep the collision argument intact.
+  def q154(spark: SparkSession, sfDir: String): DataFrame =
+    q154On(ssjoinUniverse(spark, sfDir), ssjoinPrefix(spark, sfDir))
+
+  /** Un-memoized, un-persisted q154 — plan-shape observability ONLY
+    * (the memo-served copies render as InMemoryTableScans in explain,
+    * hiding the join strategies from the PlanShapeSpec probes — the
+    * [[overlapPairsPlan]] precedent). Same code path as the real
+    * build: [[q154On]] over the two index plans. */
+  private[graft] def q154Plan(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = ssjoinUniversePlan(spark, sfDir)
+    q154On(full, ssjoinPrefixOn(full))
+  }
+
+  /** The df-capped (doc_id, sig, df) token universe under the PPJoin
+    * global rarity order — q154's verification-side index.
+    * 24-hex (96-bit) sigs — q23's collision posture, not q131's
+    * 64-bit counting sigs: q154's spec pins row-for-row equality
+    * with q23, and at a web-corpus 10¹² distinct shingles 64-bit
+    * sigs WOULD collide (birthday ~5·10⁹) and perturb jaccard
+    * values; 96 bits keep the collision argument intact. */
+  private def ssjoinUniversePlan(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = shingles(spark, sfDir, distinct = true)
       .select(col("doc_id"), expr("substring(md5(sh), 1, 24)").as("sig"))
     val dfc = sig.groupBy("sig").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
-    // (doc_id, sig, df) over the informative universe — both the
-    // prefix index and the verification leg read it, so persist once.
-    val full = sig.join(dfc, "sig")
-      .scopedCache
-    full.count()
+    sig.join(dfc, "sig")
+  }
+
+  /** Family-lifetime memo of the universe ([[graft.functions
+    * .FamilyIndex]]): built once per (session, corpus fingerprint)
+    * instead of paying the corpus tokenize + distinct + df aggregate
+    * per query. The persisted relation is the suite's LARGEST index —
+    * one row per informative (doc, shingle) pair — but it is
+    * signature rows (8 B id + 24-hex sig + 8 B df), never document
+    * bodies, and MEMORY_AND_DISK spills it harmlessly; at 100 TB
+    * this is the inverted-index artifact a dedup service would
+    * precompute and serve anyway. */
+  private def ssjoinUniverse(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.FamilyIndex.of("ssjoin-universe", spark,
+      Tables.fingerprint(sfDir, Seq("documents"))) { () =>
+      val full = ssjoinUniversePlan(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      full.count() // eager — prefix build + both verification legs read it
+      full
+    }
+
+  /** Prefix index over a universe relation: r ≤ n − ⌈0.8·n⌉ + 1,
+    * carrying n for the candidate length filter. */
+  private def ssjoinPrefixOn(full: DataFrame): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "sig")
-    // r ≤ n − ⌈0.8·n⌉ + 1, carrying n for the candidate length filter.
-    val prefix = full
+    full
       .withColumn("r", row_number().over(wDoc).cast("long"))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))
         .cast("long"))
       .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
       .select(col("doc_id"), col("sig"), col("n"))
+  }
+
+  /** Family-lifetime memo of the prefix index — built FROM the
+    * universe memo (one doc-partitioned window over the cached
+    * rows), ~20% of the universe's rows at t = 0.8. */
+  private def ssjoinPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.FamilyIndex.of("ssjoin-prefix", spark,
+      Tables.fingerprint(sfDir, Seq("documents"))) { () =>
+      val prefix = ssjoinPrefixOn(ssjoinUniverse(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prefix.count() // eager — both sides of the self-join read it
+      prefix
+    }
+
+  /** The PPJoin body over (possibly memo-served) universe + prefix
+    * relations — shared by [[q154]] and [[q154Plan]]. */
+  private def q154On(full: DataFrame, prefix: DataFrame): DataFrame = {
+    import graft.functions.OracleRound
     // Candidates carry both doc sizes (functionally dependent on the
     // ids, so the distinct is unaffected) — the verification leg
     // needs them and re-deriving via a sizes aggregate + two joins

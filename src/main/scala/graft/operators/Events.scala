@@ -255,10 +255,11 @@ object Events {
       // Eager localCheckpoint, NOT persist: the trailing self-join
       // consumes this O(types x hours) rollup twice, but a persist
       // has no caller-visible release point (the q101 leak class) -
-      // checkpoint blocks are reclaimed by the ContextCleaner when
-      // the returned plan is garbage-collected, so the cache cannot
-      // outlive its query in a long-lived session.
+      // checkpoint blocks are released at the harness's
+      // drainCheckpoints(), with the ContextCleaner as the
+      // non-harness backstop once the returned plan is GC'd.
       .localCheckpoint()
+      .transform(graft.functions.CacheScope.registerCheckpoint)
     val cur = hourly.select(col("event_type"), col("hour_bucket"),
       col("x"), col("rn"))
     val past = hourly.select(col("event_type").as("p_type"),

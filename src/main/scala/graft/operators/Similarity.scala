@@ -1042,6 +1042,7 @@ object Similarity {
         sum(col("x").cast("decimal(28,12)")).as("s1"),
         sum((col("x") * col("x")).cast("decimal(28,12)")).as("s2"))
       .localCheckpoint(true)
+      .transform(graft.functions.CacheScope.registerCheckpoint)
     val glob = sums.groupBy("pos")
       .agg(sum("n").as("ng"), sum("s1").as("s1g"))
     sums.join(broadcast(glob), "pos")

@@ -660,6 +660,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("bg.w1"), col("bg.w2"))
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .localCheckpoint()
+      .transform(graft.functions.CacheScope.registerCheckpoint)
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = c2.agg(countDistinct("w2").as("v"))
     val ds = bigrams

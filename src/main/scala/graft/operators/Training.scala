@@ -414,6 +414,7 @@ object Training {
     // 4-way join; lineage truncated so the loop's plan stays O(1).
     val ew = edges.join(outw, "src").coalesce(1)
       .localCheckpoint(eager = true)
+      .transform(graft.functions.CacheScope.registerCheckpoint)
     // ONE Scala-computed double is the teleport base on BOTH engines
     // (emitted into the oracle text as its round-trip literal):
     // leaving each engine to evaluate "(1.0 - 0.85) / 25" itself,
@@ -424,6 +425,7 @@ object Training {
     val nodes = Tables.nation(spark, sfDir)
       .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
       .coalesce(1).localCheckpoint(eager = true) // scanned every round otherwise
+      .transform(graft.functions.CacheScope.registerCheckpoint)
     // Rank state is O(nodes): each round chains as a BROADCAST join
     // over the graph-sized edge table onto the previous round's plan —
     // all PrIters rounds schedule as ONE job (the per-round collect()

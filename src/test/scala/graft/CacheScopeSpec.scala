@@ -21,11 +21,11 @@ class CacheScopeSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("a persisting query registers its caches; drain releases those entries") {
-    // q144 persists its distinct shingle relation and its signature
-    // table during construction (eager counts) — a known scoped-cache
-    // creator. (q23 and q22, the previous subjects, moved their
-    // persists to the family-lifetime index memos, which are
-    // deliberately NOT CacheScope-registered.)
+    // q144 persists its distinct shingle relation during construction
+    // (eager count) for the exact-Jaccard legs — a known scoped-cache
+    // creator. (q23, q22, and q144's signature table — the previous
+    // subjects — moved their persists to the family-lifetime index
+    // memos, which are deliberately NOT CacheScope-registered.)
     val df = SparkEntry.queries("q144_minhash_calibration")(spark, sf)
     df.count()
     val regs = graft.functions.CacheScope.liveSnapshot

@@ -644,6 +644,11 @@ class PlanShapeSpec extends AnyFunSuite {
     //     survive the conf and fail here;
     // (b) with default conf the plan stays sound (sig-keyed prefix
     //     exchange, no all-pairs product).
+    // Both structural probes run on q154Plan — the un-memoized twin
+    // (same code path as the memo build): the real q154 serves its
+    // universe + prefix indexes from family memos, which render as
+    // InMemoryTableScans and hide the join strategies from explain
+    // (the overlapPairsPlan precedent).
     try {
       // The no-broadcast probe runs on a CLONED session (own SQLConf,
       // shared context/cache): flipping autoBroadcastJoinThreshold on
@@ -651,24 +656,31 @@ class PlanShapeSpec extends AnyFunSuite {
       // suites and silently degrade their unhinted joins.
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val pNoBc = SparkEntry.queries("q154_prefix_ssjoin")(s2, sf)
+      val pNoBc = graft.operators.Dedup.q154Plan(s2, sf)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(!pNoBc.contains("BroadcastHashJoin") &&
         !pNoBc.contains("BroadcastExchange"),
         s"a broadcast survives autoBroadcastJoinThreshold=-1 — the join " +
           s"strategy is hint-forced, not size-conditional:\n$pNoBc")
-      val p = plan("q154_prefix_ssjoin")
+      val p = graft.operators.Dedup.q154Plan(spark, sf)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert("hashpartitioning\\(sig#\\d+".r.findFirstIn(p).isDefined ||
         "hashpartitioning\\(doc_b#\\d+L, sig#\\d+".r.findFirstIn(p).isDefined,
         s"no sig-keyed exchange for the prefix join:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"an all-pairs product crept in:\n$p")
-      // Single scoped persist: the (doc_id, sig, df) universe relation
-      // is the only cache this query creates.
-      val cached = "InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size
-      assert(cached >= 2, s"prefix + verification consumers should read " +
-        s"the one cached sig universe:\n$p")
+      // The REAL q154 must read the family-memo indexes (universe fed
+      // to both verification legs, prefix to both self-join sides),
+      // not rebuild them inline.
+      val pReal = plan("q154_prefix_ssjoin")
+      val cached = "InMemoryTableScan \\(\\d+\\)".r.findAllIn(pReal).size
+      assert(cached >= 3, s"verification legs + prefix self-join should " +
+        s"read the memo-served indexes:\n$pReal")
+      assert(!pReal.contains("CartesianProduct") &&
+        !pReal.contains("BroadcastNestedLoopJoin"),
+        s"an all-pairs product crept into the served plan:\n$pReal")
     } finally {
       graft.functions.CacheScope.drain()
       spark.catalog.clearCache()
@@ -677,12 +689,14 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q144: one corpus tokenize; estimate→verify stays candidate-bounded") {
     // The suite's second-most-expensive query had no pin (r7 item #6):
-    // its cost model is ONE shingle flatMap (the persisted distinct
-    // shingle relation feeds sig, sizes and both intersection legs)
-    // and joins bounded by the LSH candidate set — never a corpus
-    // product. A refactor that re-derives shingles per consumer or
-    // drops the candidate bound shows up as extra SerializeFromObject
-    // subtrees / a nested-loop join here.
+    // its cost model is cached relations only — since r10 the
+    // signature table + candidates come from the MinHash family memo
+    // and the query-scoped distinct shingle cache feeds sizes and
+    // both intersection legs — with joins bounded by the LSH
+    // candidate set, never a corpus product. A refactor that
+    // re-derives shingles per consumer or drops the candidate bound
+    // shows up as extra SerializeFromObject subtrees / a nested-loop
+    // join here.
     try {
       val p = plan("q144_minhash_calibration")
       val cachedReads = "InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size
