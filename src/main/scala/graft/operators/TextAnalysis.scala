@@ -1051,6 +1051,146 @@ object TextAnalysis {
        |FROM pairs GROUP BY pair
        |ORDER BY n_weighted DESC, pair LIMIT $BpeTopPairs""".stripMargin
 
+  /** q167 merge rounds: enough to exercise multi-symbol merges (round
+    * 2+ can pick a pair containing round 1's merged symbol) while the
+    * oracle's unrolled CTE stays readable. */
+  private[graft] val BpeMergeRounds = 6
+
+  /** q167 — iterative BPE merge training (Sennrich et al. 2016): the
+    * actual tokenizer-training loop q126 only takes the first step
+    * of. Each round counts adjacent SYMBOL pairs over the vocabulary
+    * (weighted by token frequency), applies the single best merge
+    * (max weight, ties on the symbol pair) to every token's symbol
+    * sequence, and re-counts — [[BpeMergeRounds]] rounds; the output
+    * is the ordered merge table a BPE tokenizer ships as its model.
+    *
+    * Scale shape — the q77 Lloyd's-iteration pattern: the corpus is
+    * touched ONCE (token explode → map-combined vocabulary counts,
+    * cached); every round is a vocabulary-sized pass (O(|V|·len)
+    * rows through one map-combined pair aggregate), and the driver
+    * holds exactly ONE row per round (the argmax — O(k) total state,
+    * never a vocabulary collect). At web scale the vocabulary is
+    * millions of rows against a corpus of trillions of tokens, so the
+    * k recount passes cost k·|V|, independent of corpus size.
+    *
+    * Merge application is a per-token string rewrite with GREEDY
+    * LEFT-TO-RIGHT non-overlapping semantics — the BPE contract
+    * ("a a a" under merge (a,a) → "aa a", not "a aa") — expressed as
+    * a plain `replace` over a space-delimited symbol string: doubling
+    * the separators first lets adjacent matches share boundary
+    * spaces ("a b a b" → "ab ab" in one scan), and both engines'
+    * `replace` scan left-to-right continuing AFTER each replacement,
+    * so Spark and the DuckDB oracle rewrite bit-identically
+    * (OperatorSpec additionally replays the loop in independent
+    * Scala list code). The oracle unrolls the k rounds as chained
+    * CTEs with scalar-subquery merges — the q77/q158 precedent.
+    *
+    * Determinism: weights are exact BIGINT sums; the argmax orders on
+    * (w DESC, sym_a, sym_b) — binary string collation on both
+    * engines. A merged symbol can never collide ambiguously with the
+    * separator: symbols descend from space-split tokens, so no symbol
+    * ever contains a space. */
+  def q167(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v0 = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("freq"), expr(
+        "concat_ws(' ', transform(sequence(1, length(tok)), i -> substring(tok, i, 1)))")
+        .as("syms"))
+      .scopedCache
+    v0.count() // eager — all k recount passes read the cache
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var cur: DataFrame = v0
+    var round = 1
+    while (round <= BpeMergeRounds) {
+      val top = cur
+        .select(col("freq"), split(col("syms"), " ").as("arr"))
+        // q122's guard: sequence(1, 0) is DESCENDING [1, 0] in Spark
+        // and element_at(arr, 0) throws under ANSI — size-1 symbol
+        // sequences have no pairs on either engine.
+        .filter(size(col("arr")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(arr) - 1), i -> " +
+            "struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("w"))
+        .orderBy(col("w").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) round = BpeMergeRounds + 1 // vocabulary fully merged
+      else {
+        val a = top(0).getString(0); val b = top(0).getString(1)
+        merges += ((round.toLong, a, b, a + b, top(0).getLong(2)))
+        cur = cur.withColumn("syms", bpeMergeCol(col("syms"), lit(a), lit(b)))
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "n_weighted")
+      .orderBy("round")
+  }
+
+  /** One greedy merge pass of pair (a, b) over a space-delimited
+    * symbol string — the doubled-separator replace trick (see q167's
+    * scaladoc); `functions.replace` keeps symbol text out of SQL
+    * literals entirely. */
+  private def bpeMergeCol(syms: org.apache.spark.sql.Column,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val doubled = concat(lit("  "), replace(syms, lit(" "), lit("  ")), lit("  "))
+    val merged = replace(doubled,
+      concat(lit(" "), a, lit("  "), b, lit(" ")),
+      concat(lit(" "), a, b, lit(" ")))
+    trim(replace(merged, lit("  "), lit(" ")))
+  }
+
+  /** The same merge pass as a DuckDB SQL fragment over column/expr
+    * text (the scalar-subquery args keep symbol text out of
+    * literals on the oracle side too). */
+  private def bpeMergeSql(syms: String, a: String, b: String): String =
+    s"""trim(replace(replace(concat('  ', replace($syms, ' ', '  '), '  '),
+       |    concat(' ', $a, '  ', $b, ' '), concat(' ', $a, $b, ' ')),
+       |  '  ', ' '))""".stripMargin
+
+  val q167Sql: String = {
+    // Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // round references the previous vocabulary ~3× (the pair scan
+    // plus the two scalar-subquery merge args), so an inlined tower
+    // re-evaluates v0 ~3^k times — measured minutes at sf0.001;
+    // materialized, each round is one vocabulary-sized pass, the
+    // same cost model as the Spark loop.
+    val blocks = (1 to BpeMergeRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS w
+         |  FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(string_split(syms, ' '))),
+         |        i -> struct_pack(a := string_split(syms, ' ')[i],
+         |                         b := string_split(syms, ' ')[i + 1]))) AS p
+         |    FROM $prev WHERE len(string_split(syms, ' ')) >= 2) t
+         |  GROUP BY p.a, p.b),
+         |m$r AS MATERIALIZED (SELECT a, b, w FROM p$r ORDER BY w DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT freq, ${bpeMergeSql("syms",
+             s"(SELECT a FROM m$r)", s"(SELECT b FROM m$r)")} AS syms
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMergeRounds)
+      .map(r => s"SELECT $r AS round, a, b, w FROM m$r").mkString(" UNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT freq,
+       |    array_to_string(list_transform(range(1, len(tok) + 1), i -> tok[i:i]), ' ') AS syms
+       |  FROM (
+       |    SELECT tok, count(*) AS freq FROM (
+       |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+       |    GROUP BY tok HAVING len(tok) >= 2) v),
+       |$blocks
+       |SELECT CAST(round AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+       |  concat(a, b) AS merged, w AS n_weighted
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   /** q128 — quality-signal correlation audit: the Pearson matrix
     * between the three cheap per-document signals every filter
     * cascade leans on — token count, character count, distinct-token
@@ -1468,6 +1608,7 @@ object TextAnalysis {
     "q123_quality_calibration" -> q123 _,
     "q125_zipf_spectrum" -> q125 _,
     "q126_bpe_merge_pairs" -> q126 _,
+    "q167_bpe_merge_train" -> q167 _,
     "q128_signal_correlation" -> q128 _,
     "q129_heaps_hapax" -> q129 _,
     "q118_filter_cascade" -> q118 _,
@@ -1492,6 +1633,7 @@ object TextAnalysis {
     "q123_quality_calibration" -> q123Sql,
     "q125_zipf_spectrum" -> q125Sql,
     "q126_bpe_merge_pairs" -> q126Sql,
+    "q167_bpe_merge_train" -> q167Sql,
     "q128_signal_correlation" -> q128Sql,
     "q129_heaps_hapax" -> q129Sql,
     "q118_filter_cascade" -> q118Sql,

@@ -919,6 +919,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q167 BPE merge loop matches an independent Scala replay; round 1 is q126's top pair") {
+    // Third implementation (after the Spark plan and the DuckDB CTE
+    // tower): a pure Scala list-based BPE trainer over the collected
+    // vocabulary, with explicit greedy left-to-right merge semantics
+    // — if the doubled-separator replace trick ever diverged from
+    // real BPE merging, this replay catches it independently of the
+    // engines' shared `replace` behavior.
+    import org.apache.spark.sql.functions._
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(length(col("tok")) >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var syms: Array[(List[String], Long)] =
+      vocab.map { case (t, f) => (t.map(_.toString).toList, f) }
+    def mergeGreedy(s: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = s
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+        case x :: tail => out += x; rest = tail
+        case Nil => ()
+      }
+      out.toList
+    }
+    val expected = (1 to graft.operators.TextAnalysis.BpeMergeRounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, f) =>
+        s.zip(s.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), w) = counts.toSeq.minBy { case ((a, b), w) => (-w, a, b) }
+      syms = syms.map { case (s, f) => (mergeGreedy(s, a, b), f) }
+      (r.toLong, a, b, a + b, w)
+    }
+    val got = SparkEntry.queries("q167_bpe_merge_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected, "merge table diverged from the independent replay")
+    // Round 1 over all-single-char symbols IS q126's argmax: the two
+    // operators must agree on the first merge's pair and weight.
+    val q126Top = SparkEntry.queries("q126_bpe_merge_pairs")(spark, sf)
+      .collect().head
+    assert(got.head._4 === q126Top.getString(0) &&
+      got.head._5 === q126Top.getLong(1),
+      s"q167 round 1 ${got.head} disagrees with q126's top pair " +
+        s"(${q126Top.getString(0)}, ${q126Top.getLong(1)})")
+    graft.functions.CacheScope.drain()
+  }
+
   test("q129 Heaps fit and hapax stats match a local reference; beta is the cross-source slope") {
     // The Heaps fit shares the Ols formula strings with its oracle, so
     // only a structurally different local reference can catch a wrong
