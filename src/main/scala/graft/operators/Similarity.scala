@@ -132,7 +132,7 @@ object Similarity {
     * tie-break as the oracle's row_number) — instead of a k×N cross
     * join + window, which would shuffle 8× the corpus per iteration
     * for no reason. */
-  private def assignL2(n: DataFrame, cent: Seq[(Long, Seq[Double])]): DataFrame = {
+  private[graft] def assignL2(n: DataFrame, cent: Seq[(Long, Seq[Double])]): DataFrame = {
     import graft.functions.EuclideanDistance.l2_distance
     val best = array_min(array(cent.map { case (cId, cv) =>
       struct(l2_distance(typedlit(cv), col("v")).as("dist"),
@@ -831,6 +831,110 @@ object Similarity {
        |SELECT cluster, count(*) AS n_vecs,
        |  ${floorRoundSql(exactSumSql("dist"), 4)} AS cost
        |FROM fin GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
+  /** The BASE slice for the incremental-maintenance family: the
+    * vectors that existed when the index was trained (vec_id % 10
+    * < 8 — a deterministic 80% cut; the arriving 20% are the "new"
+    * vectors an online ingest appends after index build). Seeds
+    * vec_id < [[KmeansK]] all fall inside the slice, so the Lloyd
+    * loop is well-defined on it. */
+  private def baseVecs(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).filter(col("vec_id") % 10 < 8)
+
+  /** Centroids trained on the BASE slice only — the
+    * [[trainedCentroids]] memo discipline (fingerprint-keyed driver
+    * values, O(k·d) doubles) with a distinct key suffix so the
+    * full-corpus entry and the base-slice entry never alias. */
+  private[graft] def maintCentroids(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] = {
+    val key = graft.sources.Tables.fingerprint(sfDir, Seq("embeddings")) + ":base"
+    centroidMemo.computeIfAbsent(key, _ => {
+      val n = baseVecs(spark, sfDir)
+        .scopedCache
+      n.count()
+      try lloydTrain(n) finally { n.unpersist(false); () }
+    })
+  }
+
+  /** Training-time cell histogram (cluster → base-member count) —
+    * O(k) driver rows, the static side the streaming maintenance
+    * monitor compares against. */
+  private[graft] def maintBaseHistogram(spark: SparkSession, sfDir: String): Seq[(Long, Long)] =
+    assignL2(baseVecs(spark, sfDir), maintCentroids(spark, sfDir))
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+  /** q168 — incremental ANN index maintenance: the vector-side q152
+    * (delta dedup) story. An IVF index is trained once on the base
+    * corpus ([[maintCentroids]] — memoized, exactly how a production
+    * index is built then served); vectors that arrive AFTER the build
+    * are assigned to the frozen cells statelessly (the narrow
+    * [[assignL2]] argmin — no join, no shuffle before the k-row
+    * aggregate), and the per-cell arrival histogram is compared to
+    * the training-time histogram: a cell whose share of arrivals
+    * leaves [½·, 2·] its training share is flagged for retrain — the
+    * drift signal an index-maintenance job acts on before recall
+    * quietly degrades.
+    *
+    * Scale shape: ONE corpus pass (narrow argmin over k·d centroid
+    * literals) into a k-row map-combined aggregate; the totals attach
+    * as a 1-row broadcast; output is O(k). The drift test is exact
+    * integer cross-multiplication (n_new·tb vs 2·n_base·tn), so no
+    * double compare decides a flag — counts fit BIGINT up to ~10⁹
+    * vectors a side; beyond that run the comparison in DECIMAL.
+    * Streaming twin: [[graft.streaming.VectorStreams
+    * .annMaintenanceStream]] (same assignment expression, domain-
+    * bounded one-row pivot state, parity-pinned). */
+  def q168(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val cents = maintCentroids(spark, sfDir)
+    val assigned = assignL2(vecs(spark, sfDir), cents)
+      .withColumn("is_new", col("vec_id") % 10 >= 8)
+    val agg = assigned.groupBy("cluster").agg(
+      sum(when(col("is_new"), 0L).otherwise(1L)).as("n_base"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    val tot = agg.agg(sum("n_base").as("tb"), sum("n_new").as("tn"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("share_base",
+        floorRound(col("n_base").cast("double") / col("tb"), 6))
+      .withColumn("share_new",
+        floorRound(col("n_new").cast("double") / col("tn"), 6))
+      .withColumn("drifted",
+        when(col("n_new") * col("tb") > lit(2L) * col("n_base") * col("tn") ||
+          lit(2L) * col("n_new") * col("tb") < col("n_base") * col("tn"), 1L)
+          .otherwise(0L))
+      .select("cluster", "n_base", "n_new", "share_base", "share_new", "drifted")
+      .orderBy("cluster")
+  }
+
+  /** Twin: re-trains the base-slice centroids with the SAME unrolled
+    * Lloyd chain generator as q77/q30/q132 (prefix `g` — base `bb`),
+    * then replays assignment, histograms, and the integer drift
+    * rule. */
+  val q168Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""WITH nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = $Dim),
+       |bb AS (SELECT vec_id, v FROM nb WHERE vec_id % 10 < 8),
+       |${kmeansCtesSql("bb", Dim, "g")},
+       |fin AS (SELECT vec_id, cluster FROM (
+       |  SELECT nb.vec_id, c.c_id AS cluster,
+       |    row_number() OVER (PARTITION BY nb.vec_id
+       |      ORDER BY list_distance(c.cv, nb.v), c.c_id) AS rk
+       |  FROM nb, gc$KmeansIters c) t WHERE rk = 1),
+       |agg AS (
+       |  SELECT cluster,
+       |    CAST(sum(CASE WHEN vec_id % 10 >= 8 THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       |    CAST(sum(CASE WHEN vec_id % 10 >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |  FROM fin GROUP BY cluster),
+       |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+       |  CAST(sum(n_new) AS BIGINT) AS tn FROM agg)
+       |SELECT cluster, n_base, n_new,
+       |  ${floorRoundSql("CAST(n_base AS DOUBLE) / tb", 6)} AS share_base,
+       |  ${floorRoundSql("CAST(n_new AS DOUBLE) / tn", 6)} AS share_new,
+       |  CAST(CASE WHEN n_new * tb > 2 * n_base * tn
+       |    OR 2 * n_new * tb < n_base * tn THEN 1 ELSE 0 END AS BIGINT) AS drifted
+       |FROM agg, tot ORDER BY cluster""".stripMargin
   }
 
   /** Per-dimension population statistics from exact DECIMAL power
@@ -1913,6 +2017,7 @@ object Similarity {
     "q160_pq_adc_knn" -> q160 _,
     "q159_embed_dim_stats" -> q159 _,
     "q77_kmeans_train" -> q77 _,
+    "q168_ann_maintenance" -> q168 _,
     "q143_cluster_silhouette" -> q143 _,
     "q58_knn_l2" -> q58 _,
     "q56_array_funcs" -> q56 _,
@@ -1936,6 +2041,7 @@ object Similarity {
     "q160_pq_adc_knn" -> q160Sql,
     "q159_embed_dim_stats" -> q159Sql,
     "q77_kmeans_train" -> q77Sql,
+    "q168_ann_maintenance" -> q168Sql,
     "q143_cluster_silhouette" -> q143Sql,
     "q58_knn_l2" -> q58Sql,
     "q56_array_funcs" -> q56Sql,

@@ -20,6 +20,10 @@ case class BucketMember(vec_id: Long, v: Seq[Double], tsMs: Long)
   * [[VectorStreams.crossModalTopKStream]] — the q166 row shape. */
 case class CrossModalHit(doc_id: Long, rank: Long, vec_id: Long, cos: Double)
 
+/** One cell's live maintenance row emitted by
+  * [[VectorStreams.annMaintenanceStream]] — the q168 online shape. */
+case class CellDrift(cluster: Long, n_base: Long, n_new: Long, drifted: Long)
+
 /** State of one (band_idx, band_val) bucket: the vectors seen within
   * the watermark window. */
 case class BucketState(members: List[BucketMember])
@@ -217,5 +221,57 @@ object VectorStreams {
               math.floor(cos * 1000000.0 + 0.5) / 1000000.0)
           }
       }
+  }
+
+  /** Streaming twin of the incremental ANN maintenance monitor
+    * (batch q168): vectors arriving after the index build are
+    * assigned to the FROZEN trained cells and the live per-cell
+    * arrival histogram is flagged against the training-time
+    * histogram — the online tier of an index-maintenance service
+    * (retrain trigger fires while recall is still healthy).
+    *
+    * Shape — every stage bounded and distributed:
+    *  - assignment is the SAME narrow argmin expression as the batch
+    *    plan ([[graft.operators.Similarity.assignL2]] over k·d
+    *    centroid literals) — stateless, no join, no shuffle;
+    *  - the running state is ONE row of k+1 fixed columns (per-cell
+    *    conditional counts + the arrival total — the cell domain is
+    *    k, known at plan time, the q142 domain-bounded-state
+    *    argument), aggregated with map-side partials in complete
+    *    mode: arriving rows combine inside their input partitions,
+    *    never through a single stateful group;
+    *  - a stateless projection fans the row back out to k
+    *    [[CellDrift]] cells, computing the drift flag with the SAME
+    *    exact integer cross-multiplication as batch q168 (training
+    *    histogram and its total ride in as O(k) literals).
+    *
+    * Contract: each vec_id ingested once; re-running a batch re-emits
+    * the (idempotent for a last-write-wins consumer) complete table.
+    * StreamingSpec pins stream ≡ batch q168's (n_new, drifted)
+    * columns over a 2-batch replay. */
+  def annMaintenanceStream(newVecs: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      baseHist: Seq[(Long, Long)]): Dataset[CellDrift] = {
+    val session = newVecs.sparkSession
+    import session.implicits._
+    val tb = baseHist.map(_._2).sum
+    val base = baseHist.toMap
+    val assigned = graft.operators.Similarity.assignL2(newVecs, cents)
+    val cellCols = cents.map { case (cId, _) =>
+      sum(when(col("cluster") === cId, 1L).otherwise(0L)).as(s"c$cId")
+    }
+    val pivot = assigned.groupBy()
+      .agg(count(lit(1)).as("tn"), cellCols: _*)
+    pivot.select(explode(array(cents.map { case (cId, _) =>
+        val nb = lit(base.getOrElse(cId, 0L))
+        val nNew = col(s"c$cId")
+        struct(lit(cId).as("cluster"), nb.as("n_base"), nNew.as("n_new"),
+          when(nNew * lit(tb) > lit(2L) * nb * col("tn") ||
+            lit(2L) * nNew * lit(tb) < nb * col("tn"), 1L).otherwise(0L)
+            .as("drifted"))
+      }: _*)).as("cell"))
+      .select(col("cell.cluster"), col("cell.n_base"), col("cell.n_new"),
+        col("cell.drifted"))
+      .as[CellDrift]
   }
 }

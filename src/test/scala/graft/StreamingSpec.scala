@@ -370,6 +370,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN maintenance (q168 twin): live cell drift ≡ batch over a 2-batch replay") {
+    import graft.streaming.VectorStreams
+    import org.apache.spark.sql.types._
+    val sf001 = "/root/testdata/sf0.001"
+    // The arriving 20% replayed as TWO micro-batches against the
+    // FROZEN base-trained centroids; the complete-mode table after
+    // the replay must equal batch q168's arriving-side columns —
+    // same assignment expression, same integer drift rule, so exact
+    // row parity, not an approximation.
+    val arriving = graft.operators.Similarity.vecs(spark, sf001)
+      .filter(col("vec_id") % 10 >= 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annmaint").toString + "/in"
+    arriving.filter(col("vec_id") % 10 === 8).coalesce(1)
+      .write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    arriving.filter(col("vec_id") % 10 === 9).coalesce(1)
+      .write.mode("append").json(dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val cents = graft.operators.Similarity.maintCentroids(spark, sf001)
+    val hist = graft.operators.Similarity.maintBaseHistogram(spark, sf001)
+    val q = EventStreams.runToMemory(
+      VectorStreams.annMaintenanceStream(stream, cents, hist).toDF(),
+      "annmaint_out", outputMode = "complete")
+    try {
+      assert(q.recentProgress.length >= 2,
+        s"expected >=2 micro-batches, got ${q.recentProgress.length}")
+      val got = spark.table("annmaint_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = SparkEntry.queries("q168_ann_maintenance")(spark, sf001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+      assert(want.nonEmpty && want.exists(_._4 == 0L),
+        s"degenerate batch truth: $want")
+      assert(got === want,
+        s"live drift table diverged from batch: missing ${want -- got}, extra ${got -- want}")
+    } finally q.stop()
+  }
+
   test("streaming cross-modal retrieval (q166 twin): stream hits ≡ batch rows over a 2-batch replay") {
     import graft.streaming.VectorStreams
     import org.apache.spark.sql.types._
