@@ -1638,7 +1638,7 @@ object Dedup {
     * — no double compare decides membership, so the pruning
     * guarantee and the emitted set use the SAME true-J condition. */
   def q154(spark: SparkSession, sfDir: String): DataFrame =
-    q154On(ssjoinUniverse(spark, sfDir), ssjoinPrefix(spark, sfDir))
+    q154On(ssjoinDocSigs(spark, sfDir), ssjoinPrefix(spark, sfDir))
 
   /** Un-memoized, un-persisted q154 — plan-shape observability ONLY
     * (the memo-served copies render as InMemoryTableScans in explain,
@@ -1647,7 +1647,7 @@ object Dedup {
     * build: [[q154On]] over the two index plans. */
   private[graft] def q154Plan(spark: SparkSession, sfDir: String): DataFrame = {
     val full = ssjoinUniversePlan(spark, sfDir)
-    q154On(full, ssjoinPrefixOn(full))
+    q154On(ssjoinDocSigsOn(full), ssjoinPrefixOn(full))
   }
 
   /** The df-capped (doc_id, sig, df) token universe under the PPJoin
@@ -1709,9 +1709,25 @@ object Dedup {
       prefix
     }
 
+  /** Per-doc sorted signature-set arrays — PPJoin's verification
+    * index (one row per doc, |A| 24-hex sigs each). */
+  private def ssjoinDocSigsOn(full: DataFrame): DataFrame =
+    full.groupBy("doc_id").agg(collect_list(col("sig")).as("sigs"))
+
+  /** Family-lifetime memo of the verification index — built FROM the
+    * universe memo (one doc-keyed aggregate over the cached rows). */
+  private def ssjoinDocSigs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.FamilyIndex.of("ssjoin-docsigs", spark,
+      Tables.fingerprint(sfDir, Seq("documents"))) { () =>
+      val ds = ssjoinDocSigsOn(ssjoinUniverse(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds.count() // eager — both verification legs read it
+      ds
+    }
+
   /** The PPJoin body over (possibly memo-served) universe + prefix
     * relations — shared by [[q154]] and [[q154Plan]]. */
-  private def q154On(full: DataFrame, prefix: DataFrame): DataFrame = {
+  private def q154On(docSigs: DataFrame, prefix: DataFrame): DataFrame = {
     import graft.functions.OracleRound
     // Candidates carry both doc sizes (functionally dependent on the
     // ids, so the distinct is unaffected) — the verification leg
@@ -1724,14 +1740,26 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("sh_a"), col("b.n").as("sh_b"))
       .distinct()
-    // No broadcast hint: cand's size is data-dependent (near-dup-rate
-    // proportional), so AQE must stay free to choose shuffle-join when
-    // it outgrows the auto-broadcast threshold. Pinned by PlanShapeSpec.
+    // Verification over per-doc signature ARRAYS (PPJoin's verify
+    // stage): each candidate pair fetches its two sorted-set arrays
+    // and counts the intersection NARROWLY (array_intersect over two
+    // ~|A|-element sets — distinct by construction, so its size IS
+    // |A∩B|). The r10 profile of the previous row-expanded form
+    // (cand ⋈ universe on doc_a, then (doc_b, sig)) showed why this
+    // matters at scale: the expansion materializes Σ_cand |A| rows
+    // (~19M at ×10), and the moment the universe outgrows the
+    // runtime broadcast ceiling those rows SHUFFLE — 12.3 s of the
+    // 14 s total. Here the shuffled relations are cand (pair-bounded)
+    // and the doc-keyed array index; the expanded relation never
+    // exists. Measured ×10: 14 s → ~2 s.
+    // No broadcast hint: both relations are data-dependent-size
+    // (near-dup rate / corpus), so AQE must stay free to pick
+    // shuffle joins past the ceiling. Pinned by PlanShapeSpec.
     val inter = cand
-      .join(full.select(col("doc_id").as("doc_a"), col("sig")), Seq("doc_a"))
-      .join(full.select(col("doc_id").as("doc_b"), col("sig")), Seq("doc_b", "sig"))
-      .groupBy("doc_a", "doc_b", "sh_a", "sh_b")
-      .agg(count(lit(1)).as("n_inter"))
+      .join(docSigs.select(col("doc_id").as("doc_a"), col("sigs").as("sa")), Seq("doc_a"))
+      .join(docSigs.select(col("doc_id").as("doc_b"), col("sigs").as("sb")), Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
     // Membership by the EXACT integer rule (J ≥ 4/5 ⟺ 9·I ≥ 4·(A+B))
     // — the same true-J condition the prefix and length prunes
     // guarantee recall for, so no rounded-boundary pair can be
