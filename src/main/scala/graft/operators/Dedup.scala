@@ -351,36 +351,39 @@ object Dedup {
     * estimated similarity must be calibrated from this table, not
     * from independent-hash theory.
     *
-    * Scale shape — the standard LSH estimate→VERIFY stage: the exact
-    * leg touches only candidate pairs (O(cand)·doc-shingles rows
-    * through two doc-keyed equi-joins), never all pairs; the estimate
-    * leg joins the O(docs)-sized signature table onto the pair list —
-    * and since r10 that table (plus the candidates derived from it)
-    * is SERVED from the family-lifetime memo ([[minhashSig]]) rather
-    * than rebuilt per query: min() over the memo's multiset shingles
-    * ≡ min() over this query's distinct shingles (spec-pinned), so
-    * only the distinct shingle relation for the EXACT leg remains
-    * query-scoped. Output is ≤ 13 rows (one per agreement count).
+    * Scale shape — the standard LSH estimate→VERIFY stage, fully
+    * memo-served since r10: the estimate leg joins the MinHash
+    * signature memo ([[minhashSig]] — min() over its multiset
+    * shingles ≡ over distinct, spec-pinned) onto the candidate list;
+    * the exact leg fetches each pair's UNCAPPED per-doc signature
+    * arrays ([[shingleDocSigs]]) and intersects narrowly (the q154
+    * verification shape — never a Σ|A|-row expansion, never all
+    * pairs). The query itself creates no caches at all — every
+    * relation it reads is a family-lifetime index. Output is ≤ 13
+    * rows (one per agreement count).
     *
     * Engine-exactness: agreement counts and intersection sizes are
     * integers; the per-pair divisions are IEEE-on-identical-ints; the
     * two means aggregate in DECIMAL(28,12) before one floorRound.
     * A candidate pair CAN have n_inter = 0 (its shared band value can
     * arise from two different argmin shingles colliding in the 36-bit
-    * hash space), so the exact leg LEFT-joins with coalesce-to-0 on
-    * both engines rather than assuming overlap. */
+    * hash space): size(array_intersect) yields the 0 natively here,
+    * and the oracle's LEFT-join + coalesce-to-0 agrees. */
   def q144(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.floorRound
-    val shd = shingles(spark, sfDir, distinct = true)
-      .scopedCache
-    shd.count() // eager: sizes and both intersection legs read the cache
     val sig = minhashSig(spark, sfDir) // family memo — see its scaladoc
     val cand = minhashCandidatesFrom(sig)
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(shd.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(shd.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    // Exact leg over the UNCAPPED per-doc signature-array index
+    // ([[shingleDocSigs]] — a family memo since r10): each candidate
+    // pair fetches its two distinct-shingle sig sets and intersects
+    // NARROWLY, the q154 verification shape — the previous row
+    // expansion (cand ⋈ shingles on doc_a, then (doc_b, sh))
+    // materialized Σ_cand |A| string rows and re-paid the corpus
+    // tokenize + distinct per query. n_inter handles the
+    // zero-overlap candidate case (a shared band value from two
+    // different argmin shingles) natively — size(∩) is just 0 — so
+    // the old LEFT-join + coalesce dance is gone.
+    val ds = shingleDocSigs(spark, sfDir)
     val a = (0 until NumHashes).foldLeft(
       sig.withColumnRenamed("doc_id", "doc_a"))((d, s) => d.withColumnRenamed(s"m$s", s"a$s"))
     val b = (0 until NumHashes).foldLeft(
@@ -390,10 +393,11 @@ object Dedup {
         .map(s => when(col(s"a$s") === col(s"b$s"), 1L).otherwise(0L))
         .reduce(_ + _))
     agree.select("doc_a", "doc_b", "n_agree")
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("sh_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("sh_b")), "doc_b")
+      .join(ds.select(col("doc_id").as("doc_a"), col("sigs").as("sa")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("sigs").as("sb")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("sh_a", size(col("sa")).cast("long"))
+      .withColumn("sh_b", size(col("sb")).cast("long"))
       .withColumn("jt", col("n_inter").cast("double") /
         (col("sh_a") + col("sh_b") - col("n_inter")))
       .withColumn("err", abs(col("n_agree").cast("double") / NumHashes - col("jt")))
@@ -1722,6 +1726,26 @@ object Dedup {
       val ds = ssjoinDocSigsOn(ssjoinUniverse(spark, sfDir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ds.count() // eager — both verification legs read it
+      ds
+    }
+
+  /** UNCAPPED per-doc distinct-shingle signature arrays — the
+    * exact-Jaccard verification index for consumers that measure
+    * TRUE similarity (q144's calibration audit): unlike
+    * [[ssjoinDocSigs]], no df cap is applied, because the audit's
+    * denominators (|A|, |B|) and intersections must count every
+    * distinct shingle, not just the informative universe. 24-hex
+    * sigs stand in for the shingle strings (the q23/q154 collision
+    * posture — set sizes and intersections are preserved), so the
+    * persisted arrays are fingerprint bytes, never text. */
+  private def shingleDocSigs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.FamilyIndex.of("shingle-docsigs", spark,
+      Tables.fingerprint(sfDir, Seq("documents"))) { () =>
+      val ds = shingles(spark, sfDir, distinct = true)
+        .select(col("doc_id"), expr("substring(md5(sh), 1, 24)").as("sig"))
+        .groupBy("doc_id").agg(collect_list(col("sig")).as("sigs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds.count() // eager — both exact-leg joins read it
       ds
     }
 

@@ -21,12 +21,12 @@ class CacheScopeSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   test("a persisting query registers its caches; drain releases those entries") {
-    // q144 persists its distinct shingle relation during construction
-    // (eager count) for the exact-Jaccard legs — a known scoped-cache
-    // creator. (q23, q22, and q144's signature table — the previous
-    // subjects — moved their persists to the family-lifetime index
-    // memos, which are deliberately NOT CacheScope-registered.)
-    val df = SparkEntry.queries("q144_minhash_calibration")(spark, sf)
+    // q35 persists its SimHash signature table during construction
+    // (eager count) — a known scoped-cache creator. (q23, q22, and
+    // then q144 — the previous subjects — moved their persists to the
+    // family-lifetime index memos, which are deliberately NOT
+    // CacheScope-registered.)
+    val df = SparkEntry.queries("q35_simhash_neardup")(spark, sf)
     df.count()
     val regs = graft.functions.CacheScope.liveSnapshot
     assert(regs.nonEmpty,

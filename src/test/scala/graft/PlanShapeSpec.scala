@@ -687,28 +687,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q144: one corpus tokenize; estimate→verify stays candidate-bounded") {
-    // The suite's second-most-expensive query had no pin (r7 item #6):
-    // its cost model is cached relations only — since r10 the
-    // signature table + candidates come from the MinHash family memo
-    // and the query-scoped distinct shingle cache feeds sizes and
-    // both intersection legs — with joins bounded by the LSH
-    // candidate set, never a corpus product. A refactor that
-    // re-derives shingles per consumer or drops the candidate bound
-    // shows up as extra SerializeFromObject subtrees / a nested-loop
-    // join here.
+  test("q144: fully memo-served; estimate→verify stays candidate-bounded") {
+    // The suite's second-most-expensive query had no pin (r7 item #6);
+    // since r10 its cost model is INDEX READS ONLY: the signature
+    // table + candidates come from the MinHash family memo and the
+    // exact leg fetches per-doc signature arrays from the uncapped
+    // shingle-docsigs memo — the query itself creates no caches and
+    // runs no tokenize. A refactor that re-derives shingles inline
+    // shows up as a SerializeFromObject OUTSIDE the cached
+    // renderings; joins stay bounded by the LSH candidate set, never
+    // a corpus product.
     try {
       val p = plan("q144_minhash_calibration")
       val cachedReads = "InMemoryTableScan \\(\\d+\\)".r.findAllIn(p).size
-      assert(cachedReads >= 2,
-        s"consumers should read the cached shingle relation:\n$p")
+      assert(cachedReads >= 4,
+        s"sig a/b + array legs should read the family memos:\n$p")
       // Each InMemoryRelation rendering prints the cached flatMap
       // subtree twice (tree + details) — q131's accounting. Matches
-      // beyond 2·renderings mean a tokenize escaped the cache.
+      // beyond 2·renderings mean a tokenize escaped the caches.
       val renders = "InMemoryRelation \\(\\d+\\)".r.findAllIn(p).size
       val fm = "SerializeFromObject \\(\\d+\\)".r.findAllIn(p).size
       assert(fm <= 2 * math.max(renders, 1),
-        s"a shingle flatMap runs outside the cache ($fm flatMaps, " +
+        s"a shingle flatMap runs outside the memo caches ($fm flatMaps, " +
           s"$renders cached renderings):\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"an all-pairs product crept in:\n$p")
