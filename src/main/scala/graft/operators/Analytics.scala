@@ -1316,6 +1316,18 @@ object Analytics {
       .filter(col("e.keep"))
       .select(col("e.src_a").as("src_a"), col("e.src_b").as("src_b"),
         col("tok"), col("e.c_a").as("c_a"), col("e.c_b").as("c_b"))
+    // The per-pair constants (ntok_a, ntok_b, v) ride THROUGH the
+    // aggregate via first() instead of re-joining the three broadcast
+    // relations a second time below: they are functionally dependent
+    // on the group key (resp. globally constant), so first() is
+    // deterministic, and folding them in deletes a whole second
+    // broadcast round — two joins, a cross join, and their three
+    // broadcast-exchange jobs. That matters here because the r10
+    // profile showed this query is OVERHEAD-bound at every test
+    // scale (620 count cells, 11.8k union cells at sf0.1): its cost
+    // is the NUMBER of stages/broadcast jobs, not data volume — the
+    // recurring bench-drift flag tracked scheduler noise multiplied
+    // across stages, not a data-path regression.
     val unionAgg = cells
       .join(broadcast(srcA), "src_a")
       .join(broadcast(srcB), "src_b")
@@ -1324,15 +1336,15 @@ object Analytics {
       .withColumn("p_b", expr(klProb("c_b", "ntok_b")))
       .withColumn("term", expr(klTermFormula))
       .groupBy("src_a", "src_b")
-      .agg(sum(col("term")).as("t_union"), count(lit(1)).as("n_union"))
-    // Zero-zero tail, closed form per ordered pair (S² rows total).
+      .agg(sum(col("term")).as("t_union"), count(lit(1)).as("n_union"),
+        first(col("ntok_a")).as("ntok_a"), first(col("ntok_b")).as("ntok_b"),
+        first(col("v")).as("v"))
+    // Zero-zero tail, closed form per ordered pair (S² rows total) —
+    // a pure projection over the aggregate now, no second join round.
     // The c=0 probabilities go through the SAME klProb shape so the
     // double is bit-identical to what the oracle's dense grid
     // computes for an absent token.
     unionAgg
-      .join(broadcast(srcA), "src_a")
-      .join(broadcast(srcB), "src_b")
-      .crossJoin(broadcast(vstat))
       .withColumn("p_a", expr(klProb("0", "ntok_a")))
       .withColumn("p_b", expr(klProb("0", "ntok_b")))
       .withColumn("term0", expr(klTermFormula).cast("decimal(20,12)"))
