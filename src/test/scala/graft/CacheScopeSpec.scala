@@ -43,6 +43,33 @@ class CacheScopeSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpointRdds extracts the backing RDD of a checkpointed relation; release frees its blocks") {
+    // The checkpoint-scope mechanism, tested via its handles: a
+    // localCheckpoint'ed Dataset exposes exactly its persisted
+    // backing RDD (the LogicalRDD), a plain plan exposes none, and
+    // unpersisting through the handle frees the blocks — the same
+    // release drainCheckpoints() performs. The GLOBAL drain itself is
+    // deliberately NOT called here: drains release every registered
+    // checkpoint process-wide and this suite runs concurrently with
+    // suites whose queries hold live checkpoints (the exact race the
+    // CacheScope scaladoc forbids); only the serialized harnesses
+    // (Bench/Verify/DevProbe) may call it.
+    import org.apache.spark.storage.StorageLevel
+    val plain = spark.range(50).toDF("id")
+    assert(graft.functions.CacheScope.checkpointRdds(plain).isEmpty,
+      "a plain plan must expose no checkpoint RDDs")
+    val ck = plain.localCheckpoint(true)
+    val rdds = graft.functions.CacheScope.checkpointRdds(ck)
+    assert(rdds.size === 1, s"expected the one backing RDD, got ${rdds.size}")
+    assert(rdds.head.getStorageLevel != StorageLevel.NONE,
+      "checkpointed RDD not persisted")
+    assert(spark.sparkContext.getPersistentRDDs.contains(rdds.head.id),
+      "backing RDD missing from the persistent-RDD registry")
+    rdds.head.unpersist(blocking = true)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rdds.head.id),
+      "release did not remove the RDD from the persistent registry")
+  }
+
   test("drain is idempotent and safe across inline-managed caches") {
     // lloydTrain's input persist is BOTH inline-unpersisted (its
     // try/finally) and scope-registered — the second release must be
