@@ -130,73 +130,94 @@ object Bench {
     // random query — observed as 4-10x spikes (q35 2s→13s) that
     // reverse on re-run. Steady-state cost is what the suite tracks,
     // so a query is re-timed (MIN reported) when its first timing
-    // crosses the absolute outlier threshold OR runs >1.5x its
-    // committed quiet-host reference cell (r9's driver bench showed
-    // host steal inflating sub-threshold cells 15-30x — pure
+    // crosses the absolute outlier threshold OR is ANOMALOUS against
+    // its committed quiet-host reference cell (r9's driver bench
+    // showed host steal inflating sub-threshold cells 15-30x — pure
     // projections at 3+ s — which the absolute rule alone can't
-    // catch). Reference-flagged cells get up to two re-times (best of
-    // three: one transient pause can land on the retry too); the
-    // 50 ms absolute-excess floor keeps scheduling jitter on
-    // millisecond cells from triggering re-runs. Worst case (every
-    // cell flagged on a fully loaded host) is 3x bench wall — bounded,
-    // and exactly the situation where the minima are worth the wall.
+    // catch). "Anomalous" is HOST-FACTOR-normalized: the run first
+    // times every query once, takes the MEDIAN of timing/reference
+    // over all referenced cells (robust — a contaminated run's spikes
+    // are by nature a minority, r9's pattern), and re-times only the
+    // cells > 1.5x the reference SCALED by that factor. A uniformly
+    // slower host (the driver's, judged ~1.4x in r9) therefore
+    // re-times almost nothing instead of best-of-threeing the whole
+    // roster into 3x wall, while genuine spikes stand out against
+    // the host's own band on any machine. Reference-flagged cells get
+    // up to two re-times (best of three: one transient pause can land
+    // on the retry too); the 50 ms absolute-excess floor keeps
+    // scheduling jitter on millisecond cells from triggering re-runs.
+    // Reported timings stay RAW (the factor only selects what to
+    // re-time and what to flag) and the factor is echoed in the
+    // summary lines for transparency.
     val OutlierSec = 2.5
-    def overReference(name: String, dt: Double): Boolean =
-      reference.get(name).exists(ref => ref > 0 && dt > 1.5 * ref && dt - ref > 0.05)
-    val results = picked.map { case (name, fn) =>
+    def timedOn(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // A failed query must be LOUD and must record the -1 sentinel —
       // never its elapsed-until-crash time, which would pass as a fast
       // "success" in the JSON and silently lower the total.
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case t: Throwable =>
-            System.err.println(s"[bench] QUERY FAILED $name: $t")
-            false
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Queries may persist() intermediates (q22/q35/q37); drop them so
-        // later queries aren't measured under another query's cache.
-        // CacheScope.drain() is the per-query scope release (every
-        // operator persist registers there). Deliberately NO blanket
-        // clearCache here: family-lifetime index memos (the
-        // overlap-pair index shared by q23/q134) are memo-managed
-        // persists that MUST survive between queries — an index is
-        // built once and served by its family, and nuking it per query
-        // would time the build once per consumer. clearCache only on
-        // the failure path, as the exception-leak safety net.
-        graft.functions.CacheScope.drain()
-        // checkpointed intermediates (CC labels, q119/q122/q130
-        // rollups, PageRank tables) have no CacheManager entry and
-        // are invisible to clearCache — release them explicitly;
-        // Bench serializes queries, so the stricter drainCheckpoints
-        // contract holds here.
-        graft.functions.CacheScope.drainCheckpoints()
-        if (!ok) spark.catalog.clearCache()
-        if (cacheAudit && ok) {
-          val persisted = spark.sparkContext.getPersistentRDDs.size
-          val memos = graft.functions.FamilyIndex.liveMaterializedCount(spark)
-          if (persisted > memos) {
-            System.err.println(
-              s"[bench] CACHE AUDIT FAILED after $name: $persisted persistent RDDs " +
-              s"vs $memos family-memo entries — a query-scoped persist is not " +
-              "CacheScope-registered and would skew later timings")
-            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-              System.err.println(s"[bench]   rdd $id: ${rdd.name} ${rdd.getStorageLevel}")
-            }
-            sys.exit(3)
-          }
-        }
-        if (ok) dt else -1.0
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] QUERY FAILED $name: $t")
+          false
       }
-      val first = timed()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries may persist() intermediates (q22/q35/q37); drop them so
+      // later queries aren't measured under another query's cache.
+      // CacheScope.drain() is the per-query scope release (every
+      // operator persist registers there). Deliberately NO blanket
+      // clearCache here: family-lifetime index memos (the
+      // overlap-pair index shared by q23/q134) are memo-managed
+      // persists that MUST survive between queries — an index is
+      // built once and served by its family, and nuking it per query
+      // would time the build once per consumer. clearCache only on
+      // the failure path, as the exception-leak safety net.
+      graft.functions.CacheScope.drain()
+      // checkpointed intermediates (CC labels, q119/q122/q130
+      // rollups, PageRank tables) have no CacheManager entry and
+      // are invisible to clearCache — release them explicitly;
+      // Bench serializes queries, so the stricter drainCheckpoints
+      // contract holds here.
+      graft.functions.CacheScope.drainCheckpoints()
+      if (!ok) spark.catalog.clearCache()
+      if (cacheAudit && ok) {
+        val persisted = spark.sparkContext.getPersistentRDDs.size
+        val memos = graft.functions.FamilyIndex.liveMaterializedCount(spark)
+        if (persisted > memos) {
+          System.err.println(
+            s"[bench] CACHE AUDIT FAILED after $name: $persisted persistent RDDs " +
+            s"vs $memos family-memo entries — a query-scoped persist is not " +
+            "CacheScope-registered and would skew later timings")
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            System.err.println(s"[bench]   rdd $id: ${rdd.name} ${rdd.getStorageLevel}")
+          }
+          sys.exit(3)
+        }
+      }
+      if (ok) dt else -1.0
+    }
+    // Phase 1: every query timed once, in roster order.
+    val firsts = picked.map { case (name, fn) => (name, fn, timedOn(name, fn)) }
+    // Host factor: median of first-timing/reference over referenced,
+    // succeeded cells; clamped at 1.0 so a faster-than-reference host
+    // never TIGHTENS the thresholds into spurious re-times.
+    val ratios = firsts.collect {
+      case (name, _, dt) if dt > 0 && reference.get(name).exists(_ > 0) =>
+        dt / reference(name)
+    }.sorted
+    val hostFactor = if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    def overReference(name: String, dt: Double): Boolean =
+      reference.get(name).exists(ref =>
+        ref > 0 && dt > 1.5 * hostFactor * ref && dt - ref > 0.05)
+    // Phase 2: re-time the anomalous cells (family memos are still
+    // live, so a re-time measures the same steady state).
+    val results = firsts.map { case (name, fn, first) =>
       // Guard the retry's -1 sentinel: a query that succeeded on the
       // first run must never be reported failed because the outlier
       // RE-time crashed (min(first, -1) = -1).
       def retimes(best: Double, left: Int): Double =
         if (left <= 0 || !(best > OutlierSec || overReference(name, best))) best
         else {
-          val again = timed()
+          val again = timedOn(name, fn)
           if (again < 0) best else retimes(math.min(best, again), left - 1)
         }
       val dt =
@@ -212,26 +233,28 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // Drift triage (self-reporting): compare each REPORTED timing
     // (already best-of-re-times) against the committed quiet-host
-    // reference run and flag >1.5x survivors, so a noisy bench run
-    // TELLS the reader which queries stayed slow through the re-time
-    // minima instead of leaving the per-query diff to archaeology.
-    // The absolute floor (0.3 s) keeps 50ms->90ms scheduling jitter
-    // out of the flag; the signature of a real plan regression is the
+    // reference — host-factor-normalized, same rule as the re-time
+    // selection — and flag the survivors, so a noisy bench run TELLS
+    // the reader which queries stayed slow through the re-time minima
+    // instead of leaving the per-query diff to archaeology. The
+    // absolute floor (0.3 s) keeps 50ms->90ms scheduling jitter out
+    // of the flag; the signature of a real plan regression is the
     // SAME query flagged across runs.
     val regressed = results.filter { case (name, dt) =>
-      dt > 0.3 && reference.get(name).exists(ref => ref > 0 && dt > 1.5 * ref)
+      dt > 0.3 && overReference(name, dt)
     }
     val regJson = regressed.map { case (name, dt) =>
       f""""$name":[${reference(name)}%.3f,$dt%.3f]"""
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total_echo","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_regressed":${regressed.size},"regressed":$regJson,"ref":"${if (reference.isEmpty) "none" else refPath}","sf":"$sfDir"}""")
+    val hf = f"$hostFactor%.3f"
+    println(s"""{"metric":"total_echo","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"host_factor":$hf,"n_regressed":${regressed.size},"regressed":$regJson,"ref":"${if (reference.isEmpty) "none" else refPath}","sf":"$sfDir"}""")
     // Final COMPACT total line, after the (potentially long) regressed
     // map: r9's driver artifact stored only a truncated tail of the
     // bench output and the total was unrecoverable. This line is short
     // enough to survive any tail/line truncation, so a mangled capture
     // still contains the headline number.
-    println(s"""{"metric":"total_min","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_regressed":${regressed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_min","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"host_factor":$hf,"n_regressed":${regressed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
