@@ -87,7 +87,8 @@ object Bench {
     // build/self-heal, r2 = serve) and in each memo's scaladoc.
     try {
       val built = graft.operators.Dedup.prebuildIndexes(spark, sfDir) ++
-        graft.operators.Similarity.prebuildIndexes(spark, sfDir)
+        graft.operators.Similarity.prebuildIndexes(spark, sfDir) ++
+        graft.operators.TextAnalysis.prebuildIndexes(spark, sfDir)
       System.err.println(s"[bench] prebuilt family indexes: ${built.mkString(", ")}")
     } catch {
       case t: Throwable => System.err.println(s"[bench] index prebuild failed: $t")

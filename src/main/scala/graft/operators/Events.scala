@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.CacheScope.Ops
 import graft.sources.Tables
 
 /** Event-stream analytics over the `events` table (SURVEY.md §7.1 B3).
@@ -541,9 +542,150 @@ object Events {
        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** q170 exposure threshold on the noise-normalized closeness
+    * statistic z = emd · √n_g (see the q170 scaladoc): calibrated for
+    * a genuine flagged/safe MIX on the synthetic fixture at every
+    * tested scale (68/50/13 of 150 groups at sf0.001/0.01/0.1) — a
+    * FIXED t on emd itself would be degenerate across scales, because
+    * a uniform corpus's group-to-global distance shrinks as 1/√n_g
+    * (sampling noise), which is exactly what z divides out. */
+  private[graft] val TclosenessLambda = 0.18
+
+  /** q170 — t-closeness audit (Li, Li, Venkatasubramanian 2007), the
+    * third leg of the release gate: a QID group can be large (q153)
+    * and user-diverse (q155) yet still leak if its SENSITIVE-attribute
+    * distribution diverges from the table's — matching the group then
+    * shifts the adversary's posterior about the sensitive value. QID
+    * here is (event_type, day_bucket); the sensitive attribute is the
+    * ORDERED value band (same band definition as q153/q155, one
+    * bucketing discipline across the gate). Distance is the ordered
+    * Earth-Mover's Distance of the t-closeness paper:
+    * emd = Σᵢ|Σ_{j≤i}(p_j − q_j)| / (m−1) over the m global bands in
+    * band order. Because uniform-data emd shrinks as 1/√n_g, the
+    * audit flags on the noise-NORMALIZED z = emd·√n_g > λ — "the
+    * group's distance exceeds its own sampling-noise floor", a
+    * dimensionless criterion that keeps meaning at any corpus size
+    * where any fixed t goes all-safe or all-risk.
+    *
+    * Scale shape: one scan → a map-combined (type, day, band)
+    * aggregate; EVERYTHING downstream — the group/global/total
+    * rollups, the grid join, the band-ordered prefix-sum window —
+    * runs on that domain-bounded relation (types × days × bands
+    * rows), so no corpus-sized shuffle exists past the first
+    * aggregate and AQE broadcasts the tiny join sides from measured
+    * size. Determinism: the prefix sums are EXACT — c·N and C·n_g
+    * cross-multiplied in DECIMAL (c·N ≤ N², in range to N ≈ 10¹⁹
+    * rows); emd and z then derive from identical double expression
+    * trees on both engines (the shared-formula discipline: division,
+    * sqrt, and multiplication are all IEEE-correctly-rounded), and
+    * every reported ratio goes through floorRound. */
+  def q170(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val g = Tables.events(spark, sfDir)
+      .selectExpr(qidSparkExprs: _*)
+      .groupBy("event_type", "day_bucket", "value_band")
+      .agg(count(lit(1)).as("c"))
+      .scopedCache // four domain-bounded consumers (grp/gb/tot/grid)
+    g.count()
+    val grp = g.groupBy("event_type", "day_bucket").agg(sum("c").as("n_g"))
+    val gb = g.groupBy("event_type", "value_band").agg(sum("c").as("cg"))
+    val tot = g.groupBy("event_type")
+      .agg(sum("c").as("n"), countDistinct("value_band").as("m"))
+    val grid = grp.join(gb, "event_type").join(tot, "event_type")
+      .join(g.withColumnRenamed("c", "c0"),
+        Seq("event_type", "day_bucket", "value_band"), "left")
+      .withColumn("c", coalesce(col("c0"), lit(0L)))
+    val w = Window.partitionBy("event_type", "day_bucket")
+      .orderBy("value_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cumd",
+      sum(col("c").cast("decimal(19,0)") * col("n") -
+        col("cg").cast("decimal(19,0)") * col("n_g")).over(w))
+    val perGroup = cum
+      .groupBy("event_type", "day_bucket", "n_g", "n", "m")
+      .agg(sum(abs(col("cumd"))).as("num"))
+      .withColumn("emd", when(col("m") > 1,
+        col("num").cast("double") /
+          ((col("m") - 1).cast("double") * col("n_g") * col("n")))
+        .otherwise(lit(0.0)))
+      .withColumn("z", col("emd") * sqrt(col("n_g").cast("double")))
+    perGroup.groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("n_g").as("n_rows"),
+        max("m").as("n_bands"),
+        floorRound(max(col("emd")), 6).as("max_emd"),
+        floorRound(max(col("z")), 6).as("max_z"),
+        count(when(col("z") > TclosenessLambda, 1)).as("n_exposed_groups"),
+        sum(when(col("z") > TclosenessLambda, col("n_g")).otherwise(lit(0L)))
+          .as("n_rows_exposed"),
+        floorRound(
+          sum(when(col("z") > TclosenessLambda, col("n_g")).otherwise(lit(0L)))
+            .cast("double") / sum("n_g").cast("double"), 6).as("exposed_share"))
+      .orderBy("event_type")
+  }
+
+  val q170Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""WITH e AS (
+       |  SELECT $qidSqlExprs
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, day_bucket, value_band, count(*) AS c
+       |  FROM e GROUP BY 1, 2, 3),
+       |grp AS (
+       |  SELECT event_type, day_bucket, CAST(sum(c) AS BIGINT) AS n_g
+       |  FROM g GROUP BY 1, 2),
+       |gb AS (
+       |  SELECT event_type, value_band, CAST(sum(c) AS BIGINT) AS cg
+       |  FROM g GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+       |    count(DISTINCT value_band) AS m
+       |  FROM g GROUP BY 1),
+       |grid AS (
+       |  SELECT gr.event_type, gr.day_bucket, gl.value_band,
+       |    gr.n_g, gl.cg, t.n, t.m, COALESCE(gc.c, 0) AS c
+       |  FROM grp gr
+       |  JOIN gb gl ON gr.event_type = gl.event_type
+       |  JOIN tot t ON gr.event_type = t.event_type
+       |  LEFT JOIN g gc ON gc.event_type = gr.event_type
+       |    AND gc.day_bucket = gr.day_bucket
+       |    AND gc.value_band = gl.value_band),
+       |cum AS (
+       |  SELECT event_type, day_bucket, n_g, n, m,
+       |    sum(CAST(c AS DECIMAL(19,0)) * n - CAST(cg AS DECIMAL(19,0)) * n_g)
+       |      OVER (PARTITION BY event_type, day_bucket ORDER BY value_band
+       |            ROWS UNBOUNDED PRECEDING) AS cumd
+       |  FROM grid),
+       |pg AS (
+       |  SELECT event_type, day_bucket, n_g,
+       |    CASE WHEN m > 1 THEN
+       |      CAST(sum(abs(cumd)) AS DOUBLE) / (CAST(m - 1 AS DOUBLE) * n_g * n)
+       |    ELSE 0.0 END AS emd,
+       |    CASE WHEN m > 1 THEN
+       |      CAST(sum(abs(cumd)) AS DOUBLE) / (CAST(m - 1 AS DOUBLE) * n_g * n)
+       |    ELSE 0.0 END * sqrt(CAST(n_g AS DOUBLE)) AS z,
+       |    m
+       |  FROM cum GROUP BY event_type, day_bucket, n_g, n, m)
+       |SELECT event_type, count(*) AS n_groups,
+       |  CAST(sum(n_g) AS BIGINT) AS n_rows,
+       |  CAST(max(m) AS BIGINT) AS n_bands,
+       |  ${floorRoundSql("max(emd)", 6)} AS max_emd,
+       |  ${floorRoundSql("max(z)", 6)} AS max_z,
+       |  CAST(count(CASE WHEN z > $TclosenessLambda THEN 1 END) AS BIGINT)
+       |    AS n_exposed_groups,
+       |  CAST(sum(CASE WHEN z > $TclosenessLambda THEN n_g ELSE 0 END) AS BIGINT)
+       |    AS n_rows_exposed,
+       |  ${floorRoundSql(
+            s"CAST(sum(CASE WHEN z > $TclosenessLambda THEN n_g ELSE 0 END) AS DOUBLE) " +
+              "/ CAST(sum(n_g) AS DOUBLE)", 6)} AS exposed_share
+       |FROM pg GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_kanonymity_audit" -> q153 _,
     "q155_ldiversity_audit" -> q155 _,
+    "q170_tcloseness_audit" -> q170 _,
     "q119_ewma_telemetry" -> q119 _,
     "q120_attribution" -> q120 _,
     "q55_range_join" -> q55 _,
@@ -563,5 +705,6 @@ object Events {
     "q20_asof_join" -> q20Sql,
     "q60_session_window" -> q60Sql,
     "q153_kanonymity_audit" -> q153Sql,
-    "q155_ldiversity_audit" -> q155Sql)
+    "q155_ldiversity_audit" -> q155Sql,
+    "q170_tcloseness_audit" -> q170Sql)
 }

@@ -1473,6 +1473,204 @@ object Similarity {
        |  ${floorRoundSql("variance / tv", 6)} AS var_share
        |FROM pv, tot ORDER BY pos""".stripMargin
 
+  /** q171 power-iteration rounds. The Rayleigh quotient of ANY unit
+    * vector is a certified LOWER bound on λ₁, and iterating only
+    * tightens it — so k needs no convergence claim; 8 rounds keep
+    * the oracle's unrolled CTE ladder readable. (A converged top
+    * EIGENVECTOR is deliberately not part of the contract: the
+    * synthetic corpus is near-isotropic — measured λ₂/λ₁ 0.93–0.99
+    * across scales — where power iteration needs hundreds of rounds;
+    * the spectral-MASS statistics below are exact without any.) */
+  private[graft] val PcaIters = 8
+
+  /** q171 — embedding spectral-mass audit (effective rank /
+    * collapse detection, the RankMe family — Garrido et al. 2023;
+    * participation ratio is the two-moment member): q159 measures
+    * variance per AXIS, this measures how variance spreads across
+    * DIRECTIONS, which is what retrieval quality actually depends on
+    * (Mu & Viswanath 2018's all-but-the-top). From the exact
+    * covariance moments: total variance tr(Σ), spectral mass
+    * tr(Σ²) = ΣᵢⱼΣᵢⱼ², the participation ratio tr(Σ)²/tr(Σ²) =
+    * (Σλ)²/Σλ² ∈ [1, d] (the effective dimension count — 1 means
+    * collapsed to a line, d means isotropic), and a CERTIFIED
+    * bracket on the top eigenvalue: λ₁ ∈ [max(tr(Σ²)/tr(Σ), R_k),
+    * √tr(Σ²)] where R_k is the Rayleigh quotient of a k-step power
+    * iterate (every bound is an algebraic identity — Σλ² ≤ λ₁Σλ and
+    * λ₁² ≤ Σλ² — so the audit never claims an unconverged
+    * eigendecomposition; a spec verifies the bracket against an
+    * independent Jacobi eigensolver).
+    *
+    * Scale shape — numerical linear algebra as aggregation: ONE
+    * corpus pass explodes each vector's upper-triangle pair grid
+    * (d(d+1)/2 = 2080 entries) into a map-combined exact-DECIMAL
+    * second-moment aggregate (q159's discipline at pair granularity;
+    * shuffle carries O(d²) decimals per map task, never vectors),
+    * plus one narrow per-dim mean pass. EVERYTHING after runs on the
+    * O(d²) covariance relation: trace/Frobenius are 2080-row
+    * aggregates, each of the [[PcaIters]] matvec rounds is one more,
+    * and the driver ferries only the 64 current iterate values
+    * between rounds (O(k·d) driver state — the q77 centroid
+    * pattern). At 100 TB the pair pass costs n·d²/2 expression
+    * evaluations but its SHUFFLE is still d² rows — corpus-size-
+    * independent reduction state.
+    *
+    * Determinism: second moments and means are exact DECIMAL sums;
+    * cov derives from them through one shared double formula. Every
+    * matvec accumulates cast(cov·v_j AS DECIMAL) — decimal addition
+    * is associative, so Spark's partial aggregation and DuckDB's
+    * sequential scan produce the SAME sums; between rounds v
+    * rescales by max|m| (an exact decimal max — scaling choice is
+    * free for power iteration), so no sqrt enters the recurrence;
+    * trace, Frobenius mass, and the Rayleigh quotient are again
+    * in-engine decimal sums divided through identical double
+    * expressions. The oracle unrolls the k rounds as chained
+    * MATERIALIZED CTEs (the q167 tower pattern). */
+  def q171(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = vecs(spark, sfDir)
+    // Upper-triangle second-moment grid: one corpus pass, exact sums.
+    val pairs = n.select(explode(expr(
+      s"""flatten(transform(sequence(1, $Dim), i ->
+         |  transform(sequence(i, $Dim), j ->
+         |    struct(i AS i, j AS j,
+         |      element_at(v, i) * element_at(v, j) AS xx))))""".stripMargin))
+      .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xx").as("xx"))
+    val sp = pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("nv"),
+        sum(col("xx").cast("decimal(28,18)")).as("sxx"))
+    val means = n.select(posexplode(col("v")).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).as("d"), col("x"))
+      .groupBy("d").agg(sum(col("x").cast("decimal(28,18)")).as("s"))
+    // cov(i,j) through the q159 variance formula, mirrored to the
+    // full grid (the matvec wants both triangles); O(d²) rows, cached
+    // for the k matvec rounds + the Rayleigh pass.
+    val upper = sp
+      .join(means.select(col("d").as("i"), col("s").as("si")), "i")
+      .join(means.select(col("d").as("j"), col("s").as("sj")), "j")
+      .select(col("i"), col("j"), col("nv"),
+        ((col("sxx").cast("double") -
+          col("si").cast("double") * col("sj").cast("double") / col("nv")) /
+          col("nv")).as("cov"))
+    val cov = upper.union(
+      upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("nv"), col("cov")))
+      .scopedCache
+    cov.count()
+    // Power iteration: v₀ = 1…1; each round one exact-decimal matvec
+    // over the cached grid, rescaled by max|m| (exact decimal max).
+    def vMap(v: Array[Double]): org.apache.spark.sql.Column =
+      map_from_arrays(typedlit((1 to Dim).toList), typedlit(v.toSeq))
+    var v: Array[Double] = Array.fill(Dim)(1.0)
+    for (_ <- 1 to PcaIters) {
+      val m = cov
+        .groupBy("i")
+        .agg(sum((col("cov") * element_at(vMap(v), col("j")))
+          .cast("decimal(38,18)")).as("m"))
+        .orderBy("i").collect()
+        .map(r => r.getDecimal(1))
+      val mmax = m.map(_.abs).max // exact decimal max
+      val mmaxD = mmax.doubleValue()
+      v = m.map(_.doubleValue() / mmaxD)
+    }
+    val vm = vMap(v)
+    // Rayleigh numerator vᵀΣv and Frobenius mass over the full grid,
+    // vᵀv over a d-row relation, trace + n over the diagonal — every
+    // reduction an exact decimal sum.
+    val ray = cov.agg(
+      sum((col("cov") * element_at(vm, col("i")) * element_at(vm, col("j")))
+        .cast("decimal(38,18)")).cast("double").as("vtsv"),
+      sum((col("cov") * col("cov")).cast("decimal(38,18)"))
+        .cast("double").as("frob2"))
+    val vv = spark.range(1, Dim + 1)
+      .select((element_at(vm, col("id").cast("int")) *
+        element_at(vm, col("id").cast("int")))
+        .cast("decimal(38,18)").as("v2"))
+      .agg(sum("v2").cast("double").as("vtv"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(max("nv").as("n_vecs"),
+        sum(col("cov").cast("decimal(28,18)")).cast("double").as("trace"))
+    ray.crossJoin(vv).crossJoin(tr)
+      .select(lit(Dim.toLong).as("dims"), col("n_vecs"),
+        floorRound(col("trace"), 9).as("total_variance"),
+        floorRound(col("frob2"), 9).as("spectral_mass"),
+        floorRound(col("trace") * col("trace") / col("frob2"), 6)
+          .as("participation_ratio"),
+        floorRound(greatest(col("frob2") / col("trace"),
+          col("vtsv") / col("vtv")), 9).as("lambda1_lb"),
+        floorRound(sqrt(col("frob2")), 9).as("lambda1_ub"),
+        floorRound(col("vtsv") / col("vtv"), 9).as("rayleigh_k"),
+        floorRound((col("vtsv") / col("vtv")) / col("trace"), 6)
+          .as("top_share_lb"))
+  }
+
+  val q171Sql: String = {
+    val matvecs = (1 to PcaIters).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT c.i AS i, sum(CAST(c.cov * v${r - 1}.v AS DECIMAL(38,18))) AS m
+         |  FROM c JOIN v${r - 1} ON c.j = v${r - 1}.j GROUP BY c.i),
+         |s$r AS MATERIALIZED (SELECT max(abs(m)) AS mm FROM m$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i AS j, CAST(m AS DOUBLE) / CAST((SELECT mm FROM s$r) AS DOUBLE) AS v
+         |  FROM m$r)""".stripMargin
+    }.mkString(",\n")
+    val vk = s"v$PcaIters"
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE len(embedding) = $Dim),
+       |pairs AS (
+       |  SELECT p.i AS i, p.j AS j, p.xx AS xx FROM (
+       |    SELECT unnest(flatten(list_transform(range(1, $Dim + 1), i ->
+       |      list_transform(range(i, $Dim + 1), j ->
+       |        struct_pack(i := i, j := j, xx := v[i] * v[j]))))) AS p
+       |    FROM n) t),
+       |sp AS (
+       |  SELECT i, j, count(*) AS nv,
+       |    sum(CAST(xx AS DECIMAL(28,18))) AS sxx
+       |  FROM pairs GROUP BY i, j),
+       |means AS (
+       |  SELECT d, sum(CAST(x AS DECIMAL(28,18))) AS s FROM (
+       |    SELECT d, v[d] AS x
+       |    FROM n, (SELECT unnest(generate_series(1, $Dim)) AS d) dd) e
+       |  GROUP BY d),
+       |upper_cov AS (
+       |  SELECT sp.i, sp.j, nv,
+       |    (CAST(sxx AS DOUBLE) - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE)
+       |      / nv) / nv AS cov
+       |  FROM sp
+       |  JOIN means mi ON sp.i = mi.d
+       |  JOIN means mj ON sp.j = mj.d),
+       |c AS MATERIALIZED (
+       |  SELECT i, j, nv, cov FROM upper_cov
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, nv, cov FROM upper_cov WHERE i <> j),
+       |v0 AS (
+       |  SELECT unnest(generate_series(1, $Dim)) AS j, 1.0::DOUBLE AS v),
+       |$matvecs,
+       |ray AS (
+       |  SELECT CAST(sum(CAST(c.cov * va.v * vb.v AS DECIMAL(38,18))) AS DOUBLE)
+       |    AS vtsv
+       |  FROM c JOIN $vk va ON c.i = va.j JOIN $vk vb ON c.j = vb.j),
+       |fr AS (
+       |  SELECT CAST(sum(CAST(cov * cov AS DECIMAL(38,18))) AS DOUBLE) AS frob2
+       |  FROM c),
+       |vv AS (
+       |  SELECT CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) AS vtv
+       |  FROM $vk),
+       |tr AS (
+       |  SELECT CAST(max(nv) AS BIGINT) AS n_vecs,
+       |    CAST(sum(CAST(cov AS DECIMAL(28,18))) AS DOUBLE) AS trace
+       |  FROM c WHERE i = j)
+       |SELECT CAST($Dim AS BIGINT) AS dims, n_vecs,
+       |  ${floorRoundSql("trace", 9)} AS total_variance,
+       |  ${floorRoundSql("frob2", 9)} AS spectral_mass,
+       |  ${floorRoundSql("trace * trace / frob2", 6)} AS participation_ratio,
+       |  ${floorRoundSql("greatest(frob2 / trace, vtsv / vtv)", 9)} AS lambda1_lb,
+       |  ${floorRoundSql("sqrt(frob2)", 9)} AS lambda1_ub,
+       |  ${floorRoundSql("vtsv / vtv", 9)} AS rayleigh_k,
+       |  ${floorRoundSql("(vtsv / vtv) / trace", 6)} AS top_share_lb
+       |FROM ray, fr, vv, tr""".stripMargin
+  }
+
   /** The corpus sliced into its [[PqM]] subvector views: one Generate
     * over the (cached) vector relation emits (subspace, vec_id, v)
     * with v the [[PqSubDim]]-dim slice — so every PQ training and
@@ -2028,6 +2226,7 @@ object Similarity {
     "q158_pq_codebook" -> q158 _,
     "q160_pq_adc_knn" -> q160 _,
     "q159_embed_dim_stats" -> q159 _,
+    "q171_embed_spectrum" -> q171 _,
     "q77_kmeans_train" -> q77 _,
     "q168_ann_maintenance" -> q168 _,
     "q143_cluster_silhouette" -> q143 _,
@@ -2052,6 +2251,7 @@ object Similarity {
     "q158_pq_codebook" -> q158Sql,
     "q160_pq_adc_knn" -> q160Sql,
     "q159_embed_dim_stats" -> q159Sql,
+    "q171_embed_spectrum" -> q171Sql,
     "q77_kmeans_train" -> q77Sql,
     "q168_ann_maintenance" -> q168Sql,
     "q143_cluster_silhouette" -> q143Sql,

@@ -1092,6 +1092,19 @@ object TextAnalysis {
     * ever contains a space. */
   def q167(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val merges = bpeTrain(spark, sfDir)
+    // Refresh the shared memo (q167 IS the training benchmark and
+    // always retrains — the q77/q158 centroid/codebook discipline);
+    // the encode path (q169) serves from it.
+    mergeMemo.put(Tables.fingerprint(sfDir, Seq("documents")), merges)
+    merges.toDF("round", "sym_a", "sym_b", "merged", "n_weighted")
+      .orderBy("round")
+  }
+
+  /** The q167 training loop, extracted so the merge-table memo can be
+    * built without the DataFrame wrapper (see [[trainedMerges]]). */
+  private def bpeTrain(spark: SparkSession, sfDir: String)
+      : Seq[(Long, String, String, String, Long)] = {
     val v0 = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
@@ -1101,6 +1114,14 @@ object TextAnalysis {
         .as("syms"))
       .scopedCache
     v0.count() // eager — all k recount passes read the cache
+    try bpeMergeLoop(v0)
+    finally { v0.unpersist(false); () } // trainedCodebooks' discipline:
+    // the vocabulary cache dies with the training call, so the
+    // prebuild path (which runs outside any harness drain) leaves no
+    // unregistered persist behind for the bench cache audit to flag.
+  }
+
+  private def bpeMergeLoop(v0: DataFrame): Seq[(Long, String, String, String, Long)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var cur: DataFrame = v0
     var round = 1
@@ -1126,8 +1147,87 @@ object TextAnalysis {
         round += 1
       }
     }
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "n_weighted")
-      .orderBy("round")
+    merges.toSeq
+  }
+
+  /** Trained BPE merge table memoized per corpus — the
+    * [[graft.operators.Similarity]] trained-model discipline applied
+    * to the tokenizer: the TRAINING benchmark (q167) always retrains
+    * and refreshes this memo; the ENCODE path (q169) reads it, so
+    * serving cells measure encoding, not a retrain per query — how a
+    * production pipeline ships a tokenizer model. Fingerprint-keyed
+    * (stale-corpus safety), O(k) driver values (6 merge rows). */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, String, Long)]]()
+
+  private[graft] def trainedMerges(spark: SparkSession, sfDir: String)
+      : Seq[(Long, String, String, String, Long)] = {
+    val key = Tables.fingerprint(sfDir, Seq("documents"))
+    mergeMemo.computeIfAbsent(key, _ => bpeTrain(spark, sfDir))
+  }
+
+  /** Touch the tokenizer-model memo so bench cells measure SERVING —
+    * the [[graft.operators.Similarity.prebuildIndexes]] twin for the
+    * text family. */
+  private[graft] def prebuildIndexes(spark: SparkSession, sfDir: String): Seq[String] = {
+    trainedMerges(spark, sfDir)
+    Seq("bpe-merges")
+  }
+
+  /** q169 — BPE corpus encoding (the APPLY half of the tokenizer loop
+    * q167 trains): encode every token of every document with the
+    * trained merge table and report per-source tokenizer statistics —
+    * weighted token/char/symbol totals, symbols-per-token (the
+    * sequence-length multiplier a context budget planner needs), and
+    * chars-per-symbol (the compression the merges bought). q148
+    * measures fertility of a FIXED whitespace+punct tokenizer; this
+    * measures the LEARNED tokenizer end-to-end: train (q167) → encode
+    * (q169) → budget (q138) is the production tokenizer loop.
+    *
+    * Encoding applies the k merges IN TRAINING ORDER, each pass
+    * greedy left-to-right — the standard BPE inference contract
+    * (Sennrich et al. 2016) — via the same doubled-separator
+    * `replace` as training ([[bpeMergeCol]]), so train and encode
+    * can never disagree on merge semantics. Unlike training, which
+    * needs a recount barrier between merges, encoding is a FIXED
+    * merge list: all k rewrites compose into ONE codegen'd
+    * projection, so the whole query is a single corpus scan → a
+    * map-combined (source, tok) aggregate → the per-token encode on
+    * O(sources × vocab) pre-aggregated rows → an O(sources) rollup.
+    * Join-free, two domain-bounded shuffles; at 100 TB the encode
+    * expression runs over the vocabulary-sized aggregate, never once
+    * per corpus token.
+    *
+    * The merge table comes from [[trainedMerges]] (driver memo, O(k)
+    * rows) and is compiled into the plan as literals — the exact
+    * shape of shipping a tokenizer model to executors. Determinism:
+    * the encode is a pure string rewrite (bit-identical on both
+    * engines, q167's proof), totals are exact BIGINT sums, and the
+    * two ratios go through the shared floorRound discipline. */
+  def q169(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedMerges(spark, sfDir)
+    // len-0 tokens (doubled separators in text) have no symbols on
+    // either engine and are excluded from the encode universe.
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val syms0: org.apache.spark.sql.Column = expr(
+      "concat_ws(' ', transform(sequence(1, length(tok)), i -> substring(tok, i, 1)))")
+    val encoded = merges.foldLeft(syms0) {
+      case (c, (_, a, b, _, _)) => bpeMergeCol(c, lit(a), lit(b))
+    }
+    st.withColumn("n_syms", size(split(encoded, " ")).cast("long"))
+      .groupBy("source")
+      .agg(sum("n").as("n_tokens"),
+        sum(col("n") * length(col("tok")).cast("long")).as("n_chars"),
+        sum(col("n") * col("n_syms")).as("n_symbols"),
+        max("n_syms").as("max_token_syms"),
+        floorRound(sum(col("n") * col("n_syms")).cast("double") /
+          sum(col("n")).cast("double"), 6).as("syms_per_token"),
+        floorRound(sum(col("n") * length(col("tok")).cast("long")).cast("double") /
+          sum(col("n") * col("n_syms")).cast("double"), 6).as("chars_per_symbol"))
+      .orderBy("source")
   }
 
   /** One greedy merge pass of pair (a, b) over a space-delimited
@@ -1152,13 +1252,17 @@ object TextAnalysis {
        |    concat(' ', $a, '  ', $b, ' '), concat(' ', $a, $b, ' ')),
        |  '  ', ' '))""".stripMargin
 
-  val q167Sql: String = {
-    // Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
-    // round references the previous vocabulary ~3× (the pair scan
-    // plus the two scalar-subquery merge args), so an inlined tower
-    // re-evaluates v0 ~3^k times — measured minutes at sf0.001;
-    // materialized, each round is one vocabulary-sized pass, the
-    // same cost model as the Spark loop.
+  /** The q167 training tower as a reusable CTE-list fragment (v0 +
+    * one p/m/v block per round) — q167Sql reads the merge rows out of
+    * it; the q169 encode oracle replays the same tower to recover the
+    * merge table its encode applies. Every CTE is MATERIALIZED:
+    * DuckDB inlines plain CTEs, and each round references the
+    * previous vocabulary ~3× (the pair scan plus the two
+    * scalar-subquery merge args), so an inlined tower re-evaluates
+    * v0 ~3^k times — measured minutes at sf0.001; materialized, each
+    * round is one vocabulary-sized pass, the same cost model as the
+    * Spark loop. */
+  private def bpeTowerSql: String = {
     val blocks = (1 to BpeMergeRounds).map { r =>
       val prev = s"v${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -1176,19 +1280,60 @@ object TextAnalysis {
              s"(SELECT a FROM m$r)", s"(SELECT b FROM m$r)")} AS syms
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeMergeRounds)
-      .map(r => s"SELECT $r AS round, a, b, w FROM m$r").mkString(" UNION ALL ")
-    s"""WITH v0 AS MATERIALIZED (
+    s"""v0 AS MATERIALIZED (
        |  SELECT freq,
        |    array_to_string(list_transform(range(1, len(tok) + 1), i -> tok[i:i]), ' ') AS syms
        |  FROM (
        |    SELECT tok, count(*) AS freq FROM (
        |      SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
        |    GROUP BY tok HAVING len(tok) >= 2) v),
-       |$blocks
+       |$blocks""".stripMargin
+  }
+
+  val q167Sql: String = {
+    val union = (1 to BpeMergeRounds)
+      .map(r => s"SELECT $r AS round, a, b, w FROM m$r").mkString(" UNION ALL ")
+    s"""WITH $bpeTowerSql
        |SELECT CAST(round AS BIGINT) AS round, a AS sym_a, b AS sym_b,
        |  concat(a, b) AS merged, w AS n_weighted
        |FROM ($union) ORDER BY round""".stripMargin
+  }
+
+  val q169Sql: String = {
+    // The encode ladder: e0 = char-split symbols per (source, tok)
+    // aggregate row, e_r = merge r applied — the same bpeMergeSql
+    // rewrite the tower's v_r uses, so oracle training and oracle
+    // encoding share one merge definition, exactly like the Spark
+    // side shares bpeMergeCol.
+    val ladder = (1 to BpeMergeRounds).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT source, tok, n, ${bpeMergeSql("syms",
+             s"(SELECT a FROM m$r)", s"(SELECT b FROM m$r)")} AS syms
+         |  FROM e${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTowerSql,
+       |toks AS MATERIALIZED (
+       |  SELECT source, tok, count(*) AS n FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) u
+       |  WHERE len(tok) >= 1 GROUP BY source, tok),
+       |e0 AS MATERIALIZED (
+       |  SELECT source, tok, n,
+       |    array_to_string(list_transform(range(1, len(tok) + 1), i -> tok[i:i]), ' ') AS syms
+       |  FROM toks),
+       |$ladder
+       |SELECT source,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n * len(tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n * len(string_split(syms, ' '))) AS BIGINT) AS n_symbols,
+       |  CAST(max(len(string_split(syms, ' '))) AS BIGINT) AS max_token_syms,
+       |  ${floorRoundSql(
+            "CAST(sum(n * len(string_split(syms, ' '))) AS DOUBLE) " +
+              "/ CAST(sum(n) AS DOUBLE)", 6)} AS syms_per_token,
+       |  ${floorRoundSql(
+            "CAST(sum(n * len(tok)) AS DOUBLE) " +
+              "/ CAST(sum(n * len(string_split(syms, ' '))) AS DOUBLE)", 6)}
+       |    AS chars_per_symbol
+       |FROM e$BpeMergeRounds GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** q128 — quality-signal correlation audit: the Pearson matrix
@@ -1609,6 +1754,7 @@ object TextAnalysis {
     "q125_zipf_spectrum" -> q125 _,
     "q126_bpe_merge_pairs" -> q126 _,
     "q167_bpe_merge_train" -> q167 _,
+    "q169_bpe_encode" -> q169 _,
     "q128_signal_correlation" -> q128 _,
     "q129_heaps_hapax" -> q129 _,
     "q118_filter_cascade" -> q118 _,
@@ -1634,6 +1780,7 @@ object TextAnalysis {
     "q125_zipf_spectrum" -> q125Sql,
     "q126_bpe_merge_pairs" -> q126Sql,
     "q167_bpe_merge_train" -> q167Sql,
+    "q169_bpe_encode" -> q169Sql,
     "q128_signal_correlation" -> q128Sql,
     "q129_heaps_hapax" -> q129Sql,
     "q118_filter_cascade" -> q118Sql,

@@ -34,6 +34,13 @@ case class AnonReport(event_type: String, n_groups: Long, n_rows: Long,
     min_group: Long, n_small_groups: Long, n_rows_at_risk: Long,
     risk_share: Double)
 
+/** One closeness report per event type per micro-batch — the q170
+  * t-closeness row recomputed live over the same QID-histogram state
+  * the anonymity monitor keeps. */
+case class TclsReport(event_type: String, n_groups: Long, n_rows: Long,
+    n_bands: Long, max_emd: Double, max_z: Double, n_exposed_groups: Long,
+    n_rows_exposed: Long, exposed_share: Double)
+
 /** SpaceSaving sketch state for the live skew monitor: at most
   * `capacity` (key → estimated count) counters plus each counter's
   * overestimation bound, and the exact total row count. */
@@ -171,6 +178,7 @@ object StatefulOps {
     * monitor's no-GC argument — so NoTimeout is safe indefinitely.
     * risk_share goes through the same floor(x·10⁶+0.5)/10⁶ recipe
     * as every compared double. */
+  implicit val tclsEnc: Encoder[TclsReport] = Encoders.product[TclsReport]
   implicit val skewSketchEnc: Encoder[SkewSketch] = Encoders.product[SkewSketch]
   implicit val skewTopEnc: Encoder[SkewTop] = Encoders.product[SkewTop]
 
@@ -256,6 +264,64 @@ object StatefulOps {
           Iterator.single(AnonReport(etype, gs.size.toLong, nRows, gs.min,
             atRisk.size.toLong, riskRows,
             math.floor(riskRows.toDouble / nRows * 1e6 + 0.5) / 1e6))
+      }
+  }
+
+  /** Streaming twin of the t-closeness audit (Events.q170) — the
+    * third live release-gate monitor, sharing [[anonymityMonitor]]'s
+    * QID-histogram state shape: per event type a (day, band) → count
+    * map, bounded by the QID DOMAIN (days × bands), not stream
+    * volume. Each micro-batch folds the new rows in and re-derives
+    * the full closeness report from the histogram alone — the global
+    * band distribution, each day-group's ordered EMD against it, and
+    * the noise-normalized z = emd·√n_g exposure flags — in exactly
+    * the batch operator's arithmetic (integer cross-multiplied
+    * prefix sums, then the identical double expression tree), so the
+    * final emission over a fully-replayed stream is row-equal to the
+    * batch audit (StreamingSpec pins it). O(domain) work per type
+    * per batch on the driver-free executor path — the audit never
+    * re-touches earlier rows. */
+  def tclosenessMonitor(events: Dataset[Ev]): Dataset[TclsReport] = {
+    import graft.operators.Events.{DayNs, ValueBandWidth, TclosenessLambda}
+    val dayMs = DayNs / 1000000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[QidHist, TclsReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Ev], state: GroupState[QidHist]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          rows.foreach { e =>
+            // The anonymityMonitor's bucket discipline: floorDiv at
+            // millis ≡ the batch (ts − pmod) DIV DayNs at nanos.
+            val key = s"${Math.floorDiv(e.ts.getTime, dayMs)}:${math.floor(e.value / ValueBandWidth).toLong}"
+            counts = counts.updated(key, counts.getOrElse(key, 0L) + 1L)
+          }
+          state.update(QidHist(counts))
+          val parsed = counts.toSeq.map { case (k, c) =>
+            val i = k.indexOf(':')
+            (k.substring(0, i).toLong, k.substring(i + 1).toLong, c)
+          }
+          val n = parsed.map(_._3).sum
+          val globalBands = parsed.groupBy(_._2)
+            .map { case (b, xs) => b -> xs.map(_._3).sum }
+          val bandOrder = globalBands.keys.toSeq.sorted
+          val m = bandOrder.length.toLong
+          val perGroup = parsed.groupBy(_._1).map { case (_, gsRows) =>
+            val nG = gsRows.map(_._3).sum
+            val c = gsRows.map(g => g._2 -> g._3).toMap
+            var cum = 0L; var num = 0L
+            bandOrder.foreach { b =>
+              cum += c.getOrElse(b, 0L) * n - globalBands(b) * nG
+              num += math.abs(cum)
+            }
+            val emd = if (m > 1) num.toDouble / ((m - 1).toDouble * nG * n) else 0.0
+            (nG, emd, emd * math.sqrt(nG.toDouble))
+          }.toSeq
+          val exposed = perGroup.filter(_._3 > TclosenessLambda)
+          def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+          Iterator.single(TclsReport(etype, perGroup.size.toLong, n, m,
+            r6(perGroup.map(_._2).max), r6(perGroup.map(_._3).max),
+            exposed.size.toLong, exposed.map(_._1).sum,
+            r6(exposed.map(_._1).sum.toDouble / n)))
       }
   }
 }

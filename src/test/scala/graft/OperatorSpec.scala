@@ -968,6 +968,137 @@ class OperatorSpec extends AnyFunSuite {
     graft.functions.CacheScope.drain()
   }
 
+  test("q171 spectral-mass audit matches a local replay; the λ₁ bracket contains a Jacobi eigensolver's truth") {
+    import org.apache.spark.sql.functions.{col, size}
+    val r = SparkEntry.queries("q171_embed_spectrum")(spark, sf).collect()
+    assert(r.length === 1, "one summary row")
+    val row = r.head
+    val (dims, nVecs) = (row.getLong(0), row.getLong(1))
+    val (trace, frob2, pr) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    val (lb, ub, rayK, topShare) =
+      (row.getDouble(5), row.getDouble(6), row.getDouble(7), row.getDouble(8))
+    // Local replay: naive double covariance, the same fixed-k
+    // max-rescaled iterate, the same trace/Frobenius/Rayleigh
+    // algebra — the operator's decimal discipline exists for
+    // cross-engine determinism, not value drift, so a plain double
+    // replay must agree to ~1e-6.
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length; val d = 64
+    assert(dims === d.toLong && nVecs === n.toLong, "dims/n_vecs")
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j))
+    val traceR = (0 until d).map(i => cov(i)(i)).sum
+    val frobR = (for (i <- 0 until d; j <- 0 until d) yield cov(i)(j) * cov(i)(j)).sum
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to graft.operators.Similarity.PcaIters) {
+      val m = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val mx = m.map(math.abs).max
+      v = m.map(_ / mx)
+    }
+    val sv = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+    val rayR = (0 until d).map(i => v(i) * sv(i)).sum /
+      (0 until d).map(i => v(i) * v(i)).sum
+    assert(math.abs(trace - traceR) < 1e-6, s"trace $trace vs $traceR")
+    assert(math.abs(frob2 - frobR) < 1e-6, s"frob2 $frob2 vs $frobR")
+    assert(math.abs(pr - traceR * traceR / frobR) < 1e-3, "participation ratio")
+    assert(math.abs(rayK - rayR) < 1e-6, s"rayleigh $rayK vs $rayR")
+    assert(math.abs(lb - math.max(frobR / traceR, rayR)) < 1e-6, "lambda1_lb formula")
+    assert(math.abs(ub - math.sqrt(frobR)) < 1e-6, "lambda1_ub formula")
+    assert(math.abs(topShare - rayR / traceR) < 1e-4, "top_share_lb")
+    // Independent eigen-truth: a classical Jacobi rotation sweep on
+    // the replay covariance — the certified bracket must contain the
+    // true λ₁, and the participation ratio must equal (Σλ)²/Σλ².
+    val a = cov.map(_.clone())
+    var sweep = 0
+    while (sweep < 60 && (for (p <- 0 until d; q <- p + 1 until d)
+        yield a(p)(q) * a(p)(q)).sum > 1e-24) {
+      for (p <- 0 until d; q <- p + 1 until d) if (math.abs(a(p)(q)) > 1e-18) {
+        val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1))
+        val c = 1 / math.sqrt(t * t + 1); val s = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq; a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk; a(q)(k) = s * apk + c * aqk
+        }
+      }
+      sweep += 1
+    }
+    val eigs = (0 until d).map(i => a(i)(i))
+    val lam1 = eigs.max
+    assert(lb <= lam1 + 1e-9, s"lower bound $lb exceeds true λ₁ $lam1")
+    assert(lam1 <= ub + 1e-9, s"upper bound $ub below true λ₁ $lam1")
+    val prTrue = eigs.sum * eigs.sum / eigs.map(x => x * x).sum
+    assert(math.abs(pr - prTrue) < 1e-3, s"PR $pr vs spectrum truth $prTrue")
+    assert(pr >= 1.0 - 1e-9 && pr <= d + 1e-9, "PR out of [1, d]")
+    graft.functions.CacheScope.drain()
+  }
+
+  test("q169 BPE encode matches an independent greedy-merge replay; memo serves q167's table") {
+    import org.apache.spark.sql.functions._
+    // Train first: q167 refreshes the merge-table memo, and the
+    // serving read must return exactly what it trained (the
+    // q77/q158 train-refresh/serve-read discipline).
+    val trained = SparkEntry.queries("q167_bpe_merge_train")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val served = graft.operators.TextAnalysis.trainedMerges(spark, sf)
+      .map(m => (m._2, m._3))
+    assert(served === trained, "merge memo diverged from q167's trained table")
+    // Independent encode: explicit greedy left-to-right merge
+    // application over char lists, in training order — if the
+    // composed doubled-separator replaces ever diverged from real
+    // BPE inference, this catches it outside both engines' `replace`.
+    def mergeGreedy(s: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = s
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+        case x :: tail => out += x; rest = tail
+        case Nil => ()
+      }
+      out.toList
+    }
+    def encLen(tok: String): Long =
+      trained.foldLeft(tok.map(_.toString).toList) {
+        case (s, (a, b)) => mergeGreedy(s, a, b)
+      }.length.toLong
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val expected = toks.groupBy(_._1).map { case (src, ts) =>
+      val lens = ts.map { case (_, t) => (t.length.toLong, encLen(t)) }
+      val nTok = lens.length.toLong
+      val nChars = lens.map(_._1).sum
+      val nSyms = lens.map(_._2).sum
+      (src, (nTok, nChars, nSyms, lens.map(_._2).max,
+        r6(nSyms.toDouble / nTok.toDouble), r6(nChars.toDouble / nSyms.toDouble)))
+    }
+    val got = SparkEntry.queries("q169_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet === expected.keySet, "source universes differ")
+    expected.foreach { case (src, e) =>
+      assert(got(src) === e, s"q169 stats for $src diverged from the replay")
+    }
+    // Merging never splits: every token encodes to at most its
+    // character count and at least one symbol.
+    got.values.foreach { case (nTok, nChars, nSyms, _, _, _) =>
+      assert(nSyms <= nChars && nSyms >= nTok,
+        s"symbol totals outside [n_tokens, n_chars]: $nTok $nChars $nSyms")
+    }
+    graft.functions.CacheScope.drain()
+  }
+
   test("q129 Heaps fit and hapax stats match a local reference; beta is the cross-source slope") {
     // The Heaps fit shares the Ols formula strings with its oracle, so
     // only a structurally different local reference can catch a wrong
@@ -2133,6 +2264,65 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rows.map { case (t, v) => t -> (v._1, v._2) } === k,
       "q155 grouped a different QID universe than q153")
+  }
+
+  test("q170 t-closeness audit matches an exact local EMD replay and accounts for every row") {
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val lambda = graft.operators.Events.TclosenessLambda
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / dayNs,
+        math.floor(r.getDouble(2) / 50.0).toLong))
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val exp = evs.groupBy(_._1).map { case (t, rs) =>
+      val n = rs.length.toLong
+      val globalBands = rs.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+      val bandOrder = globalBands.keys.toSeq.sorted
+      val m = bandOrder.length.toLong
+      val perGroup = rs.groupBy(_._2).map { case (_, gs) =>
+        val nG = gs.length.toLong
+        val c = gs.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+        // ordered EMD: prefix sums of the exact cross-multiplied
+        // counts, |·| summed, normalized by (m-1)·n_g·N — the same
+        // integer-then-double arithmetic as the operator.
+        var cum = 0L; var num = 0L
+        bandOrder.foreach { b =>
+          cum += c.getOrElse(b, 0L) * n - globalBands(b) * nG
+          num += math.abs(cum)
+        }
+        val emd = if (m > 1) num.toDouble / ((m - 1).toDouble * nG * n) else 0.0
+        (nG, emd, emd * math.sqrt(nG.toDouble))
+      }.toSeq
+      val exposed = perGroup.filter(_._3 > lambda)
+      t -> (perGroup.length.toLong, perGroup.map(_._1).sum, m,
+        r6(perGroup.map(_._2).max), r6(perGroup.map(_._3).max),
+        exposed.length.toLong, exposed.map(_._1).sum)
+    }
+    val rows = SparkEntry.queries("q170_tcloseness_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7), r.getDouble(8)))
+      .toMap
+    assert(rows.keySet === exp.keySet, "event_type sets diverge")
+    exp.foreach { case (t, (nG, nR, m, maxEmd, maxZ, nExp, rowsExp)) =>
+      val (gG, gR, gM, gEmd, gZ, gExp, gRows, share) = rows(t)
+      assert((gG, gR, gM, gExp, gRows) === ((nG, nR, m, nExp, rowsExp)),
+        s"$t integer stats")
+      assert(math.abs(gEmd - maxEmd) < 2e-6, s"$t max_emd $gEmd vs $maxEmd")
+      assert(math.abs(gZ - maxZ) < 2e-6, s"$t max_z $gZ vs $maxZ")
+      assert(math.abs(share - rowsExp.toDouble / nR) < 2e-6, s"$t exposed_share")
+    }
+    // Every event is audited exactly once, and the QID universe is
+    // q153's coarsened by dropping value_band: row totals per type
+    // must agree with the k-anonymity audit's.
+    val k = SparkEntry.queries("q153_kanonymity_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows.map { case (t, v) => t -> v._2 } === k,
+      "q170 audited a different row universe than q153")
+    // Non-degenerate on the fixture: at least one exposed and one
+    // safe group must exist somewhere (the regime the audit measures).
+    assert(rows.values.map(_._6).sum > 0, "no group flagged anywhere")
+    assert(rows.values.exists(v => v._6 < v._1), "every group flagged")
+    graft.functions.CacheScope.drain()
   }
 
   test("q156 grid skyline equals the naive quadratic dominance scan (local replay)") {

@@ -632,6 +632,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q153 should be join-free:\n$p")
   }
 
+  test("q170: one corpus scan feeds the t-closeness audit; all joins are on the domain-bounded aggregate") {
+    // The only corpus-sized operation is the first (type, day, band)
+    // aggregate (map-side combined); the grid joins and the EMD
+    // window run on that cached domain-bounded relation — a second
+    // parquet scan or a shuffle keyed on raw event columns would
+    // mean corpus-sized work leaked past the aggregate.
+    val p = plan("q170_tcloseness_audit")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"more than one parquet scan:\n$p")
+    assert(p.contains("partial_count"), s"first aggregate not map-side combined:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"grid consumers do not read the cached aggregate:\n$p")
+  }
+
+  test("q169: the BPE encode is one scan, join-free, with both aggregates map-side combined") {
+    // The trained merge table rides into the plan as literals (a
+    // driver memo, O(k) rows) and the k rewrites compose into one
+    // projection over the (source, tok) aggregate — a join against a
+    // merge-table relation or a second corpus scan would mean the
+    // model is being treated as data.
+    val p = plan("q169_bpe_encode")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"more than one scan:\n$p")
+    assert(!p.contains("Join"), s"q169 should be join-free:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"aggregates not map-side combined:\n$p")
+  }
+
   test("q154: prefix join keyed on sig; verification joins are NOT hint-forced broadcasts") {
     // The r7 verdict's one scale flag: q154 used to broadcast(cand)
     // unconditionally, but the candidate-pair table is

@@ -652,6 +652,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming t-closeness monitor (q170 twin): final emissions ≡ batch audit rows after a multi-batch replay") {
+    import graft.streaming.{Ev, StatefulOps}
+    import graft.streaming.StatefulOps.evEnc
+    val multiDir = writeEventsJson(4, "graft_tclsstream")
+    val stream = EventStreams.readEventStream(spark, multiDir, maxFilesPerTrigger = 1).as[Ev]
+    val q = EventStreams.runToMemory(
+      StatefulOps.tclosenessMonitor(stream).toDF(), "tcls_out", outputMode = "update")
+    try {
+      assert(q.recentProgress.length >= 4, "cross-batch state path not exercised")
+      val rows = spark.table("tcls_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7), r.getDouble(8)))
+      // Final emission per type = the one with the full row count.
+      val finals = rows.groupBy(_._1).map { case (t, rs) => t -> rs.maxBy(_._3) }
+      val want = SparkEntry.queries("q170_tcloseness_audit")(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+          r.getLong(7), r.getDouble(8)))).toMap
+      assert(finals.keySet === want.keySet, "event_type coverage diverges")
+      finals.foreach { case (t, got) =>
+        assert(got === want(t), s"type $t: stream $got vs batch ${want(t)}")
+      }
+      assert(rows.length > finals.size, "no intermediate emissions seen")
+      graft.functions.CacheScope.drain()
+    } finally q.stop()
+  }
+
   test("streaming skew monitor (q157 twin): final emissions ≡ exact per-type top-10 after a multi-batch replay") {
     import graft.streaming.{Ev, StatefulOps}
     import graft.streaming.StatefulOps.evEnc
