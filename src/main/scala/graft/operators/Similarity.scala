@@ -1514,93 +1514,153 @@ object Similarity {
     * evaluations but its SHUFFLE is still d² rows — corpus-size-
     * independent reduction state.
     *
-    * Determinism: second moments and means are exact DECIMAL sums;
-    * cov derives from them through one shared double formula. Every
-    * matvec accumulates cast(cov·v_j AS DECIMAL) — decimal addition
-    * is associative, so Spark's partial aggregation and DuckDB's
-    * sequential scan produce the SAME sums; between rounds v
+    * Determinism: the pair moments are fixed-point longs (the
+    * floorRound discipline as quantization) summed exactly; the
+    * means are exact DECIMAL sums; cov derives from them through one
+    * shared double formula; every matvec term goes through the
+    * engines' double→decimal cast semantics and exact decimal adds
+    * (associative — any order gives the same sum); between rounds v
     * rescales by max|m| (an exact decimal max — scaling choice is
     * free for power iteration), so no sqrt enters the recurrence;
-    * trace, Frobenius mass, and the Rayleigh quotient are again
-    * in-engine decimal sums divided through identical double
-    * expressions. The oracle unrolls the k rounds as chained
-    * MATERIALIZED CTEs (the q167 tower pattern). */
+    * trace, Frobenius mass, and the Rayleigh quotient are the same
+    * exact sums divided through identical double expressions. The
+    * oracle runs everything in SQL — the covariance CTEs plus the k
+    * matvec rounds unrolled as chained MATERIALIZED CTEs (the q167
+    * tower pattern); the Spark side runs the corpus-sized moment
+    * pass in Spark and the O(d²) algebra on the driver with verbatim
+    * engine arithmetic ([[dec18]]). */
+  /** The engines' double→DECIMAL(·,18) cast, replicated for the q171
+    * driver algebra: Spark's `Decimal(d)` goes through
+    * `BigDecimal.valueOf` (the double's shortest decimal form) and
+    * `changePrecision` rounds HALF_UP at the target scale — so
+    * driver sums of these are bit-equal to engine sums of
+    * `CAST(x AS DECIMAL(38,18))` terms (the exactSum pattern's cast,
+    * proven cross-engine across the q159/q88/q150 family). */
+  private def dec18(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(18, java.math.RoundingMode.HALF_UP)
+
   def q171(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val n = vecs(spark, sfDir)
-    // Upper-triangle second-moment grid: one corpus pass, exact sums.
-    val pairs = n.select(explode(expr(
-      s"""flatten(transform(sequence(1, $Dim), i ->
-         |  transform(sequence(i, $Dim), j ->
-         |    struct(i AS i, j AS j,
-         |      element_at(v, i) * element_at(v, j) AS xx))))""".stripMargin))
-      .as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xx").as("xx"))
-    val sp = pairs.groupBy("i", "j")
-      .agg(count(lit(1)).as("nv"),
-        sum(col("xx").cast("decimal(28,18)")).as("sxx"))
+    // Upper-triangle second-moment grid: ONE corpus pass through a
+    // typed mapPartitions that hand-combines map-side into d(d+1)/2
+    // fixed-point longs per partition — floor(x·10¹⁴ + 0.5) is the
+    // floorRound discipline as fixed-point quantization: exact long
+    // adds locally, exact DECIMAL(38,0) adds across partitions, and
+    // the oracle quantizes each element with the IDENTICAL double
+    // expression before its own exact sum. (First cut used a plain
+    // per-element decimal-cast aggregate: Spark's decimal sum leaves
+    // the vectorized path and cost 6 s of a 13 s cell at sf0.1 —
+    // measured vs 1.0 s for the same aggregate over doubles; the
+    // fixed-point combine does the same class of exact arithmetic in
+    // ~0.2 s. Per-partition overflow headroom: |Σ| ≤ rows/partition ×
+    // max|xᵢxⱼ| × 10¹⁴, safe through the maxPartitionBytes regime;
+    // a wider-valued corpus lowers the quantization scale.)
+    val sp = n.select(col("v")).as[Seq[Double]]
+      .mapPartitions { it =>
+        val nPairs = Dim * (Dim + 1) / 2
+        val cnt = new Array[Long](nPairs)
+        val acc = new Array[Long](nPairs)
+        it.foreach { vec =>
+          val a = vec.toArray
+          var idx = 0; var i = 0
+          while (i < Dim) {
+            var j = i
+            while (j < Dim) {
+              acc(idx) += math.floor(a(i) * a(j) * 1e14 + 0.5).toLong
+              cnt(idx) += 1
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+        var idx = 0; var i = 0
+        while (i < Dim) {
+          var j = i
+          while (j < Dim) {
+            if (cnt(idx) > 0) out += ((i + 1, j + 1, cnt(idx), acc(idx)))
+            idx += 1; j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("i", "j", "nvp", "sxxp")
+      .groupBy("i", "j")
+      .agg(sum("nvp").as("nv"),
+        sum(col("sxxp").cast("decimal(38,0)")).as("sxx14"))
     val means = n.select(posexplode(col("v")).as(Seq("pos0", "x")))
       .select((col("pos0") + 1).as("d"), col("x"))
       .groupBy("d").agg(sum(col("x").cast("decimal(28,18)")).as("s"))
-    // cov(i,j) through the q159 variance formula, mirrored to the
-    // full grid (the matvec wants both triangles); O(d²) rows, cached
-    // for the k matvec rounds + the Rayleigh pass.
-    val upper = sp
-      .join(means.select(col("d").as("i"), col("s").as("si")), "i")
-      .join(means.select(col("d").as("j"), col("s").as("sj")), "j")
-      .select(col("i"), col("j"), col("nv"),
-        ((col("sxx").cast("double") -
-          col("si").cast("double") * col("sj").cast("double") / col("nv")) /
-          col("nv")).as("cov"))
-    val cov = upper.union(
-      upper.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("nv"), col("cov")))
-      .scopedCache
-    cov.count()
-    // Power iteration: v₀ = 1…1; each round one exact-decimal matvec
-    // over the cached grid, rescaled by max|m| (exact decimal max).
-    def vMap(v: Array[Double]): org.apache.spark.sql.Column =
-      map_from_arrays(typedlit((1 to Dim).toList), typedlit(v.toSeq))
-    var v: Array[Double] = Array.fill(Dim)(1.0)
+    // Collect the O(d²) moments and run the algebra on the driver —
+    // bounded state exactly like q77's centroid collects (4096 cells
+    // regardless of corpus size), and it deletes the ~10 tiny Spark
+    // jobs the first cut spent ~0.5 s of stage overhead each on. The
+    // driver replicates engine arithmetic verbatim: [[dec18]] IS the
+    // engines' double→decimal cast, BigDecimal adds are exact like
+    // theirs, doubleValue is their decimal→double cast, and every
+    // double expression tree below mirrors the oracle's character for
+    // character.
+    val spRows = sp.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getDecimal(3)))).toMap
+    val sD = means.collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val nv = spRows.head._2._1
+    val nvD = nv.toDouble
+    val cov = Array.tabulate(Dim, Dim) { (i0, j0) =>
+      val key = if (i0 <= j0) (i0 + 1, j0 + 1) else (j0 + 1, i0 + 1)
+      val sxxD = spRows(key)._2.doubleValue()
+      (sxxD / 1e14 - sD(i0 + 1) * sD(j0 + 1) / nvD) / nvD
+    }
+    // Power iteration: v₀ = 1…1; each round an exact-decimal matvec,
+    // rescaled by max|m| (an exact decimal max — scaling choice is
+    // free for power iteration, and no sqrt enters the recurrence).
+    var v = Array.fill(Dim)(1.0)
     for (_ <- 1 to PcaIters) {
-      val m = cov
-        .groupBy("i")
-        .agg(sum((col("cov") * element_at(vMap(v), col("j")))
-          .cast("decimal(38,18)")).as("m"))
-        .orderBy("i").collect()
-        .map(r => r.getDecimal(1))
-      val mmax = m.map(_.abs).max // exact decimal max
+      val m = Array.tabulate(Dim) { i =>
+        var s = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < Dim) { s = s.add(dec18(cov(i)(j) * v(j))); j += 1 }
+        s
+      }
+      val mmax = m.map(_.abs).max
       val mmaxD = mmax.doubleValue()
       v = m.map(_.doubleValue() / mmaxD)
     }
-    val vm = vMap(v)
     // Rayleigh numerator vᵀΣv and Frobenius mass over the full grid,
-    // vᵀv over a d-row relation, trace + n over the diagonal — every
-    // reduction an exact decimal sum.
-    val ray = cov.agg(
-      sum((col("cov") * element_at(vm, col("i")) * element_at(vm, col("j")))
-        .cast("decimal(38,18)")).cast("double").as("vtsv"),
-      sum((col("cov") * col("cov")).cast("decimal(38,18)"))
-        .cast("double").as("frob2"))
-    val vv = spark.range(1, Dim + 1)
-      .select((element_at(vm, col("id").cast("int")) *
-        element_at(vm, col("id").cast("int")))
-        .cast("decimal(38,18)").as("v2"))
-      .agg(sum("v2").cast("double").as("vtv"))
-    val tr = cov.filter(col("i") === col("j"))
-      .agg(max("nv").as("n_vecs"),
-        sum(col("cov").cast("decimal(28,18)")).cast("double").as("trace"))
-    ray.crossJoin(vv).crossJoin(tr)
-      .select(lit(Dim.toLong).as("dims"), col("n_vecs"),
-        floorRound(col("trace"), 9).as("total_variance"),
-        floorRound(col("frob2"), 9).as("spectral_mass"),
-        floorRound(col("trace") * col("trace") / col("frob2"), 6)
-          .as("participation_ratio"),
-        floorRound(greatest(col("frob2") / col("trace"),
-          col("vtsv") / col("vtv")), 9).as("lambda1_lb"),
-        floorRound(sqrt(col("frob2")), 9).as("lambda1_ub"),
-        floorRound(col("vtsv") / col("vtv"), 9).as("rayleigh_k"),
-        floorRound((col("vtsv") / col("vtv")) / col("trace"), 6)
-          .as("top_share_lb"))
+    // vᵀv and the trace over the d cells — every reduction an exact
+    // decimal sum of engine-cast terms.
+    var vtsvB = java.math.BigDecimal.ZERO
+    var frobB = java.math.BigDecimal.ZERO
+    var traceB = java.math.BigDecimal.ZERO
+    var vtvB = java.math.BigDecimal.ZERO
+    for (i <- 0 until Dim; j <- 0 until Dim) {
+      vtsvB = vtsvB.add(dec18(cov(i)(j) * v(i) * v(j)))
+      frobB = frobB.add(dec18(cov(i)(j) * cov(i)(j)))
+    }
+    for (i <- 0 until Dim) {
+      traceB = traceB.add(dec18(cov(i)(i)))
+      vtvB = vtvB.add(dec18(v(i) * v(i)))
+    }
+    val vtsv = vtsvB.doubleValue(); val frob2 = frobB.doubleValue()
+    val trace = traceB.doubleValue(); val vtv = vtvB.doubleValue()
+    // floorRound on the driver: the identical floor(x·10ᵏ + 0.5)/10ᵏ.
+    def r(x: Double, k: Int): Double = {
+      val p = math.pow(10, k).toLong.toDouble
+      math.floor(x * p + 0.5) / p
+    }
+    Seq((Dim.toLong, nv,
+      r(trace, 9), r(frob2, 9),
+      r(trace * trace / frob2, 6),
+      r(math.max(frob2 / trace, vtsv / vtv), 9),
+      r(math.sqrt(frob2), 9),
+      r(vtsv / vtv, 9),
+      r(vtsv / vtv / trace, 6)))
+      .toDF("dims", "n_vecs", "total_variance", "spectral_mass",
+        "participation_ratio", "lambda1_lb", "lambda1_ub",
+        "rayleigh_k", "top_share_lb")
   }
 
   val q171Sql: String = {
@@ -1625,7 +1685,7 @@ object Similarity {
        |    FROM n) t),
        |sp AS (
        |  SELECT i, j, count(*) AS nv,
-       |    sum(CAST(xx AS DECIMAL(28,18))) AS sxx
+       |    sum(CAST(floor(xx * 100000000000000.0 + 0.5) AS BIGINT)) AS sxx14
        |  FROM pairs GROUP BY i, j),
        |means AS (
        |  SELECT d, sum(CAST(x AS DECIMAL(28,18))) AS s FROM (
@@ -1634,8 +1694,8 @@ object Similarity {
        |  GROUP BY d),
        |upper_cov AS (
        |  SELECT sp.i, sp.j, nv,
-       |    (CAST(sxx AS DOUBLE) - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE)
-       |      / nv) / nv AS cov
+       |    (CAST(sxx14 AS DOUBLE) / 100000000000000.0
+       |      - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE) / nv) / nv AS cov
        |  FROM sp
        |  JOIN means mi ON sp.i = mi.d
        |  JOIN means mj ON sp.j = mj.d),
