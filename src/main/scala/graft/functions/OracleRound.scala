@@ -40,6 +40,13 @@ object OracleRound {
   def floorRound(c: Column, k: Int): Column =
     floor(c * pow10(k) + 0.5) / pow10(k)
 
+  /** The same rounding on a plain double, for driver-side algebra
+    * that must match [[floorRoundSql]] output (q171's collected-
+    * moment path). Uses the SAME exact [[pow10]] table — never
+    * libm pow, per the header note. */
+  def floorRoundDouble(x: Double, k: Int): Double =
+    math.floor(x * pow10(k) + 0.5) / pow10(k)
+
   /** Order-independent sum of a double column via DECIMAL(18,6). */
   def exactSum(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")

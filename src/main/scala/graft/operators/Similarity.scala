@@ -1646,11 +1646,11 @@ object Similarity {
     }
     val vtsv = vtsvB.doubleValue(); val frob2 = frobB.doubleValue()
     val trace = traceB.doubleValue(); val vtv = vtvB.doubleValue()
-    // floorRound on the driver: the identical floor(x·10ᵏ + 0.5)/10ᵏ.
-    def r(x: Double, k: Int): Double = {
-      val p = math.pow(10, k).toLong.toDouble
-      math.floor(x * p + 0.5) / p
-    }
+    // floorRound on the driver — OracleRound's own exact-pow10 table
+    // (a local math.pow rebuild is exactly the 1-ulp desync its
+    // header warns against).
+    def r(x: Double, k: Int): Double =
+      graft.functions.OracleRound.floorRoundDouble(x, k)
     Seq((Dim.toLong, nv,
       r(trace, 9), r(frob2, 9),
       r(trace * trace / frob2, 6),

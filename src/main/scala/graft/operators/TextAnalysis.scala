@@ -1304,11 +1304,20 @@ object TextAnalysis {
     // aggregate row, e_r = merge r applied — the same bpeMergeSql
     // rewrite the tower's v_r uses, so oracle training and oracle
     // encoding share one merge definition, exactly like the Spark
-    // side shares bpeMergeCol.
+    // side shares bpeMergeCol. The scalar subqueries are COALESCEd to
+    // '': when training exhausts the pair space before round k (the
+    // Spark loop's top.isEmpty break), m_r is EMPTY and a bare
+    // subquery would return NULL — replace(syms, NULL, …) then
+    // NULL-poisons every later rung while the Spark side simply
+    // applies fewer merges. With a = b = '' the search pattern is
+    // four consecutive spaces, which the doubled-separator encoding
+    // can never contain (symbols are non-empty), so an exhausted
+    // round is an exact no-op on both engines.
     val ladder = (1 to BpeMergeRounds).map { r =>
       s"""e$r AS MATERIALIZED (
          |  SELECT source, tok, n, ${bpeMergeSql("syms",
-             s"(SELECT a FROM m$r)", s"(SELECT b FROM m$r)")} AS syms
+             s"coalesce((SELECT a FROM m$r), '')",
+             s"coalesce((SELECT b FROM m$r), '')")} AS syms
          |  FROM e${r - 1})""".stripMargin
     }.mkString(",\n")
     s"""WITH $bpeTowerSql,

@@ -308,10 +308,14 @@ object StatefulOps {
           val perGroup = parsed.groupBy(_._1).map { case (_, gsRows) =>
             val nG = gsRows.map(_._3).sum
             val c = gsRows.map(g => g._2 -> g._3).toMap
-            var cum = 0L; var num = 0L
+            // BigInt, not Long: the batch operator casts these
+            // products to DECIMAL precisely because c·N reaches N² —
+            // a Long here would wrap silently once a type passes
+            // ~3·10⁹ rows on a monitor meant to run forever.
+            var cum = BigInt(0); var num = BigInt(0)
             bandOrder.foreach { b =>
-              cum += c.getOrElse(b, 0L) * n - globalBands(b) * nG
-              num += math.abs(cum)
+              cum += BigInt(c.getOrElse(b, 0L)) * n - BigInt(globalBands(b)) * nG
+              num += cum.abs
             }
             val emd = if (m > 1) num.toDouble / ((m - 1).toDouble * nG * n) else 0.0
             (nG, emd, emd * math.sqrt(nG.toDouble))

@@ -1042,6 +1042,45 @@ class OperatorSpec extends AnyFunSuite {
     graft.functions.CacheScope.drain()
   }
 
+  test("q167/q169 survive merge-space exhaustion: fewer merges than rounds, encode still exact") {
+    // The q169 oracle regression class: when training exhausts the
+    // pair space before BpeMergeRounds (the loop's top.isEmpty
+    // break), the Spark side applies fewer merges and the oracle's
+    // exhausted rungs must be exact no-ops (coalesced '' patterns),
+    // not NULL-poisoned. Corpus: the only multi-char token is "ab" —
+    // round 1 merges (a,b), round 2 has no pair anywhere.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_exhaust").toString
+    val texts = Seq("ab x", "ab ab y", "x y ab", "ab", "x")
+    import spark.implicits._
+    (1 to 20).map { i =>
+      val t = texts((i - 1) % texts.length)
+      (i.toLong, t, "en", s"s${i % 2}", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val merges = SparkEntry.queries("q167_bpe_merge_train")(spark, dir).collect()
+      assert(merges.length === 1, s"expected exactly one merge, got ${merges.length}")
+      assert(merges.head.getString(1) === "a" && merges.head.getString(2) === "b")
+      val enc = SparkEntry.queries("q169_bpe_encode")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toMap
+      // Every token ("ab" merged, "x"/"y" single-char) encodes to
+      // exactly ONE symbol, so n_symbols = n_tokens and the longest
+      // token is 1 symbol.
+      assert(enc.nonEmpty)
+      enc.foreach { case (src, (nTok, nChars, nSyms, maxSyms)) =>
+        assert(nSyms === nTok, s"$src: n_symbols $nSyms != n_tokens $nTok")
+        assert(maxSyms === 1L, s"$src: max_token_syms $maxSyms")
+        assert(nChars > nTok, s"$src: chars should exceed tokens")
+      }
+      graft.functions.CacheScope.drain()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("q169 BPE encode matches an independent greedy-merge replay; memo serves q167's table") {
     import org.apache.spark.sql.functions._
     // Train first: q167 refreshes the merge-table memo, and the
