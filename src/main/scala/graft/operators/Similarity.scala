@@ -1536,7 +1536,7 @@ object Similarity {
     * driver sums of these are bit-equal to engine sums of
     * `CAST(x AS DECIMAL(38,18))` terms (the exactSum pattern's cast,
     * proven cross-engine across the q159/q88/q150 family). */
-  private def dec18(x: Double): java.math.BigDecimal =
+  private[graft] def dec18(x: Double): java.math.BigDecimal =
     java.math.BigDecimal.valueOf(x).setScale(18, java.math.RoundingMode.HALF_UP)
 
   def q171(spark: SparkSession, sfDir: String): DataFrame = {

@@ -105,6 +105,58 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BPE doubled-separator replace ≡ explicit greedy left-to-right merge on arbitrary symbol sequences") {
+    // The q167/q169 merge trick's core claim, pinned beyond the real-
+    // token replay specs: for ANY space-free symbol sequence and ANY
+    // merge pair, one doubled-separator replace pass (Java's
+    // String.replace has the engines' leftmost-non-overlapping,
+    // continue-after-replacement semantics) equals the textbook
+    // greedy merge. The generator leans on adversarial shapes: self-
+    // pairs over runs ("a a a"), adjacent overlapping matches
+    // ("a b a b"), and symbols that are concatenations of others
+    // ("ab", "aa" — substring-collision bait for the pattern).
+    val alphabet = Seq("a", "b", "c", "ab", "aa", "ba", "abb")
+    val gen = for {
+      syms <- Gen.nonEmptyListOf(Gen.oneOf(alphabet))
+      a <- Gen.oneOf(alphabet)
+      b <- Gen.oneOf(alphabet)
+    } yield (syms, a, b)
+    def mergeGreedy(s: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = s
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+        case x :: tail => out += x; rest = tail
+        case Nil => ()
+      }
+      out.toList
+    }
+    def mergeReplace(s: List[String], a: String, b: String): List[String] = {
+      val doubled = "  " + s.mkString(" ").replace(" ", "  ") + "  "
+      val merged = doubled.replace(" " + a + "  " + b + " ", " " + a + b + " ")
+      merged.replace("  ", " ").trim.split(" ").toList
+    }
+    check(Prop.forAll(gen) { case (syms, a, b) =>
+      mergeReplace(syms, a, b) == mergeGreedy(syms, a, b)
+    }, trials = 500)
+  }
+
+  test("Similarity.dec18 ≡ Spark's double→DECIMAL(38,18) cast for arbitrary doubles") {
+    // q171's driver algebra stands on dec18 replicating the engine
+    // cast exactly; pin it against Spark's own Decimal implementation
+    // rather than trusting the scaladoc's account of it.
+    val gen = Gen.oneOf(
+      Gen.choose(-1e6, 1e6),
+      Gen.choose(-1.0, 1.0),
+      Gen.choose(-1e-10, 1e-10),
+      Gen.oneOf(0.0, -0.0, 0.1, 1.0 / 3.0, math.Pi, 1e-18, -1e-18))
+    check(Prop.forAll(gen) { x =>
+      val d = org.apache.spark.sql.types.Decimal(x)
+      val ok = d.changePrecision(38, 18)
+      ok && d.toJavaBigDecimal.compareTo(graft.operators.Similarity.dec18(x)) == 0
+    }, trials = 500)
+  }
+
   test("StubCodec: decode is a pure function of the payload bytes") {
     import graft.operators.{MediaBlob, Multimodal}
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
