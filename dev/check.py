@@ -12,10 +12,11 @@ import json, math, subprocess, sys, os, glob
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-FLAGS = set(a for a in sys.argv[3:] if a.startswith("--"))
-ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+FLAGS = set(a for a in sys.argv[1:] if a.startswith("--"))
+_POS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _POS[0] if len(_POS) > 0 else "/root/testdata/sf0.001"
+OUT_DIR = _POS[1] if len(_POS) > 1 else "/tmp/graft_verify"
+ONLY = _POS[2:]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -36,7 +37,7 @@ def run_verify():
            ["-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
             "-Xmx8g", "-cp",
             "target/scala-2.13/classes:/opt/spark/jars/*",
-            "graft.Verify", SF_DIR, OUT_DIR])
+            "graft.Verify", SF_DIR, OUT_DIR] + ONLY)
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line:
@@ -77,7 +78,85 @@ def type_mismatches(gcols, gtypes, gi, ecols, etypes, ei):
     return out
 
 
+def dec18_probe():
+    """Property-test DuckDB's CAST(x AS DECIMAL(38,18)) against the
+    exact driver/Spark recipe BigDecimal.valueOf(x).setScale(18,
+    HALF_UP) over adversarial doubles (r10 advice: q171's
+    driver-vs-oracle equality leans on the two casts agreeing, which
+    was covered only empirically by sf-level hash matches).
+
+    MEASURED contract (not exact equality): DuckDB computes the cast
+    as round(x * 1e18) in DOUBLE arithmetic — e.g. 1.1 casts to
+    1.100000000000000128 (= the double 1.1*1e18), not the recipe's
+    1.100000000000000089 — and the recipe itself quantizes the
+    SHORTEST-REPR decimal (BigDecimal.valueOf = Double.toString), not
+    the double's exact binary expansion. Each side is within half an
+    ulp of the true value (of x, resp. of x*1e18), so the casts agree
+    within ~2^-52 relative. The probe asserts exactly that bound:
+    |duck - exact| <= ulp(|x|)/2*1e18 + ulp(|x|*1e18)/2 + 1 quanta of
+    1e-18. q171 absorbs the divergence because every emitted value is
+    floorRounded at <= 9 digits, 7+ orders coarser than the
+    ~2e-16-relative disagreement; exact halfway-tie doubles
+    (x = odd/2^19 scalings, where HALF_UP and any binary rounding may
+    legitimately split) are included."""
+    import math as m
+    import random
+    import struct
+    from decimal import Decimal
+    rng = random.Random(18)
+    cases = []
+    # Tie family: x*1e18 is an exact half-integer (x = odd/2^19 * 10^k)
+    for k in range(-6, 7):
+        for odd in (1, 3, 5, 7, 9, 11):
+            cases.append(odd / 2 ** 19 * 10.0 ** k)
+    # Random doubles across the magnitudes q171's algebra produces
+    for _ in range(4000):
+        mag = rng.uniform(-20, 6)
+        cases.append(rng.uniform(-1, 1) * 10.0 ** mag)
+    cases += [0.0, -0.0, 1.1, -1.1, 1/3, m.pi, 1e-18, -1e-18, 5e-19,
+              1e6 - 1e-10, -(1e6 - 1e-10)]
+    bits = "\n".join(format(struct.unpack("<Q", struct.pack("<d", c))[0],
+                            "016x") for c in cases)
+    r = subprocess.run(
+        ["java", "-cp",
+         "target/scala-2.13/test-classes:target/scala-2.13/classes:"
+         "/opt/spark/jars/*", "graft.Dec18Probe"],
+        cwd="/root/repo", input=bits, capture_output=True, text=True)
+    if r.returncode != 0:
+        print("probe JVM failed (run `sbt Test/compile` first?)")
+        print(r.stderr[-2000:])
+        sys.exit(1)
+    exact = [Decimal(line) for line in r.stdout.split()]
+    assert len(exact) == len(cases), (len(exact), len(cases))
+    con = duckdb.connect()
+    worst = (Decimal(0), None)
+    n_exact = n_bounded = 0
+    for c, e in zip(cases, exact):
+        duck = con.execute("SELECT CAST(? AS DECIMAL(38,18))", [c]).fetchone()[0]
+        diff_quanta = abs((duck - e) * Decimal(10) ** 18)
+        tol = (Decimal(m.ulp(abs(c))) / 2 * Decimal(10) ** 18 +
+               Decimal(m.ulp(abs(c) * 1e18)) / 2 + 1)
+        if diff_quanta == 0:
+            n_exact += 1
+        elif diff_quanta <= tol:
+            n_bounded += 1
+        else:
+            print(f"FAIL dec18-probe x={c!r}: duck={duck} exact={e} "
+                  f"diff={diff_quanta} quanta > tol={tol}")
+            sys.exit(1)
+        rel = diff_quanta / Decimal(max(abs(c), 1e-300)) / Decimal(10) ** 18
+        if rel > worst[0]:
+            worst = (rel, c)
+    print(f"dec18-probe PASS: {len(cases)} cases, {n_exact} exact, "
+          f"{n_bounded} within the double-scaled-cast bound; "
+          f"worst relative divergence {float(worst[0]):.3e} at x={worst[1]!r} "
+          f"(q171 outputs are floorRounded at <= 9 digits, >= 7 orders coarser)")
+    sys.exit(0)
+
+
 def main():
+    if "--dec18-probe" in FLAGS:
+        dec18_probe()
     if "--skip-verify" not in FLAGS:
         run_verify()
     con = duckdb.connect()

@@ -1635,7 +1635,10 @@ object Dedup {
     * t = 0.8 each doc indexes only ~20% of its tokens, a ~25×
     * smaller pair space than the full inverted expansion; the
     * length filter 4·max(n_a,n_b) ≤ 5·min(n_a,n_b) (J ≥ t forces
-    * size ratio ≥ t) prunes candidates BEFORE the distinct. The
+    * size ratio ≥ t) prunes matches in the join itself, and the
+    * POSITIONAL filter (see [[q154On]]) then drops every pair whose
+    * shared-prefix positions already cap |A∩B| below the membership
+    * floor — measured 43k → 12.5k verified candidates at sf0.1. The
     * pruning is threshold-AWARE — tighter as t rises — where q23's
     * df cap is threshold-blind; this is why t = 0.8 is the regime
     * the scheme is built for (a t = 0.5 variant was measured at ~9×
@@ -1708,7 +1711,9 @@ object Dedup {
     }
 
   /** Prefix index over a universe relation: r ≤ n − ⌈0.8·n⌉ + 1,
-    * carrying n for the candidate length filter. */
+    * carrying n for the candidate length filter and the token's
+    * global-order position r for the positional filter (both PPJoin
+    * prunes read them off the candidate row). */
   private def ssjoinPrefixOn(full: DataFrame): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "sig")
@@ -1718,7 +1723,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))
         .cast("long"))
       .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-      .select(col("doc_id"), col("sig"), col("n"))
+      .select(col("doc_id"), col("sig"), col("n"), col("r"))
   }
 
   /** Family-lifetime memo of the prefix index — built FROM the
@@ -1774,16 +1779,41 @@ object Dedup {
   private def q154On(docSigs: DataFrame, prefix: DataFrame): DataFrame = {
     import graft.functions.OracleRound
     // Candidates carry both doc sizes (functionally dependent on the
-    // ids, so the distinct is unaffected) — the verification leg
-    // needs them and re-deriving via a sizes aggregate + two joins
-    // would recompute numbers every candidate row already has.
+    // ids, so the per-pair aggregate is unaffected) — the
+    // verification leg needs them and re-deriving via a sizes
+    // aggregate + two joins would recompute numbers every candidate
+    // row already has.
+    //
+    // POSITIONAL filter (PPJoin's second prune, r10 verdict item 4 —
+    // the length filter alone left the ×10 serve ratio at ~2.2, pure
+    // candidate-space growth): over a pair's shared prefix tokens,
+    // let c = how many there are and (ra, rb) = the positions of the
+    // LAST one (max r on both sides — r follows the one global
+    // (df, sig) order, so one token is argmax of both). Every
+    // intersection token ≤ that token is in both prefixes (prefixes
+    // are downward-closed in the global order) and hence counted in
+    // c; every one after it fits in the min remaining suffix. So
+    //   |A∩B| ≤ c + min(sh_a − ra, sh_b − rb),
+    // and a pair with that bound below the membership floor
+    // α = ⌈4(sh_a+sh_b)/9⌉ (9I ≥ 4(A+B) ⟺ J ≥ 4/5) can be dropped
+    // BEFORE its arrays are fetched — lossless by the same exact
+    // integer rule verification applies, so the oracle (which prunes
+    // by length only) still matches row-for-row. The per-pair
+    // aggregate replaces the previous .distinct() — the identical
+    // shuffle, now also carrying the three pruning numbers.
     val cand = prefix.as("a").join(prefix.as("b"), Seq("sig"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         lit(4) * greatest(col("a.n"), col("b.n")) <=
           lit(5) * least(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("sh_a"), col("b.n").as("sh_b"))
-      .distinct()
+        col("a.n").as("sh_a"), col("b.n").as("sh_b"),
+        col("a.r").as("ra"), col("b.r").as("rb"))
+      .groupBy("doc_a", "doc_b", "sh_a", "sh_b")
+      .agg(count(lit(1)).as("c_pfx"), max("ra").as("ra"), max("rb").as("rb"))
+      .filter(col("c_pfx") +
+        least(col("sh_a") - col("ra"), col("sh_b") - col("rb")) >=
+        expr("(4 * (sh_a + sh_b) + 8) div 9"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
     // Verification over per-doc signature ARRAYS (PPJoin's verify
     // stage): each candidate pair fetches its two sorted-set arrays
     // and counts the intersection NARROWLY (array_intersect over two

@@ -1555,7 +1555,13 @@ object Similarity {
     // fixed-point combine does the same class of exact arithmetic in
     // ~0.2 s. Per-partition overflow headroom: |Σ| ≤ rows/partition ×
     // max|xᵢxⱼ| × 10¹⁴, safe through the maxPartitionBytes regime;
-    // a wider-valued corpus lowers the quantization scale.)
+    // a wider-valued corpus lowers the quantization scale. The
+    // headroom is ENFORCED, not just argued (r10 advice): each
+    // quantized term is bounds-checked before the Long conversion
+    // and accumulated with Math.addExact, so a corpus wide enough to
+    // wrap fails the job loudly instead of silently diverging from
+    // the oracle's exact sum at exactly the scales the oracle never
+    // runs at.)
     val sp = n.select(col("v")).as[Seq[Double]]
       .mapPartitions { it =>
         val nPairs = Dim * (Dim + 1) / 2
@@ -1567,7 +1573,11 @@ object Similarity {
           while (i < Dim) {
             var j = i
             while (j < Dim) {
-              acc(idx) += math.floor(a(i) * a(j) * 1e14 + 0.5).toLong
+              val q = math.floor(a(i) * a(j) * 1e14 + 0.5)
+              if (math.abs(q) >= 9.223372036854775e18)
+                throw new ArithmeticException(
+                  s"q171 fixed-point term overflows Long: |x_i*x_j|*1e14 = $q")
+              acc(idx) = Math.addExact(acc(idx), q.toLong)
               cnt(idx) += 1
               idx += 1; j += 1
             }
@@ -1605,6 +1615,19 @@ object Similarity {
     val spRows = sp.collect()
       .map(r => ((r.getInt(0), r.getInt(1)),
         (r.getLong(2), r.getDecimal(3)))).toMap
+    // Degenerate corpus (no valid Dim-length vectors): the oracle's
+    // ungrouped moment aggregates still emit ONE row — (dims, NULL,
+    // NULL, …), measured against the actual CTE tower on an empty
+    // table — while a bare .head here would crash the engine (r10
+    // advice flagged the crash; its "oracle returns zero rows" guess
+    // was wrong). Mirror the oracle's single NULL row.
+    if (spRows.isEmpty)
+      return Seq((Dim.toLong, Option.empty[Long], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+        .toDF("dims", "n_vecs", "total_variance", "spectral_mass",
+          "participation_ratio", "lambda1_lb", "lambda1_ub",
+          "rayleigh_k", "top_share_lb")
     val sD = means.collect()
       .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
     val nv = spRows.head._2._1

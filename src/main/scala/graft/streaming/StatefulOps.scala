@@ -280,8 +280,21 @@ object StatefulOps {
     * final emission over a fully-replayed stream is row-equal to the
     * batch audit (StreamingSpec pins it). O(domain) work per type
     * per batch on the driver-free executor path — the audit never
-    * re-touches earlier rows. */
-  def tclosenessMonitor(events: Dataset[Ev]): Dataset[TclsReport] = {
+    * re-touches earlier rows.
+    *
+    * State-growth honesty (r10 advice): the "QID domain" bound has a
+    * LINEAR-IN-DAYS axis — day buckets accrue with wall-clock time,
+    * so on a monitor that truly runs forever the per-type histogram
+    * and per-batch rebuild cost are O(observed days × bands), not
+    * constant. That matches the batch audit's own semantics (q170
+    * audits ALL history), but a deployment that wants bounded state
+    * passes `retainDays = Some(h)`: day buckets older than h days
+    * behind each type's newest observed day are EVICTED at every
+    * batch, making the report a sliding-window audit with state
+    * capped at O(h × bands) per type. Default None keeps the
+    * full-history semantics the batch-parity pin requires. */
+  def tclosenessMonitor(events: Dataset[Ev],
+      retainDays: Option[Long] = None): Dataset[TclsReport] = {
     import graft.operators.Events.{DayNs, ValueBandWidth, TclosenessLambda}
     val dayMs = DayNs / 1000000L
     events.groupByKey(_.event_type)
@@ -294,6 +307,16 @@ object StatefulOps {
             // millis ≡ the batch (ts − pmod) DIV DayNs at nanos.
             val key = s"${Math.floorDiv(e.ts.getTime, dayMs)}:${math.floor(e.value / ValueBandWidth).toLong}"
             counts = counts.updated(key, counts.getOrElse(key, 0L) + 1L)
+          }
+          retainDays.foreach { h =>
+            // Horizon keys on observed DATA time (max day in state),
+            // not processing time — replaying old data can't evict
+            // buckets a live run would have kept.
+            val maxDay = counts.keysIterator
+              .map(k => k.substring(0, k.indexOf(':')).toLong).max
+            counts = counts.filter { case (k, _) =>
+              k.substring(0, k.indexOf(':')).toLong > maxDay - h
+            }
           }
           state.update(QidHist(counts))
           val parsed = counts.toSeq.map { case (k, c) =>

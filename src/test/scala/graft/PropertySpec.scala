@@ -144,7 +144,11 @@ class PropertySpec extends AnyFunSuite {
   test("Similarity.dec18 ≡ Spark's double→DECIMAL(38,18) cast for arbitrary doubles") {
     // q171's driver algebra stands on dec18 replicating the engine
     // cast exactly; pin it against Spark's own Decimal implementation
-    // rather than trusting the scaladoc's account of it.
+    // rather than trusting the scaladoc's account of it. The DuckDB
+    // half of the contract (its cast is a double-scaled round, NOT
+    // this recipe — agreeing only within ~2^-52 relative, absorbed by
+    // the <= 9-digit output rounding) is pinned by
+    // `dev/check.py --dec18-probe` via graft.Dec18Probe.
     val gen = Gen.oneOf(
       Gen.choose(-1e6, 1e6),
       Gen.choose(-1.0, 1.0),

@@ -680,6 +680,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("t-closeness monitor retention horizon: old day buckets evict, state stays O(h × bands)") {
+    import graft.streaming.{Ev, StatefulOps}
+    import graft.streaming.StatefulOps.evEnc
+    val multiDir = writeEventsJson(4, "graft_tclsretain")
+    // Horizon 1: only each type's newest observed day may remain in
+    // state, so the FINAL report must audit exactly one day-group per
+    // type — versus the full-history run's multi-day group counts.
+    val stream = EventStreams.readEventStream(spark, multiDir, maxFilesPerTrigger = 1).as[Ev]
+    val q = EventStreams.runToMemory(
+      StatefulOps.tclosenessMonitor(stream, retainDays = Some(1L)).toDF(),
+      "tcls_retain_out", outputMode = "update")
+    try {
+      val rows = spark.table("tcls_retain_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // Last emission per type (memory sink appends in batch order).
+      val finals = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (t, rs) => t -> rs.maxBy(_._2)._1 }
+      val fullHistory = SparkEntry.queries("q170_tcloseness_audit")(
+        spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(finals.keySet === fullHistory.keySet)
+      finals.foreach { case (t, (_, nGroups, nRows)) =>
+        assert(nGroups === 1L,
+          s"type $t: horizon-1 state retained $nGroups day-groups")
+        assert(nGroups < fullHistory(t),
+          s"type $t: eviction indistinguishable from full history")
+        assert(nRows > 0L)
+      }
+      graft.functions.CacheScope.drain()
+    } finally q.stop()
+  }
+
   test("streaming skew monitor (q157 twin): final emissions ≡ exact per-type top-10 after a multi-batch replay") {
     import graft.streaming.{Ev, StatefulOps}
     import graft.streaming.StatefulOps.evEnc
