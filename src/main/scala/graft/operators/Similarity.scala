@@ -30,14 +30,45 @@ object Similarity {
     * forward reference would silently interpolate 0). */
   private[graft] val Dim = 64
 
-  /** k-means parameters: k=8 coarse cells (q30/q132's nlist) and 3
-    * Lloyd iterations — enough to move every centroid off its seed
-    * point; IVF index builds converge in single-digit iterations.
-    * Declared up here with [[Dim]]: the q30/q132 oracle strings
-    * interpolate them at val-init time (same forward-reference trap
-    * as Dim's). */
+  /** k-means parameters: [[KmeansK]] is the FLOOR cell count (and the
+    * fixed per-subspace PQ codebook size — codebook width is a
+    * bit-budget constant, never data-sized) and 3 Lloyd iterations —
+    * enough to move every centroid off its seed point; IVF index
+    * builds converge in single-digit iterations. Declared up here
+    * with [[Dim]]: the q30/q132 oracle strings interpolate them at
+    * val-init time (same forward-reference trap as Dim's). */
   private val KmeansK = 8
   private val KmeansIters = 3
+
+  /** IVF nlist as a FUNCTION of corpus size (r10 verdict item 3: a
+    * constant k=8 made per-cell pair volume — q133's Σ|cell|²/N,
+    * q163's within-cell cross-language joins — grow quadratically
+    * with the corpus; the measured q163 ×10 ratio 3.8 was exactly
+    * this constant's cost). The rule targets a constant EXPECTED
+    * CELL SIZE: nlist = clamp([[KmeansK]], 4096, ⌈N / 64⌉), so
+    * E|cell| ≈ 64 at every scale — the SemDeDup/IVF production
+    * posture (cells grow with the corpus; the paper's 50k cells at
+    * billions of rows is this same rule at ~10⁻⁵ the density). All
+    * integer arithmetic — ⌈N/64⌉ = (N + 63) div 64 — so the oracle
+    * CTEs recompute the IDENTICAL value from count(*) with no
+    * cross-engine float concern. At the fixtures: N = 500 → 8
+    * (sf0.001/sf0.01 unchanged), N = 2000 → 32 (sf0.1). The 4096 cap
+    * bounds the centroid-literal expression the narrow argmax
+    * compiles ([[centStructs]]); past it (N > 256k here, far beyond
+    * the local envelope) a production build switches the centroid
+    * side from plan literals to a broadcast relation. Lloyd training
+    * at nlist ∝ N costs O(N·nlist·d) per iteration exactly as real
+    * IVF builds do — production trains on a bounded SAMPLE of the
+    * corpus, which changes none of the serving plans here. */
+  private[graft] val IvfTargetCell = 64L
+  private[graft] def ivfNlist(n: Long): Long =
+    math.max(KmeansK.toLong, math.min(4096L, (n + IvfTargetCell - 1) / IvfTargetCell))
+
+  /** SQL twin of [[ivfNlist]] over base relation `$base` — a one-row
+    * CTE body the seed CTE reads, regenerated per instantiation so
+    * engine and oracle can never disagree on the cell count. */
+  private def ivfNlistSql(base: String): String =
+    s"SELECT greatest($KmeansK, least(4096, (count(*) + ${IvfTargetCell - 1}) // $IvfTargetCell)) AS kk FROM $base"
 
   /** Product-quantization geometry (q158): M subspaces of Dim/M
     * dimensions, each with its own [[KmeansK]]-codeword codebook
@@ -133,11 +164,11 @@ object Similarity {
     * join + window, which would shuffle 8× the corpus per iteration
     * for no reason. */
   private[graft] def assignL2(n: DataFrame, cent: Seq[(Long, Seq[Double])]): DataFrame = {
-    import graft.functions.EuclideanDistance.l2_distance
-    val best = array_min(array(cent.map { case (cId, cv) =>
-      struct(l2_distance(typedlit(cv), col("v")).as("dist"),
-        lit(cId).as("c_id"))
-    }: _*))
+    // Native loop expression, NOT k unrolled l2_distance structs: at
+    // scale-aware nlist the unrolled form's generated method crosses
+    // HotSpot's huge-method limit and runs interpreted (see
+    // [[graft.functions.CentroidScores]]); scores are bit-identical.
+    val best = array_min(graft.functions.CentroidScores.centroid_l2(cent, col("v")))
     n.withColumn("best", best)
       .select(col("vec_id"), col("v"),
         col("best.c_id").as("cluster"), col("best.dist").as("dist"))
@@ -159,8 +190,11 @@ object Similarity {
     * assignment — are bit-identical in Spark and the unrolled-CTE
     * DuckDB twin ([[kmeansCtesSql]]). */
   private def lloydTrain(n: DataFrame): Seq[(Long, Seq[Double])] = {
+    // Scale-aware cell count ([[ivfNlist]]): the count hits the
+    // caller's cache (every caller pre-persists and eagerly counts n).
+    val k = ivfNlist(n.count())
     var cent: Seq[(Long, Seq[Double])] =
-      n.filter(col("vec_id") < KmeansK).orderBy("vec_id").collect()
+      n.filter(col("vec_id") < k).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     for (_ <- 1 to KmeansIters) {
       // new centroid = per-dimension mean of members; k·d rows reach
@@ -210,8 +244,13 @@ object Similarity {
     * (q30/q132) so the trained-centroid definition can never drift
     * between the training query and the index queries that serve
     * it; q158's PQ oracle instantiates it once per subspace
-    * (dim = [[PqSubDim]], distinct prefixes). */
-  private def kmeansCtesSql(base: String, dim: Int = Dim, pfx: String = ""): String = {
+    * (dim = [[PqSubDim]], distinct prefixes). `scaleK = true` (the
+    * IVF family) seeds [[ivfNlist]]-of-count(*) cells via the
+    * `${pfx}nl` CTE; `scaleK = false` (the PQ codebooks) keeps the
+    * fixed [[KmeansK]]-codeword width — codebook size is a bit-budget
+    * constant, not a data-sized knob. */
+  private def kmeansCtesSql(base: String, dim: Int = Dim, pfx: String = "",
+      scaleK: Boolean = true): String = {
     val iters = (1 to KmeansIters).map { i =>
       s"""${pfx}a$i AS (SELECT vec_id, v, cluster, dist FROM (
          |  SELECT $base.vec_id, $base.v, c.c_id AS cluster, list_distance(c.cv, $base.v) AS dist,
@@ -224,7 +263,14 @@ object Similarity {
          |  FROM ${pfx}a$i, (SELECT unnest(generate_series(1, $dim)) AS pos) p
          |  GROUP BY cluster, pos) e GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""${pfx}c0 AS (SELECT vec_id AS c_id, v AS cv FROM $base WHERE vec_id < $KmeansK),
+    val seed =
+      if (scaleK)
+        s"""${pfx}nl AS (${ivfNlistSql(base)}),
+           |${pfx}c0 AS (SELECT vec_id AS c_id, v AS cv FROM $base
+           |  WHERE vec_id < (SELECT kk FROM ${pfx}nl))""".stripMargin
+      else
+        s"${pfx}c0 AS (SELECT vec_id AS c_id, v AS cv FROM $base WHERE vec_id < $KmeansK)"
+    s"""$seed,
        |$iters""".stripMargin
   }
 
@@ -236,13 +282,15 @@ object Similarity {
     * (sign-bit flip), so ties and orderings agree bitwise with the
     * oracle's un-negated DESC sort. */
   private def centStructs(cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
-    array(cents.map { case (cId, cv) =>
-      struct(negate(cosine_sim(typedlit(cv), col("v"))).as("negcos"),
-        lit(cId).as("c_id"))
-    }: _*)
+    // One native loop over the centroid matrix ([[graft.functions
+    // .CentroidScores]]) — the unrolled per-centroid cosine_sim form
+    // blew past HotSpot's 8000-byte method limit at scale-aware nlist
+    // and deoptimized to interpreted bytecode (q30 0.39 → 1.4 s).
+    // Scores and struct shape are bit-identical to the unrolled form.
+    graft.functions.CentroidScores.centroid_negcos(cents, col("v"))
 
   /** q30 — IVF approximate nearest neighbor over TRAINED coarse
-    * centroids: the k=8 cells come from q77's Lloyd training
+    * centroids: the [[ivfNlist]] cells come from q77's Lloyd training
     * ([[trainedCentroids]] — trained once per corpus, reused across
     * the index family, exactly how an ANN index is built then
     * served); every vector is assigned to its nearest centroid; a
@@ -654,10 +702,10 @@ object Similarity {
     * pairwise flops are Σ|cell|² ≈ N²/k, the SemDeDup trade (k grows
     * with N in production — 50k cells in the paper — keeping E|cell|
     * bounded, so the per-cell all-pairs stays a local nested loop).
-    * At local nlist=8 the cluster key caps reducer parallelism at 8;
-    * at production nlist (thousands) the same plan spreads across
-    * the cluster, and a skewed mega-cell is exactly what q54's
-    * inventory flags for re-training. */
+    * nlist now SCALES with the corpus ([[ivfNlist]]: E|cell| ≈ 64),
+    * so Σ|cell|² stays ∝ N instead of N²/8, reducer parallelism
+    * grows with the data, and a skewed mega-cell is exactly what
+    * q54's inventory flags for re-training. */
   def q133(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = trainedCentroids(spark, sfDir)
     val n = cvecs(spark, sfDir)
@@ -1916,7 +1964,7 @@ object Similarity {
     import graft.functions.OracleRound.exactSumSql
     val subs = (0 until PqM).map { m =>
       s"""s$m AS (SELECT vec_id, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS v FROM n),
-         |${kmeansCtesSql(s"s$m", PqSubDim, s"s$m")},
+         |${kmeansCtesSql(s"s$m", PqSubDim, s"s$m", scaleK = false)},
          |f$m AS (SELECT $m AS subspace, cluster AS code, dist FROM (
          |  SELECT s$m.vec_id, c.c_id AS cluster, list_distance(c.cv, s$m.v) AS dist,
          |    row_number() OVER (PARTITION BY s$m.vec_id
@@ -2025,7 +2073,7 @@ object Similarity {
   val q160Sql: String = {
     val subs = (0 until PqM).map { m =>
       s"""s$m AS (SELECT vec_id, v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS v FROM n),
-         |${kmeansCtesSql(s"s$m", PqSubDim, s"s$m")},
+         |${kmeansCtesSql(s"s$m", PqSubDim, s"s$m", scaleK = false)},
          |f$m AS (SELECT vec_id, cluster AS c$m FROM (
          |  SELECT s$m.vec_id, c.c_id AS cluster,
          |    row_number() OVER (PARTITION BY s$m.vec_id
