@@ -335,17 +335,204 @@ object Multimodal {
       |  FROM pairs) t
       |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  /** q172 media near-dup geometry. 64 hyperplanes as 4 bands × 16
+    * bits — the PRODUCTION near-dup setting the q37 scaladoc's sweep
+    * points at (at cos ≥ 0.9, p_bit ≈ 0.9, a 16-bit band matches a
+    * true pair w.p. ≈ 0.19 and a random pair w.p. 2⁻¹⁶): the media
+    * tower embeds distinct payloads to near-orthogonal vectors, so
+    * the 4-bit text-embedding banding (tuned for an exploratory
+    * cos ≥ 0.4) would collide nearly every pair here, while 16-bit
+    * bands keep expected random candidates at |pairs|·4/65536 —
+    * measured 9 at sf0.01, 756 at sf0.1 against 125k / 12.5M pairs.
+    * IDENTICAL payloads embed identically and match on every band —
+    * candidate recall 1.0 for exact duplicates by construction, the
+    * only true-positive class a hash tower admits (OperatorSpec pins
+    * both halves). Planes reuse the q37 md5 derivation under the
+    * distinct seed prefix "m". */
+  private val MediaPlanes = 64
+  private val MediaBandBits = 16
+  private[graft] val MediaNearDupCos = 0.9
+
+  private lazy val mediaPlanes: IndexedSeq[Array[Double]] =
+    (0 until MediaPlanes).map { p =>
+      Array.tabulate(64) { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"m${p}_${d}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+      }
+    }
+
+  /** q172 — media near-duplicate detection: the multimodal leg of the
+    * dedup family (r10 verdict item 1 — the one curation family that
+    * had no media path; the r9 draft was rejected because a
+    * locality-preserving stand-in encoder measurably failed to
+    * separate, so this revisit uses the q166 tower honestly: with a
+    * hash tower, true near-dups ARE exact-payload duplicates, and the
+    * operator's value is the end-to-end decode → embed → band →
+    * verify pipeline, which swaps to a real encoder by replacing only
+    * [[mediaEmbed]]). Each media payload decodes/encodes to its
+    * 64-dim tower vector inside ONE mapPartitions pass (q32's
+    * amortization shape), vectors band into 4×16-bit SRP signatures,
+    * banded collisions become candidates, exact cosine ≥
+    * [[MediaNearDupCos]] verifies, and the higher doc_id of every
+    * verified pair is dropped (q21's keeper rule). Output is the
+    * per-source dedup report — assets / banded candidates / verified
+    * pairs / dropped / kept (pairs attribute to the DROPPED side's
+    * source) — the shape a curation dashboard consumes, and
+    * non-degenerate at every scale (candidate counts are live even
+    * where the fixture has no true duplicates; sf0.1 carries 8 real
+    * duplicate groups).
+    *
+    * Scale shape: one corpus pass to decode+embed (at 100 TB this is
+    * the GPU-encoder pass, amortized per partition), one banded
+    * (band_idx, band_val) shuffle of O(N·bands) signature rows —
+    * never an all-pairs product — and an exact-verify leg whose
+    * joins stay UNHINTED (candidate volume is data-dependent; AQE
+    * broadcasts the small tower relation while it fits). Everything
+    * downstream of the distinct candidate set is candidate-bounded.
+    * Determinism: tower, planes, bits, and cosine are all
+    * md5/IEEE-double arithmetic both engines replay bit-for-bit
+    * (q166's proof, extended to the plane family). */
+  def q172(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CosineSimilarity.cosine_sim
+    import graft.functions.CacheScope.Ops
+    val assets = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"))
+      .as[MediaBlob]
+      .mapPartitions { it =>
+        // per-partition setup of a real media encoder goes HERE
+        it.map(b => (b.doc_id, b.source, mediaEmbed(b.payload)))
+      }
+      .toDF("doc_id", "source", "v")
+      .scopedCache // 4 consumers: sig build, 2 vector fetches, per-source assets
+    assets.count()
+    // Native banding loop ([[graft.functions.SrpBands]]) — 64
+    // unrolled dot_product/CASE/concat columns would cross HotSpot's
+    // huge-method limit and run interpreted (measured ~5 s/run at
+    // sf0.1); the loop form emits bit-identical band strings.
+    val sig = assets.select(col("doc_id"),
+      posexplode(graft.functions.SrpBands.srp_bands(
+        mediaPlanes.map(_.toSeq), MediaBandBits, col("v")))
+        .as(Seq("band_idx", "band_val")))
+    // DISTINCT before verification — the opposite trade from q37's
+    // lshCandidates: 16-bit bands already shrink the stream to
+    // O(true + random) pairs (hundreds), so deduplicating here is
+    // cheap and the report needs the distinct candidate count anyway.
+    val cand = sig.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
+      .join(sig.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+      .scopedCache // 2 consumers: the per-source count and the verify leg
+    cand.count()
+    val srcB = assets.select(col("doc_id").as("doc_b"), col("source"))
+    val candPerSrc = cand.join(srcB, "doc_b")
+      .groupBy("source").agg(count(lit(1)).as("n_cand_pairs"))
+    val dup = cand
+      .join(assets.select(col("doc_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(assets.select(col("doc_id").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .filter(cosine_sim(col("va"), col("vb")) >= MediaNearDupCos)
+      .select("doc_a", "doc_b")
+    // One fused aggregate: n_dropped = distinct dropped ids per
+    // source ≡ countDistinct(doc_b) — no separate dropped-set branch,
+    // so dup stays single-consumer and needs no cache.
+    val dupStats = dup.join(srcB, "doc_b")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("doc_b")).as("n_dropped"))
+    assets.groupBy("source").agg(count(lit(1)).as("n_assets"))
+      .join(candPerSrc, Seq("source"), "left")
+      .join(dupStats, Seq("source"), "left")
+      .select(col("source"), col("n_assets"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_assets") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin: the q166 tower recipe over ALL payloads, the q37
+    * plane derivation under seed prefix "m", 16-bit band signatures
+    * via string_agg, then the same candidate/verify/report algebra. */
+  val q172Sql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id, source, md5(text) AS h FROM documents
+      |  WHERE text IS NOT NULL),
+      |mg AS (
+      |  SELECT doc_id, source, t.g,
+      |    md5(m.h || '_' || CAST(t.g AS VARCHAR)) AS hg
+      |  FROM m, range(4) t(g)),
+      |md AS (
+      |  SELECT doc_id, source, 16 * g + i.i AS d,
+      |    (CAST(('0x' || substring(hg, 2 * i.i + 1, 2)) AS BIGINT)
+      |       - CAST(127.5 AS DOUBLE)) / CAST(127.5 AS DOUBLE) AS vd
+      |  FROM mg, range(16) i(i)),
+      |mv AS (
+      |  SELECT doc_id, source, list(vd ORDER BY d) AS v
+      |  FROM md GROUP BY doc_id, source),
+      |planes AS (
+      |  SELECT p.p AS p, d.d AS d,
+      |    CASE WHEN substring(md5('m' || CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1) >= '8'
+      |         THEN 1.0 ELSE -1.0 END AS s
+      |  FROM range($MediaPlanes) p(p), range(64) d(d)),
+      |pl AS (SELECT p, list(s ORDER BY d) AS sv FROM planes GROUP BY p),
+      |bits AS (
+      |  SELECT mv.doc_id, pl.p,
+      |    CASE WHEN list_inner_product(mv.v, pl.sv) >= 0 THEN '1' ELSE '0' END AS bit
+      |  FROM mv, pl),
+      |sig AS (
+      |  SELECT doc_id, p // $MediaBandBits AS band_idx,
+      |    string_agg(bit, '' ORDER BY p) AS band_val
+      |  FROM bits GROUP BY doc_id, p // $MediaBandBits),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id),
+      |nv AS (
+      |  SELECT doc_id, source, v,
+      |    sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+      |  FROM mv),
+      |dup AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN nv na ON na.doc_id = doc_a
+      |  JOIN nv nb ON nb.doc_id = doc_b
+      |  WHERE list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm) >= $MediaNearDupCos),
+      |ass AS (SELECT source, count(*) AS n_assets FROM m GROUP BY source),
+      |cs AS (SELECT nv.source, count(*) AS n_cand_pairs
+      |  FROM cand JOIN nv ON nv.doc_id = cand.doc_b GROUP BY nv.source),
+      |ds AS (SELECT nv.source, count(*) AS n_dup_pairs
+      |  FROM dup JOIN nv ON nv.doc_id = dup.doc_b GROUP BY nv.source),
+      |dr AS (SELECT nv.source, count(*) AS n_dropped
+      |  FROM (SELECT DISTINCT doc_b FROM dup) dd
+      |  JOIN nv ON nv.doc_id = dd.doc_b GROUP BY nv.source)
+      |SELECT ass.source, CAST(n_assets AS BIGINT) AS n_assets,
+      |  CAST(coalesce(cs.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+      |  CAST(coalesce(ds.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+      |  CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |  CAST(n_assets - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_kept
+      |FROM ass
+      |LEFT JOIN cs ON cs.source = ass.source
+      |LEFT JOIN ds ON ds.source = ass.source
+      |LEFT JOIN dr ON dr.source = ass.source
+      |ORDER BY ass.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_media_metadata" -> q31 _,
     "q32_media_decode_stub" -> q32 _,
     "q42_frame_sample" -> q42 _,
     "q44_resize_plan" -> q44 _,
-    "q166_crossmodal_knn" -> q166 _)
+    "q166_crossmodal_knn" -> q166 _,
+    "q172_media_neardup" -> q172 _)
 
   val oracles: Map[String, String] = Map(
     "q31_media_metadata" -> q31Sql,
     "q32_media_decode_stub" -> q32Sql,
     "q42_frame_sample" -> q42Sql,
     "q44_resize_plan" -> q44Sql,
-    "q166_crossmodal_knn" -> q166Sql)
+    "q166_crossmodal_knn" -> q166Sql,
+    "q172_media_neardup" -> q172Sql)
 }

@@ -525,17 +525,17 @@ object Similarity {
     * columns plus one (band_idx, band_val) row per band. One
     * definition, so batch and stream cannot band, plane, or hash
     * differently (the chunkSigs precedent). */
-  private[graft] def bandSigs(df: DataFrame, keep: Seq[String]): DataFrame = {
-    val bits = (0 until NumPlanes).map(p =>
-      when(dot_product(col("v"), typedlit(planes(p).toSeq)) >= 0, "1")
-        .otherwise("0").as(s"b$p"))
-    val bandPairs = (0 until NumPlanes / BandBits)
-      .map(b => s"$b, concat(${(0 until BandBits).map(i => s"b${BandBits * b + i}").mkString(", ")})")
-      .mkString(", ")
-    df.select(keep.map(col) ++ bits: _*)
-      .select(keep.map(col) :+
-        expr(s"stack(${NumPlanes / BandBits}, $bandPairs) AS (band_idx, band_val)"): _*)
-  }
+  private[graft] def bandSigs(df: DataFrame, keep: Seq[String]): DataFrame =
+    // Native banding loop ([[graft.functions.SrpBands]]): the
+    // previous 48 unrolled dot_product/CASE columns put the generated
+    // method near HotSpot's huge-method limit (the q172/64-plane
+    // variant measurably crossed it and ran interpreted); the loop
+    // form emits bit-identical (band_idx, band_val) rows at constant
+    // bytecode size.
+    df.select(keep.map(col) :+
+      posexplode(graft.functions.SrpBands.srp_bands(
+        planes.map(_.toSeq), BandBits, col("v")))
+        .as(Seq("band_idx", "band_val")): _*)
 
   private def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val n = vecs(spark, sfDir)

@@ -1950,6 +1950,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits.count(_.doc_id == 1L) === 3 && hits.count(_.doc_id == 3L) === 3)
   }
 
+  test("q172 media near-dup: exact-payload recall 1.0 and no tower false positives at the dup-bearing scale") {
+    import org.apache.spark.sql.functions._
+    // The hash tower's guarantee splits in two: (a) identical payloads
+    // embed identically (cos = 1.0, every band matches — candidate
+    // recall 1.0 by construction), (b) distinct payloads embed to
+    // md5-random vectors that at these corpus sizes never reach the
+    // 0.9 verify threshold. Together: verified dup pairs ≡ the
+    // identical-md5 pairs — checked on sf0.1, the scale that actually
+    // carries duplicate groups (8), with the ground truth derived
+    // independently from md5(text), never from the operator.
+    val e1 = graft.operators.Multimodal.mediaEmbed("same bytes".getBytes("UTF-8"))
+    val e2 = graft.operators.Multimodal.mediaEmbed("same bytes".getBytes("UTF-8"))
+    val e3 = graft.operators.Multimodal.mediaEmbed("other bytes".getBytes("UTF-8"))
+    assert(e1.toSeq === e2.toSeq, "tower is not a pure function of the payload")
+    assert(e1.toSeq !== e3.toSeq)
+    val sf01 = "/root/testdata/sf0.1"
+    val groups = graft.sources.Tables.documents(spark, sf01)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("source"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1))
+    assert(groups.nonEmpty, "fixture lost its sf0.1 duplicate groups — recall check is vacuous")
+    val expPairs = groups.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val expDroppedBySource = groups.flatMap(_.drop(1)).groupBy(_._2)
+      .map { case (s, xs) => s -> xs.length.toLong }
+    val rep = SparkEntry.queries("q172_media_neardup")(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rep.map(_._4).sum === expPairs,
+      s"verified dup pairs ${rep.map(_._4).sum} != identical-payload pairs $expPairs")
+    rep.foreach { case (src, nAssets, nCand, _, nDropped, nKept) =>
+      assert(nDropped === expDroppedBySource.getOrElse(src, 0L),
+        s"source $src dropped $nDropped, expected ${expDroppedBySource.getOrElse(src, 0L)}")
+      assert(nKept === nAssets - nDropped)
+      assert(nCand >= 0L)
+    }
+    // The banding stage is live (random 16-bit collisions exist) —
+    // the report is non-degenerate even where no true dups are.
+    assert(rep.map(_._3).sum > expPairs, "no banded candidates beyond the true pairs")
+  }
+
   test("q163 bitext margins match a full local replay (Lloyd cells → within-cell cross-lang rank)") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.functions._
