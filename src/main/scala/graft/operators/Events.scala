@@ -682,10 +682,187 @@ object Events {
        |FROM pg GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** q173 — t-closeness DRIFT tier (r10 verdict item 2: q170 is
+    * point-in-time; a release gate also needs to know whether
+    * exposure is GETTING WORSE). Each event type's observed day range
+    * splits at its midpoint into a REFERENCE window (day ≤ mid) and a
+    * CURRENT window (day > mid) — per type, so the comparison is
+    * self-contained per key (the same property that lets the
+    * streaming twin compute it inside one flatMapGroupsWithState
+    * key). Within each window the q170 audit runs verbatim — ordered
+    * EMD of every (type, day) group against the WINDOW's own global
+    * band distribution, noise-normalized z = emd·√n_g, λ exposure
+    * flags — and the report compares the two: group/exposure counts
+    * per window, max_z per window, z_drift = cur − ref, and an
+    * exposure_drifted flag on the exposed-rows SHARE (integer
+    * cross-multiplied in DECIMAL — no double compare decides the
+    * flag). This follows the q142/q168 drift pattern: same statistic,
+    * two time slices, one comparison row per key.
+    *
+    * Scale shape = q170's with a win column: one scan → the
+    * map-combined (type, win, day, band) aggregate; everything
+    * downstream runs on that domain-bounded relation. The per-type
+    * (min, max) day aggregate is O(types) rows and joins back
+    * broadcast. Determinism: the midpoint is floor((min+max)/2.0) —
+    * one IEEE floor both engines share (day sums are far inside
+    * 2⁵³, so the double is exact; integer `div`/`//` disagree across
+    * engines on negative operands, which pre-epoch day buckets can
+    * produce). */
+  def q173(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val e = Tables.events(spark, sfDir).selectExpr(qidSparkExprs: _*)
+    val mids = e.groupBy("event_type")
+      .agg(floor((min("day_bucket") + max("day_bucket")) / 2.0)
+        .cast("long").as("mid_day"))
+    val g = e.join(mids, "event_type")
+      .withColumn("win",
+        when(col("day_bucket") <= col("mid_day"), "ref").otherwise("cur"))
+      .groupBy("event_type", "win", "day_bucket", "value_band")
+      .agg(count(lit(1)).as("c"))
+      .scopedCache // four domain-bounded consumers (grp/gb/tot/grid)
+    g.count()
+    val grp = g.groupBy("event_type", "win", "day_bucket").agg(sum("c").as("n_g"))
+    val gb = g.groupBy("event_type", "win", "value_band").agg(sum("c").as("cg"))
+    val tot = g.groupBy("event_type", "win")
+      .agg(sum("c").as("n"), countDistinct("value_band").as("m"))
+    val grid = grp.join(gb, Seq("event_type", "win"))
+      .join(tot, Seq("event_type", "win"))
+      .join(g.withColumnRenamed("c", "c0"),
+        Seq("event_type", "win", "day_bucket", "value_band"), "left")
+      .withColumn("c", coalesce(col("c0"), lit(0L)))
+    val w = Window.partitionBy("event_type", "win", "day_bucket")
+      .orderBy("value_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cumd",
+      sum(col("c").cast("decimal(19,0)") * col("n") -
+        col("cg").cast("decimal(19,0)") * col("n_g")).over(w))
+    val perGroup = cum
+      .groupBy("event_type", "win", "day_bucket", "n_g", "n", "m")
+      .agg(sum(abs(col("cumd"))).as("num"))
+      .withColumn("emd", when(col("m") > 1,
+        col("num").cast("double") /
+          ((col("m") - 1).cast("double") * col("n_g") * col("n")))
+        .otherwise(lit(0.0)))
+      .withColumn("z", col("emd") * sqrt(col("n_g").cast("double")))
+    val perWin = perGroup.groupBy("event_type", "win")
+      .agg(count(lit(1)).as("n_groups"), sum("n_g").as("n_rows"),
+        max("z").as("max_z"),
+        count(when(col("z") > TclosenessLambda, 1)).as("n_exposed"),
+        sum(when(col("z") > TclosenessLambda, col("n_g")).otherwise(lit(0L)))
+          .as("rows_exposed"))
+    def pick(winVal: String, c: String) = max(when(col("win") === winVal, col(c)))
+    perWin.groupBy("event_type").agg(
+        coalesce(pick("ref", "n_groups"), lit(0L)).as("ref_groups"),
+        coalesce(pick("cur", "n_groups"), lit(0L)).as("cur_groups"),
+        coalesce(pick("ref", "n_rows"), lit(0L)).as("ref_rows"),
+        coalesce(pick("cur", "n_rows"), lit(0L)).as("cur_rows"),
+        coalesce(pick("ref", "n_exposed"), lit(0L)).as("ref_exposed_groups"),
+        coalesce(pick("cur", "n_exposed"), lit(0L)).as("cur_exposed_groups"),
+        coalesce(pick("ref", "rows_exposed"), lit(0L)).as("ref_rows_exposed"),
+        coalesce(pick("cur", "rows_exposed"), lit(0L)).as("cur_rows_exposed"),
+        pick("ref", "max_z").as("zr"), pick("cur", "max_z").as("zc"))
+      .join(mids, "event_type")
+      .select(col("event_type"), col("mid_day"),
+        col("ref_groups"), col("cur_groups"),
+        col("ref_rows"), col("cur_rows"),
+        col("ref_exposed_groups"), col("cur_exposed_groups"),
+        col("ref_rows_exposed"), col("cur_rows_exposed"),
+        floorRound(col("zr"), 6).as("ref_max_z"),
+        floorRound(col("zc"), 6).as("cur_max_z"),
+        floorRound(col("zc") - col("zr"), 6).as("z_drift"),
+        when(col("cur_rows_exposed").cast("decimal(19,0)") * col("ref_rows") >
+          col("ref_rows_exposed").cast("decimal(19,0)") * col("cur_rows"), 1L)
+          .otherwise(0L).as("exposure_drifted"))
+      .orderBy("event_type")
+  }
+
+  val q173Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""WITH e AS (
+       |  SELECT $qidSqlExprs
+       |  FROM events),
+       |mids AS (
+       |  SELECT event_type,
+       |    CAST(floor((min(day_bucket) + max(day_bucket)) / 2.0) AS BIGINT)
+       |      AS mid_day
+       |  FROM e GROUP BY event_type),
+       |g AS (
+       |  SELECT e.event_type,
+       |    CASE WHEN e.day_bucket <= m.mid_day THEN 'ref' ELSE 'cur' END AS win,
+       |    e.day_bucket, e.value_band, count(*) AS c
+       |  FROM e JOIN mids m ON e.event_type = m.event_type
+       |  GROUP BY 1, 2, 3, 4),
+       |grp AS (
+       |  SELECT event_type, win, day_bucket, CAST(sum(c) AS BIGINT) AS n_g
+       |  FROM g GROUP BY 1, 2, 3),
+       |gb AS (
+       |  SELECT event_type, win, value_band, CAST(sum(c) AS BIGINT) AS cg
+       |  FROM g GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT event_type, win, CAST(sum(c) AS BIGINT) AS n,
+       |    count(DISTINCT value_band) AS m
+       |  FROM g GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT gr.event_type, gr.win, gr.day_bucket, gl.value_band,
+       |    gr.n_g, gl.cg, t.n, t.m, COALESCE(gc.c, 0) AS c
+       |  FROM grp gr
+       |  JOIN gb gl ON gr.event_type = gl.event_type AND gr.win = gl.win
+       |  JOIN tot t ON gr.event_type = t.event_type AND gr.win = t.win
+       |  LEFT JOIN g gc ON gc.event_type = gr.event_type AND gc.win = gr.win
+       |    AND gc.day_bucket = gr.day_bucket
+       |    AND gc.value_band = gl.value_band),
+       |cum AS (
+       |  SELECT event_type, win, day_bucket, n_g, n, m,
+       |    sum(CAST(c AS DECIMAL(19,0)) * n - CAST(cg AS DECIMAL(19,0)) * n_g)
+       |      OVER (PARTITION BY event_type, win, day_bucket ORDER BY value_band
+       |            ROWS UNBOUNDED PRECEDING) AS cumd
+       |  FROM grid),
+       |pg AS (
+       |  SELECT event_type, win, day_bucket, n_g,
+       |    CASE WHEN m > 1 THEN
+       |      CAST(sum(abs(cumd)) AS DOUBLE) / (CAST(m - 1 AS DOUBLE) * n_g * n)
+       |    ELSE 0.0 END * sqrt(CAST(n_g AS DOUBLE)) AS z
+       |  FROM cum GROUP BY event_type, win, day_bucket, n_g, n, m),
+       |pw AS (
+       |  SELECT event_type, win, count(*) AS n_groups,
+       |    CAST(sum(n_g) AS BIGINT) AS n_rows,
+       |    max(z) AS max_z,
+       |    count(CASE WHEN z > $TclosenessLambda THEN 1 END) AS n_exposed,
+       |    CAST(sum(CASE WHEN z > $TclosenessLambda THEN n_g ELSE 0 END)
+       |      AS BIGINT) AS rows_exposed
+       |  FROM pg GROUP BY event_type, win),
+       |piv AS (
+       |  SELECT event_type,
+       |    CAST(coalesce(max(CASE WHEN win = 'ref' THEN n_groups END), 0) AS BIGINT) AS ref_groups,
+       |    CAST(coalesce(max(CASE WHEN win = 'cur' THEN n_groups END), 0) AS BIGINT) AS cur_groups,
+       |    CAST(coalesce(max(CASE WHEN win = 'ref' THEN n_rows END), 0) AS BIGINT) AS ref_rows,
+       |    CAST(coalesce(max(CASE WHEN win = 'cur' THEN n_rows END), 0) AS BIGINT) AS cur_rows,
+       |    CAST(coalesce(max(CASE WHEN win = 'ref' THEN n_exposed END), 0) AS BIGINT) AS ref_exposed_groups,
+       |    CAST(coalesce(max(CASE WHEN win = 'cur' THEN n_exposed END), 0) AS BIGINT) AS cur_exposed_groups,
+       |    CAST(coalesce(max(CASE WHEN win = 'ref' THEN rows_exposed END), 0) AS BIGINT) AS ref_rows_exposed,
+       |    CAST(coalesce(max(CASE WHEN win = 'cur' THEN rows_exposed END), 0) AS BIGINT) AS cur_rows_exposed,
+       |    max(CASE WHEN win = 'ref' THEN max_z END) AS zr,
+       |    max(CASE WHEN win = 'cur' THEN max_z END) AS zc
+       |  FROM pw GROUP BY event_type)
+       |SELECT p.event_type, m.mid_day,
+       |  ref_groups, cur_groups, ref_rows, cur_rows,
+       |  ref_exposed_groups, cur_exposed_groups,
+       |  ref_rows_exposed, cur_rows_exposed,
+       |  ${floorRoundSql("zr", 6)} AS ref_max_z,
+       |  ${floorRoundSql("zc", 6)} AS cur_max_z,
+       |  ${floorRoundSql("zc - zr", 6)} AS z_drift,
+       |  CAST(CASE WHEN CAST(cur_rows_exposed AS DECIMAL(19,0)) * ref_rows >
+       |    CAST(ref_rows_exposed AS DECIMAL(19,0)) * cur_rows
+       |    THEN 1 ELSE 0 END AS BIGINT) AS exposure_drifted
+       |FROM piv p JOIN mids m ON p.event_type = m.event_type
+       |ORDER BY p.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_kanonymity_audit" -> q153 _,
     "q155_ldiversity_audit" -> q155 _,
     "q170_tcloseness_audit" -> q170 _,
+    "q173_tcloseness_drift" -> q173 _,
     "q119_ewma_telemetry" -> q119 _,
     "q120_attribution" -> q120 _,
     "q55_range_join" -> q55 _,
@@ -706,5 +883,6 @@ object Events {
     "q60_session_window" -> q60Sql,
     "q153_kanonymity_audit" -> q153Sql,
     "q155_ldiversity_audit" -> q155Sql,
-    "q170_tcloseness_audit" -> q170Sql)
+    "q170_tcloseness_audit" -> q170Sql,
+    "q173_tcloseness_drift" -> q173Sql)
 }

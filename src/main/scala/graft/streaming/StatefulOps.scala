@@ -44,6 +44,13 @@ case class TclsReport(event_type: String, n_groups: Long, n_rows: Long,
 /** SpaceSaving sketch state for the live skew monitor: at most
   * `capacity` (key → estimated count) counters plus each counter's
   * overestimation bound, and the exact total row count. */
+case class TclsDriftReport(event_type: String, mid_day: Long,
+    ref_groups: Long, cur_groups: Long, ref_rows: Long, cur_rows: Long,
+    ref_exposed_groups: Long, cur_exposed_groups: Long,
+    ref_rows_exposed: Long, cur_rows_exposed: Long,
+    ref_max_z: Option[Double], cur_max_z: Option[Double],
+    z_drift: Option[Double], exposure_drifted: Long)
+
 case class SkewSketch(counts: Map[Long, Long], errs: Map[Long, Long],
     n: Long)
 
@@ -349,6 +356,85 @@ object StatefulOps {
             r6(perGroup.map(_._2).max), r6(perGroup.map(_._3).max),
             exposed.size.toLong, exposed.map(_._1).sum,
             r6(exposed.map(_._1).sum.toDouble / n)))
+      }
+  }
+
+  implicit val tclsDriftEnc: Encoder[TclsDriftReport] = Encoders.product[TclsDriftReport]
+
+  /** Streaming twin of the t-closeness DRIFT tier (Events.q173): the
+    * same per-type (day, band) histogram state as
+    * [[tclosenessMonitor]], re-derived per batch into the
+    * two-window drift report — per-type midpoint split of the
+    * OBSERVED day range, the q170 closeness statistic computed
+    * within each window against that window's own band distribution,
+    * and the z_drift / exposure_drifted comparison. The batch
+    * operator's per-TYPE midpoint is what makes this expressible in
+    * one flatMapGroupsWithState key (a global midpoint would need
+    * cross-key state). Arithmetic mirrors the batch plan expression
+    * for expression — BigInt for the exact DECIMAL prefix sums and
+    * cross-multiplied drift flag, the identical double tree for
+    * emd/z, floorRound at emission — so a fully-replayed stream's
+    * final emission is row-equal to q173 (StreamingSpec pins it).
+    * Same state-growth posture as [[tclosenessMonitor]]: linear in
+    * observed days by design (the drift comparison NEEDS history). */
+  def tclosenessDriftMonitor(events: Dataset[Ev]): Dataset[TclsDriftReport] = {
+    import graft.operators.Events.{DayNs, ValueBandWidth, TclosenessLambda}
+    val dayMs = DayNs / 1000000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[QidHist, TclsDriftReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Ev], state: GroupState[QidHist]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          rows.foreach { e =>
+            val key = s"${Math.floorDiv(e.ts.getTime, dayMs)}:${math.floor(e.value / ValueBandWidth).toLong}"
+            counts = counts.updated(key, counts.getOrElse(key, 0L) + 1L)
+          }
+          state.update(QidHist(counts))
+          val parsed = counts.toSeq.map { case (k, c) =>
+            val i = k.indexOf(':')
+            (k.substring(0, i).toLong, k.substring(i + 1).toLong, c)
+          }
+          val minDay = parsed.map(_._1).min
+          val maxDay = parsed.map(_._1).max
+          // The batch midpoint rule verbatim: one shared IEEE floor
+          // (integer div/// disagree across engines on negative days).
+          val mid = math.floor((minDay + maxDay) / 2.0).toLong
+          // (n_groups, n_rows, maxZ, n_exposed, rows_exposed) per window
+          def winStats(rows: Seq[(Long, Long, Long)])
+              : (Long, Long, Option[Double], Long, Long) = {
+            if (rows.isEmpty) return (0L, 0L, None, 0L, 0L)
+            val n = rows.map(_._3).sum
+            val globalBands = rows.groupBy(_._2)
+              .map { case (b, xs) => b -> xs.map(_._3).sum }
+            val bandOrder = globalBands.keys.toSeq.sorted
+            val m = bandOrder.length.toLong
+            // .toSeq BEFORE the map: a Map.map producing pairs would
+            // re-key by the first element and silently MERGE days
+            // with equal group sizes (8 of signup's 15 ref days
+            // survived in the first cut of this monitor).
+            val perGroup = rows.groupBy(_._1).toSeq.map { case (_, gsRows) =>
+              val nG = gsRows.map(_._3).sum
+              val c = gsRows.map(g => g._2 -> g._3).toMap
+              var cum = BigInt(0); var num = BigInt(0)
+              bandOrder.foreach { b =>
+                cum += BigInt(c.getOrElse(b, 0L)) * n - BigInt(globalBands(b)) * nG
+                num += cum.abs
+              }
+              val emd = if (m > 1) num.toDouble / ((m - 1).toDouble * nG * n) else 0.0
+              (nG, emd * math.sqrt(nG.toDouble))
+            }
+            val exposed = perGroup.filter(_._2 > TclosenessLambda)
+            (perGroup.size.toLong, n, Some(perGroup.map(_._2).max),
+              exposed.size.toLong, exposed.map(_._1).sum)
+          }
+          val (rg, rn, rz, re, rre) = winStats(parsed.filter(_._1 <= mid))
+          val (cg, cn, cz, ce, cre) = winStats(parsed.filter(_._1 > mid))
+          def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+          val drifted =
+            if (BigInt(cre) * rn > BigInt(rre) * cn) 1L else 0L
+          Iterator.single(TclsDriftReport(etype, mid, rg, cg, rn, cn,
+            re, ce, rre, cre, rz.map(r6), cz.map(r6),
+            for (a <- cz; b <- rz) yield r6(a - b), drifted))
       }
   }
 }

@@ -680,6 +680,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming t-closeness drift monitor (q173 twin): final emissions ≡ batch drift rows after a multi-batch replay") {
+    import graft.streaming.{Ev, StatefulOps}
+    import graft.streaming.StatefulOps.evEnc
+    val multiDir = writeEventsJson(4, "graft_tclsdriftstream")
+    val stream = EventStreams.readEventStream(spark, multiDir, maxFilesPerTrigger = 1).as[Ev]
+    val q = EventStreams.runToMemory(
+      StatefulOps.tclosenessDriftMonitor(stream).toDF(), "tclsdrift_out",
+      outputMode = "update")
+    try {
+      assert(q.recentProgress.length >= 4, "cross-batch state path not exercised")
+      val rows = spark.table("tclsdrift_out").collect()
+      // Last emission per type (memory sink appends in batch order).
+      val finals = rows.zipWithIndex.groupBy(_._1.getString(0))
+        .map { case (t, rs) => t -> rs.maxBy(_._2)._1.toString }
+      val want = SparkEntry.queries("q173_tcloseness_drift")(
+        spark, "/root/testdata/sf0.001").collect()
+        .map(r => r.getString(0) -> r.toString).toMap
+      assert(finals.keySet === want.keySet, "event_type coverage diverges")
+      finals.foreach { case (t, got) =>
+        assert(got === want(t), s"type $t: stream $got vs batch ${want(t)}")
+      }
+      assert(rows.length > finals.size, "no intermediate emissions seen")
+      graft.functions.CacheScope.drain()
+    } finally q.stop()
+  }
+
   test("t-closeness monitor retention horizon: old day buckets evict, state stays O(h × bands)") {
     import graft.streaming.{Ev, StatefulOps}
     import graft.streaming.StatefulOps.evEnc
