@@ -1212,12 +1212,7 @@ object TextAnalysis {
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) >= 1)
       .groupBy("source", "tok").agg(count(lit(1)).as("n"))
-    val syms0: org.apache.spark.sql.Column = expr(
-      "concat_ws(' ', transform(sequence(1, length(tok)), i -> substring(tok, i, 1)))")
-    val encoded = merges.foldLeft(syms0) {
-      case (c, (_, a, b, _, _)) => bpeMergeCol(c, lit(a), lit(b))
-    }
-    st.withColumn("n_syms", size(split(encoded, " ")).cast("long"))
+    st.withColumn("n_syms", size(split(bpeEncodeCol(merges), " ")).cast("long"))
       .groupBy("source")
       .agg(sum("n").as("n_tokens"),
         sum(col("n") * length(col("tok")).cast("long")).as("n_chars"),
@@ -1228,6 +1223,21 @@ object TextAnalysis {
         floorRound(sum(col("n") * length(col("tok")).cast("long")).cast("double") /
           sum(col("n") * col("n_syms")).cast("double"), 6).as("chars_per_symbol"))
       .orderBy("source")
+  }
+
+  /** The full k-merge encode of a whitespace token column `tok` —
+    * char-split symbols, then every trained merge applied in training
+    * order, all composed into ONE codegen'd projection. The SINGLE
+    * encode definition shared by batch q169 and the streaming encode
+    * twin (streaming/CorpusStreams.bpeEncodeStream), so the two paths
+    * cannot disagree on merge semantics. */
+  private[graft] def bpeEncodeCol(
+      merges: Seq[(Long, String, String, String, Long)]): org.apache.spark.sql.Column = {
+    val syms0: org.apache.spark.sql.Column = expr(
+      "concat_ws(' ', transform(sequence(1, length(tok)), i -> substring(tok, i, 1)))")
+    merges.foldLeft(syms0) {
+      case (c, (_, a, b, _, _)) => bpeMergeCol(c, lit(a), lit(b))
+    }
   }
 
   /** One greedy merge pass of pair (a, b) over a space-delimited

@@ -143,6 +143,50 @@ object CorpusStreams {
       .filter(graft.operators.Corpus.keepTest)
       .select(col("doc_id"), col("source"))
 
+  /** Streaming twin of the BPE corpus encode (TextAnalysis.q169) —
+    * the SERVE half of the tokenizer loop online (r10 verdict item 7;
+    * train q167 → this stream is the production train-offline /
+    * encode-online shape): documents arrive, every whitespace token
+    * encodes through the trained merge table, and the per-source
+    * tokenizer statistics are maintained as a running streaming
+    * aggregate in update mode.
+    *
+    * The merge table is a trained-model driver value
+    * (TextAnalysis.trainedMerges — O(k) rows) compiled into the plan
+    * as literals through the SHARED TextAnalysis.bpeEncodeCol, so the
+    * stream cannot encode differently from batch q169 (single encode
+    * definition — the decontamStream/rebalanceStream calibrate-
+    * offline/enforce-online discipline). No custom state: the stats
+    * are sums and a max, so Spark's native streaming aggregation
+    * carries them with O(sources) state and exact integer totals —
+    * the derived ratios are therefore bit-equal to batch's over a
+    * fully-replayed stream (StreamingSpec pins row-equality).
+    *
+    * Cost note vs batch: batch q169 pre-aggregates to (source, tok)
+    * and encodes each DISTINCT token once; an unbounded stream has no
+    * bounded distinct-token relation to pre-aggregate, so the encode
+    * projection runs per token OCCURRENCE — the standard price of
+    * serving online, paid in the stateless map stage that scales out
+    * with executors. */
+  def bpeEncodeStream(docs: DataFrame,
+      merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    st.withColumn("n_syms",
+        size(split(graft.operators.TextAnalysis.bpeEncodeCol(merges), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("n_chars"),
+        sum(col("n_syms")).as("n_symbols"),
+        max("n_syms").as("max_token_syms"),
+        floorRound(sum(col("n_syms")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("syms_per_token"),
+        floorRound(sum(length(col("tok")).cast("long")).cast("double") /
+          sum(col("n_syms")).cast("double"), 6).as("chars_per_symbol"))
+  }
+
   /** Streaming twin of the benchmark decontamination (TextAnalysis
     * .q68) — enforcement at ingest: the benchmark's distinct shingle
     * set is calibrated OFFLINE (TextAnalysis.benchShingles, the same

@@ -542,6 +542,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BPE encode (q169 twin): running per-source stats ≡ batch encode after a 2-batch replay") {
+    import graft.streaming.CorpusStreams
+    // Train offline once (the shared trained-model memo), serve the
+    // corpus online as two micro-batches; the final running stats per
+    // source must equal batch q169 row-for-row — sums/max are exact
+    // integers, so the derived ratios are bit-equal too.
+    val sfd = "/root/testdata/sf0.001"
+    val merges = graft.operators.TextAnalysis.trainedMerges(spark, sfd)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpestream").toString + "/in"
+    val docs = graft.sources.Tables.documents(spark, sfd)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("source"), col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = spark.readStream.schema(CorpusStreams.sourcedDocSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = graft.streaming.EventStreams.runToMemory(
+      CorpusStreams.bpeEncodeStream(stream, merges), "bpe_encode_out",
+      outputMode = "update")
+    try {
+      assert(q.recentProgress.length >= 2, "cross-batch path not exercised")
+      val rows = spark.table("bpe_encode_out").collect()
+      val finals = rows.zipWithIndex.groupBy(_._1.getString(0))
+        .map { case (s, rs) => s -> rs.maxBy(_._2)._1.toString }
+      val want = SparkEntry.queries("q169_bpe_encode")(spark, sfd).collect()
+        .map(r => r.getString(0) -> r.toString).toMap
+      assert(finals.keySet === want.keySet, "source coverage diverges")
+      finals.foreach { case (s, got) =>
+        assert(got === want(s), s"source $s: stream $got vs batch ${want(s)}")
+      }
+      assert(rows.length > finals.size, "no intermediate emissions seen")
+      graft.functions.CacheScope.drain()
+    } finally q.stop()
+  }
+
   test("streaming decontamination (q68 twin): per-doc flags and counts ≡ batch over a 2-batch replay") {
     import graft.streaming.CorpusStreams
     // Calibrate offline (the src0 benchmark shingle set — exactly
