@@ -81,6 +81,42 @@ class FamilyIndexSpec extends AnyFunSuite {
     graft.functions.FamilyIndex.release(clone)
   }
 
+  test("corpus regeneration invalidates EVERY family memo: no stale cross-serve, no block leak") {
+    // End-to-end over the REAL dedup families (r10 verdict item 6):
+    // the memos key individually by (family, fingerprint), so the
+    // contract that one corpus rewrite invalidates ALL of them is
+    // emergent, not structural — prove it by running the memo-backed
+    // queries, rewriting the corpus files in place, and re-running.
+    // Stale cross-serve would reproduce the first run's numbers
+    // exactly; a leak would grow the materialized-entry count.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_famregen").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    // q22 builds the minhash-sig memo; q154 builds ssjoin-universe/
+    // prefix/docsigs — four family indexes over the temp corpus.
+    def run(): (Long, Long, Long) = try {
+      (SparkEntry.queries("q22_minhash_lsh")(spark, dir).count(),
+        SparkEntry.queries("q154_prefix_ssjoin")(spark, dir).count(),
+        SparkEntry.queries("q21_exact_dedup")(spark, dir).count())
+    } finally graft.functions.CacheScope.drain()
+    val before = run()
+    val matBefore = graft.functions.FamilyIndex.liveMaterializedCount(spark)
+    assert(matBefore >= 4, s"expected the 4 family memos live, saw $matBefore")
+    Thread.sleep(1100) // defeat mtime granularity in the fingerprint
+    docs.filter(col("doc_id") < 250)
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val after = run()
+    // q21's report is one row per surviving doc — deterministic 250 on
+    // the regenerated half-corpus; a stale memo would still say 500.
+    assert(after._3 === 250L,
+      s"q21 reported ${after._3} docs after regeneration — stale memo serve")
+    assert(after !== before, "regenerated corpus reproduced old results")
+    val matAfter = graft.functions.FamilyIndex.liveMaterializedCount(spark)
+    assert(matAfter === matBefore,
+      s"superseded family blocks leaked: $matBefore -> $matAfter")
+  }
+
   test("self-heal: an externally unpersisted index is rebuilt, never served uncached") {
     var builds = 0
     def get() = graft.functions.FamilyIndex.of("spec-family-c", spark, "fp1") { () =>
