@@ -1317,37 +1317,72 @@ object Dedup {
     labels
   }
 
-  val q62Sql: String =
-    s"""WITH RECURSIVE $q22CandCte,
-       |edges AS (
+  /** Oracle CC rounds: pointer-jumping label propagation unrolled as
+    * materialized CTEs. Neighbor-min + label-jump at least doubles
+    * the propagated distance per round, so 12 rounds cover component
+    * diameter ~4096 — far past any near-dup blob; the convergence
+    * canary below turns "not enough rounds" into a LOUD empty result,
+    * never a plausible-looking wrong label (the Spark loop's own
+    * refuse-to-return contract). */
+  private val OracleCcRounds = 12
+
+  /** Shared oracle fragment: symmetric `edges` over cand22 → `lab`
+    * (id, cluster_id = component min). The r11 rewrite: the previous
+    * `WITH RECURSIVE reach(a, b)` TRANSITIVE CLOSURE enumerates
+    * reachable PAIRS — O(Σ|component|²) rows — which at the sf1
+    * stress corpus (1.47M banded candidate pairs, ~110-doc
+    * boilerplate buckets) ran DuckDB to 60+ GB without finishing,
+    * while the engine's pointer-jumping plan completed effortlessly.
+    * Label propagation carries O(V) rows per round instead; each
+    * round is one edge join + one label jump, both LEFT (isolated
+    * label values keep their row). A final half-round counts
+    * would-still-improve labels; any nonzero count empties `lab`
+    * (loud hash/row mismatch, not silent wrong clusters). */
+  private val ccLabSql: String = {
+    val rounds = (1 to OracleCcRounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT cur.id AS id,
+         |    least(cur.lbl, coalesce(nbmin.m, cur.lbl), coalesce(j.lbl, cur.lbl)) AS lbl
+         |  FROM l${r - 1} cur
+         |  LEFT JOIN (
+         |    SELECT e.src AS id, min(n.lbl) AS m
+         |    FROM edges e JOIN l${r - 1} n ON n.id = e.dst GROUP BY e.src) nbmin
+         |    ON nbmin.id = cur.id
+         |  LEFT JOIN l${r - 1} j ON j.id = cur.lbl)""".stripMargin
+    }.mkString(",\n")
+    val lastL = s"l$OracleCcRounds"
+    s"""edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM cand22
        |  UNION SELECT doc_b, doc_a FROM cand22
        |),
-       |reach(a, b) AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-       |),
+       |l0 AS MATERIALIZED (
+       |  SELECT src AS id, least(src, min(dst)) AS lbl FROM edges GROUP BY src),
+       |$rounds,
+       |chk AS (
+       |  SELECT count(*) AS n
+       |  FROM $lastL cur
+       |  LEFT JOIN (
+       |    SELECT e.src AS id, min(n.lbl) AS m
+       |    FROM edges e JOIN $lastL n ON n.id = e.dst GROUP BY e.src) nbmin
+       |    ON nbmin.id = cur.id
+       |  LEFT JOIN $lastL j ON j.id = cur.lbl
+       |  WHERE least(cur.lbl, coalesce(nbmin.m, cur.lbl),
+       |              coalesce(j.lbl, cur.lbl)) < cur.lbl),
        |lab AS (
-       |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
-       |)
+       |  SELECT id, lbl AS cluster_id FROM $lastL
+       |  WHERE (SELECT n FROM chk) = 0
+       |)""".stripMargin
+  }
+
+  val q62Sql: String =
+    s"""WITH $q22CandCte,
+       |$ccLabSql
        |SELECT cluster_id, count(*) AS n_docs, max(id) AS max_doc
        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   val q121Sql: String =
-    s"""WITH RECURSIVE $q22CandCte,
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM cand22
-       |  UNION SELECT doc_b, doc_a FROM cand22
-       |),
-       |reach(a, b) AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-       |),
-       |lab AS (
-       |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
-       |),
+    s"""WITH $q22CandCte,
+       |$ccLabSql,
        |sizes AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1)
        |SELECT l.id AS doc_id, l.cluster_id,
        |  l.id = l.cluster_id AS is_canonical, s.n_docs
@@ -1394,19 +1429,8 @@ object Dedup {
   }
 
   val q124Sql: String =
-    s"""WITH RECURSIVE $q22CandCte,
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM cand22
-       |  UNION SELECT doc_b, doc_a FROM cand22
-       |),
-       |reach(a, b) AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-       |),
-       |lab AS (
-       |  SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a
-       |),
+    s"""WITH $q22CandCte,
+       |$ccLabSql,
        |per_src AS (
        |  SELECT d.source, count(*) AS n_docs,
        |    CAST(count(l.id) AS BIGINT) AS n_clustered,
