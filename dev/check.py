@@ -225,6 +225,14 @@ def main():
             n_fail += 1
             if len(g) != len(e):
                 print(f"FAIL {name}: rowcount {len(g)} != {len(e)}")
+                if name.split("_")[0] in ("q62", "q121", "q124", "q136", "q140") \
+                        and len(e) == 0:
+                    print("  note: EMPTY oracle here is the CC convergence "
+                          "canary firing — a component exceeded the "
+                          "OracleCcRounds=12 diameter ceiling (~4096; "
+                          "Dedup.scala scaladoc). The engine's labels are "
+                          "likely CORRECT; bump OracleCcRounds (each +1 "
+                          "round doubles covered diameter).")
             else:
                 k = next(i for i in range(len(g)) if g[i] != e[i])
                 print(f"FAIL {name}: first diff at row {k}:")

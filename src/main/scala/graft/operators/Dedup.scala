@@ -1323,7 +1323,21 @@ object Dedup {
     * diameter ~4096 — far past any near-dup blob; the convergence
     * canary below turns "not enough rounds" into a LOUD empty result,
     * never a plausible-looking wrong label (the Spark loop's own
-    * refuse-to-return contract). */
+    * refuse-to-return contract).
+    *
+    * TRIAGE NOTE (r11 advice): this constant is an ORACLE-SIDE
+    * ceiling, not an engine limit. A corpus whose candidate graph
+    * has a component of diameter > ~4096 makes the canary empty
+    * `lab`, so q62/q121/q124/q136/q140 verification fails LOUDLY
+    * (row/hash mismatch) even though the engine's converged labels —
+    * whose own cap covers diameter ~2^50 — are correct. If a
+    * check.py sweep fails on exactly this query family while the
+    * engine's q62 runs clean, bump this constant (each +1 round
+    * doubles the covered diameter at O(V) extra oracle rows) rather
+    * than suspecting the engine; dev/check.py prints the same
+    * reminder on those failures. A path-shaped near-dup chain that
+    * long has not appeared in any fixture (sf1's worst boilerplate
+    * blob is a ~110-doc clique, diameter ~2). */
   private val OracleCcRounds = 12
 
   /** Shared oracle fragment: symmetric `edges` over cand22 → `lab`
@@ -1451,32 +1465,71 @@ object Dedup {
   /** Edit-distance threshold and prefix width for q64. Prefix-40
     * bounds the DP cost per pair to 40×40 cells; d ≤ 12 over 40
     * chars ≈ 70% prefix similarity — the measured sweet spot on this
-    * corpus (6 pairs at sf0.01, 89 at sf0.1; the 5th-percentile
+    * corpus (6 pairs at sf0.01, 79 at sf0.1; the 5th-percentile
     * blocked-pair distance is 22, so the threshold cleanly separates
     * near-matches from the bulk). */
   private val FuzzyMaxDist = 12
   private val FuzzyPrefix = 40
 
+  /** q64 length-proximity bound (r11 verdict item 3 — the second
+    * blocking dimension): candidate pairs must also be within this
+    * many characters in total length. Chosen against the measured
+    * trade at sf0.1 — |Δn_chars| ≤ 64 keeps 79 of the 89
+    * prefix-near pairs while cutting (lang, first-token) block pair
+    * volume 4.1× (107,464 → 26,200; B=32 kept the same 79 at 7.9×
+    * but leaves no margin above the p90 true-pair Δ of 76). The
+    * semantic reading is standard ER blocking: a fuzzy NEAR-MATCH
+    * whose bodies differ by hundreds of characters is a prefix
+    * collision, not a near-match. The r11 sf1 sweep priced the
+    * missing dimension: the replica fixture's vocabulary does not
+    * grow with the corpus, so first-token blocks grew ×10 and the
+    * cell ran 76 s (×86); the length axis spreads those blocks
+    * regardless of vocabulary growth. */
+  private val FuzzyLenBand = 64L
+
   /** q64 — fuzzy (edit-distance) near-match join: document pairs in
-    * the same block whose 40-char prefixes are within Levenshtein
-    * distance 12. Blocking on (lang, first token) is what makes an
+    * the same block — same lang, same first token, total lengths
+    * within [[FuzzyLenBand]] — whose 40-char prefixes are within
+    * Levenshtein distance 12. Blocking is what makes an
     * edit-distance join distributable: levenshtein admits no
     * equi-join key, so the unblocked form is an all-pairs O(N²·L²)
     * catastrophe; the block key turns it into an equi-join shuffle
     * with per-block quadratic cost bounded by block size (the
     * standard entity-resolution blocking pattern — at 100 TB use
     * several redundant cheap keys and union, same shape as LSH
-    * banding). Both engines implement classic unit-cost edit
-    * distance, so the oracle reproduces distances exactly. */
+    * banding).
+    *
+    * The length axis distributes as an EQUI-join, not a theta join:
+    * docs land in ⌊n_chars/B⌋ bands (the q165 floor-exact form);
+    * each doc PROBES its own and the next band (a 2× explode of the
+    * probe side — the q165 sorted-neighborhood bucket trick), and
+    * |Δ| ≤ B guarantees band distance ≤ 1, so every qualifying pair
+    * is enumerated EXACTLY once (strictly-lower band probes up;
+    * same-band pairs dedup on doc id) — no post-distinct, no
+    * rank-range theta join. Both engines implement classic unit-cost
+    * edit distance, so the oracle reproduces distances exactly. */
   def q64(spark: SparkSession, sfDir: String): DataFrame = {
     val b = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("n_chars"),
         split(col("text"), " ").getItem(0).as("tok1"),
-        substring(col("text"), 1, FuzzyPrefix).as("pfx"))
-    b.select(col("lang"), col("tok1"), col("doc_id").as("doc_a"), col("pfx").as("pfx_a"))
-      .join(b.select(col("lang"), col("tok1"), col("doc_id").as("doc_b"), col("pfx").as("pfx_b")),
-        Seq("lang", "tok1"))
-      .filter(col("doc_a") < col("doc_b"))
+        substring(col("text"), 1, FuzzyPrefix).as("pfx"),
+        // largest-multiple floor form: floor-exact under either
+        // truncation or floor DIV semantics (the q165 precedent)
+        expr(s"CAST((n_chars - pmod(n_chars, $FuzzyLenBand)) DIV $FuzzyLenBand AS BIGINT)")
+          .as("blk"))
+    val probe = b.select(col("lang").as("lang_a"), col("tok1").as("tok1_a"),
+        col("blk").as("blk_a"), col("doc_id").as("id_a"),
+        col("n_chars").as("len_a"), col("pfx").as("pfx_a"))
+      .withColumn("gj", explode(array(col("blk_a"), col("blk_a") + 1)))
+    val res = b.select(col("lang").as("lang_b"), col("tok1").as("tok1_b"),
+      col("blk").as("blk_b"), col("doc_id").as("id_b"),
+      col("n_chars").as("len_b"), col("pfx").as("pfx_b"))
+    probe.join(res,
+        col("lang_a") === col("lang_b") && col("tok1_a") === col("tok1_b") &&
+          col("gj") === col("blk_b") &&
+          (col("blk_a") < col("blk_b") ||
+            (col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))) &&
+          abs(col("len_a") - col("len_b")) <= FuzzyLenBand)
       // threshold form: banded DP visits O(len·threshold) cells and
       // bails out early instead of O(len²) per pair, returning -1
       // above the bound — ~3× less DP work at threshold 12 over
@@ -1485,20 +1538,24 @@ object Dedup {
       .withColumn("dist",
         levenshtein(col("pfx_a"), col("pfx_b"), FuzzyMaxDist).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= FuzzyMaxDist)
-      .select("doc_a", "doc_b", "lang", "dist")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("lang_a").as("lang"), col("dist"))
       .orderBy("doc_a", "doc_b")
   }
 
   val q64Sql: String =
     s"""WITH b AS (
-       |  SELECT doc_id, lang, string_split(text, ' ')[1] AS tok1,
+       |  SELECT doc_id, lang, n_chars, string_split(text, ' ')[1] AS tok1,
        |    substr(text, 1, $FuzzyPrefix) AS pfx
        |  FROM documents
        |)
-       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.lang AS lang,
+       |SELECT least(x.doc_id, y.doc_id) AS doc_a,
+       | greatest(x.doc_id, y.doc_id) AS doc_b, x.lang AS lang,
        | CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS dist
        |FROM b x JOIN b y
        |  ON x.lang = y.lang AND x.tok1 = y.tok1 AND x.doc_id < y.doc_id
+       |  AND abs(x.n_chars - y.n_chars) <= $FuzzyLenBand
        |WHERE levenshtein(x.pfx, y.pfx) <= $FuzzyMaxDist
        |ORDER BY doc_a, doc_b""".stripMargin
 

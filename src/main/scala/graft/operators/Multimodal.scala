@@ -343,7 +343,11 @@ object Multimodal {
     * the 4-bit text-embedding banding (tuned for an exploratory
     * cos ≥ 0.4) would collide nearly every pair here, while 16-bit
     * bands keep expected random candidates at |pairs|·4/65536 —
-    * measured 9 at sf0.01, 756 at sf0.1 against 125k / 12.5M pairs.
+    * measured (r12 re-measure, reconciling the r11 docs' stale
+    * 9/756): 15 DISTINCT candidate pairs at sf0.01, 1593 at sf0.1,
+    * against 125k / 12.5M total pairs (the report's per-source
+    * n_cand_pairs sums to the same totals — each distinct pair
+    * attributes once, via its doc_b source).
     * IDENTICAL payloads embed identically and match on every band —
     * candidate recall 1.0 for exact duplicates by construction, the
     * only true-positive class a hash tower admits (OperatorSpec pins

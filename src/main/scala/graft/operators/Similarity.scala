@@ -227,7 +227,7 @@ object Similarity {
   private val centroidMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
 
-  private def trainedCentroids(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] = {
+  private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] = {
     val key = graft.sources.Tables.fingerprint(sfDir, Seq("embeddings"))
     centroidMemo.computeIfAbsent(key, _ => {
       val n = vecs(spark, sfDir)
@@ -236,6 +236,37 @@ object Similarity {
       try lloydTrain(n) finally { n.unpersist(false); () }
     })
   }
+
+  /** The `ivf-assign` family index: the (vec_id, v, cluster) posting
+    * relation every IVF-family consumer used to re-derive per query
+    * (r11 verdict item 2 — q30/q132/q133/q163 each paid the same
+    * narrow argmax pass; at sf1 that was ~2 s × 4). This is exactly
+    * the artifact a real IVF service stores alongside its centroids —
+    * the inverted lists — so it lives under the
+    * [[graft.functions.FamilyIndex]] discipline: built once per
+    * corpus fingerprint, persisted MEMORY_AND_DISK, superseded when
+    * the fixture is regenerated in-session, self-healing after a
+    * harness clearCache. Carrying `v` is deliberate: the index also
+    * serves fetch joins (the cell-scoped q37/q54 exact-cosine
+    * confirm reads vectors straight from the posting relation
+    * instead of re-scanning parquet) — what a vector store
+    * materializes anyway. O(N·(d+2)) values, the cosine-space
+    * corpus's own width, stored once per family lifetime. The build
+    * itself stays the zero-shuffle narrow argmax (centroid literals
+    * via [[centStructs]]), so serving it changes no consumer's
+    * exchange count — it only deletes their repeated scan+argmax
+    * subtrees. */
+  private[graft] def ivfAssignIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.FamilyIndex.of("ivf-assign", spark,
+      Tables.fingerprint(sfDir, Seq("embeddings"))) { () =>
+      val cents = trainedCentroids(spark, sfDir)
+      val asg = cvecs(spark, sfDir)
+        .withColumn("best", array_min(centStructs(cents)))
+        .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      asg.count() // eager — consumers read posting lists, not parquet
+      asg
+    }
 
   /** Unrolled Lloyd-iteration CTE chain over base relation `$base`
     * (must expose vec_id, v with len(v) = `dim`) — defines
@@ -281,7 +312,7 @@ object Similarity {
     * `array_sort` + slice gives the nprobe best. Negation is exact
     * (sign-bit flip), so ties and orderings agree bitwise with the
     * oracle's un-negated DESC sort. */
-  private def centStructs(cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+  private[graft] def centStructs(cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
     // One native loop over the centroid matrix ([[graft.functions
     // .CentroidScores]]) — the unrolled per-centroid cosine_sim form
     // blew past HotSpot's 8000-byte method limit at scale-aware nlist
@@ -311,8 +342,9 @@ object Similarity {
   def q30(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = trainedCentroids(spark, sfDir)
     val n = cvecs(spark, sfDir)
-    val assigned = n.withColumn("best", array_min(centStructs(cents)))
-      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
+    // posting lists served from the ivf-assign family index (one
+    // assignment pass per corpus, not one per consumer query)
+    val assigned = ivfAssignIndex(spark, sfDir)
     val queries = n.filter(col("vec_id") >= 8 && col("vec_id") < 28)
       .withColumn("best", array_min(centStructs(cents)))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -353,8 +385,7 @@ object Similarity {
   def q132(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = trainedCentroids(spark, sfDir)
     val n = cvecs(spark, sfDir)
-    val assigned = n.withColumn("best", array_min(centStructs(cents)))
-      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
+    val assigned = ivfAssignIndex(spark, sfDir)
     // queries keep their nprobe nearest centroids — the only change
     // from q30, and it multiplies the query side alone
     val queries = n.filter(col("vec_id") >= 8 && col("vec_id") < 28)
@@ -446,16 +477,46 @@ object Similarity {
     * (streaming/VectorStreams) enforces the same threshold. */
   private[graft] val NearDupCos = 0.4
 
+  /** q36 verifier-tier size cap (r11 verdict item 6): above this
+    * corpus size the exact all-pairs truth runs on a DETERMINISTIC
+    * md5-bucket sample of ~this many vectors instead of the full
+    * corpus — the q50 sampling discipline applied to the verifier so
+    * its quadratic is bounded by a constant at every scale (at the
+    * sf1 decade the uncapped form was 66 s, ×89; capped it is the
+    * sf0.1 cell's cost forever). Keep iff
+    * bucket(vec_id)·N < 65536·cap, where bucket = the first 4 md5
+    * hex digits as an integer — one uniform integer rule, no
+    * branching: for N ≤ cap every bucket qualifies (the driver
+    * fixtures sf0.001–0.1 are all full-corpus, so their outputs are
+    * byte-identical to the uncapped form), and past it the expected
+    * sample size is the cap regardless of N. Pure integer
+    * arithmetic; the oracle recomputes it from count(*)
+    * ([[ivfNlist]]'s discipline). The recall pins that read q36 as
+    * truth therefore read SAMPLED truth above the cap — an unbiased
+    * recall estimator over ~cap²/2 pairs, the honest large-scale
+    * posture (the alternative, full truth, is the ×89 cell the r11
+    * verdict retired). */
+  private[graft] val VerifierSampleCap = 4096L
+
   /** q36 — embedding-cosine near-dup, exact: every unordered pair
-    * with cosine ≥ threshold. VERIFIER, SMALL-N ONLY: inherently
-    * all-pairs (O(N²) flops), registered strictly as the ground truth
-    * that q37's recall is measured against (OperatorSpec pins
-    * q37 ⊆ q36 and recall ≥ 0.8) — never the operator to run on a
-    * full corpus; the scale path is q37/q54's banded LSH. One side
-    * broadcasts, the corpus streams once, and the native cosine keeps
-    * the pair loop inside WholeStageCodegen. */
+    * with cosine ≥ threshold among the verifier-tier vectors (the
+    * FULL corpus up to [[VerifierSampleCap]]; a deterministic
+    * md5-bucket sample of ~cap vectors past it). VERIFIER tier:
+    * inherently all-pairs (O(min(N, cap)²) flops), registered
+    * strictly as the ground truth that q37's recall is measured
+    * against (OperatorSpec pins q37 ⊆ co-cell q36 and recall ≥ 0.8)
+    * — never the operator to run on a full corpus; the scale path is
+    * q37/q54's cell-scoped banded LSH. One side broadcasts, the
+    * corpus streams once, and the native cosine keeps the pair loop
+    * inside WholeStageCodegen. */
   def q36(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = cvecs(spark, sfDir)
+    val all = cvecs(spark, sfDir)
+    // One count against the (cheap, pruned) corpus scan — the
+    // ivfNlist posture: a driver-side integer both engines rederive.
+    val nTotal = all.count()
+    val n = all.filter(
+      expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10) AS BIGINT)")
+        * lit(nTotal) < lit(65536L * VerifierSampleCap))
     val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     n.select(col("vec_id").as("vec_a"), col("v").as("va"))
       .join(broadcast(b), col("vec_a") < col("vec_b"))
@@ -466,30 +527,46 @@ object Similarity {
   }
 
   val q36Sql: String =
-    s"""WITH $normedSql
+    s"""WITH $normedSql,
+       |nc AS (SELECT count(*) AS nt FROM n),
+       |ns AS (
+       |  SELECT n.* FROM n, nc
+       |  WHERE ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+       |        * nc.nt < 65536 * $VerifierSampleCap)
        |SELECT vec_a, vec_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-       |  FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+       |  FROM ns a JOIN ns b ON a.vec_id < b.vec_id) t
        |WHERE cos >= $NearDupCos
        |ORDER BY vec_a, vec_b""".stripMargin
 
   import graft.functions.DotProduct.dot_product
 
-  /** SRP-LSH geometry, tuned against measured recall (OperatorSpec
-    * pins it): 48 hyperplanes as 12 bands × 4 bits give candidate
-    * recall 0.85 at sf0.01 (50/59 true pairs) and 0.88 at sf0.1
-    * (806/920) for the cos ≥ 0.4 threshold. The honest caveat, from
-    * the collision math: a cos-0.4 pair agrees with a random
-    * hyperplane w.p. 1−acos(0.4)/π ≈ 0.63 vs 0.50 for orthogonal
-    * pairs, so at THIS exploratory threshold no (bits, bands) setting
-    * is simultaneously high-recall and highly selective (measured
-    * sweep: 16 planes → recall 0.47 @ 24% of all-pairs; 48 planes →
-    * 0.85 @ 54%; 120 planes → 0.36 @ 7%). At a production near-dup
-    * threshold (cos ≥ 0.9, p_bit ≈ 0.86) the same machinery is sharp —
-    * e.g. 16-bit bands × 32 give recall ≈ 0.93 at a ~2⁻¹¹ random
-    * collision rate — which is why the banded shuffle, not the
-    * parameter choice, is the 100 TB design artifact here. */
+  /** SRP-LSH geometry: 48 hyperplanes as 12 bands × 4 bits.
+    *
+    * The exploratory-threshold caveat, from the collision math: a
+    * cos-0.4 pair agrees with a random hyperplane w.p.
+    * 1−acos(0.4)/π ≈ 0.63 vs 0.50 for orthogonal pairs, so at this
+    * corpus's exploratory threshold no (bits, bands) setting is
+    * simultaneously high-recall and highly selective (measured
+    * sweep, GLOBAL banding: 16 planes → recall 0.47 @ 24% of
+    * all-pairs; 48 planes → 0.85 @ 54%; 120 planes → 0.36 @ 7%).
+    * The r11 sf1 decade priced that diagnostic sweep's 48-plane
+    * point as a registered cell: 93 s, ×64 — banding alone is NOT
+    * the scale path at cos 0.4, and the sweep stays documented here
+    * as a diagnostic, not benchmarked (r11 verdict item 1).
+    *
+    * The REGISTERED q37/q54 candidate stage is therefore
+    * CELL-SCOPED ([[lshCandidates]]): band signatures collide only
+    * within a vector's IVF Voronoi cell (the SemDeDup bounding,
+    * served by the `ivf-assign` family index), so bucket sizes are
+    * bounded by E|cell| ≈ [[IvfTargetCell]] regardless of how
+    * non-selective the bands are, and total candidate volume stays
+    * ∝ N at every scale. At a production near-dup threshold
+    * (cos ≥ 0.9, p_bit ≈ 0.86) the banding itself is sharp — 16-bit
+    * bands × 4 give recall ≈ 0.93 at a ~2⁻¹¹ random collision rate,
+    * the q172 media-tower geometry — and the same cell-scoped plan
+    * only gets cheaper. */
   private val NumPlanes = 48
   private val BandBits = 4 // 12 bands × 4 bits
 
@@ -505,19 +582,6 @@ object Similarity {
       }
     }
 
-  /** Candidate (vec_a, vec_b) pairs from the banded SRP signature
-    * self-join — the sub-quadratic stage shared by q37 and q54.
-    * Candidate generation is a shuffle on (band_idx, band_val) —
-    * never an all-pairs product. Codegen'd self-join on the band key
-    * (the collect_list + pair-expansion alternative is
-    * CodegenFallback and measured ~3× slower here; the projection
-    * subtree is cheap — NumPlanes native dot products — so persisting
-    * the tiny signature and joining wins). Cache lifetime: the
-    * persisted signature (O(N · bands) longs — negligible next to the
-    * corpus) registers with [[graft.functions.CacheScope]] and is
-    * released by the harness's per-query `CacheScope.drain()`;
-    * library callers running many queries in one session should
-    * drain the same way. */
   /** Banded SRP signature expansion — the SHARED definition behind
     * the batch candidate stage ([[lshCandidates]]) and the streaming
     * near-dup twin (streaming/VectorStreams.nearDupPairStream): input
@@ -537,9 +601,28 @@ object Similarity {
         planes.map(_.toSeq), BandBits, col("v")))
         .as(Seq("band_idx", "band_val")): _*)
 
+  /** Candidate (vec_a, vec_b) pairs from the CELL-SCOPED banded SRP
+    * signature self-join — the sub-quadratic stage shared by q37 and
+    * q54. Signatures come from the `ivf-assign` posting relation
+    * (vector + its Voronoi cell); the self-join key is
+    * (cluster, band_idx, band_val), so a bucket can never exceed its
+    * cell — candidate volume is Σ_cells Σ_bands |bucket|² ≲
+    * bands · Σ|cell|²/2^bits ∝ N under the scale-aware [[ivfNlist]]
+    * (E|cell| ≈ 64), where the r11-measured GLOBAL banding at this
+    * exploratory threshold was ×64 superlinear (see [[NumPlanes]]).
+    * Never an all-pairs product. Codegen'd self-join on the band key
+    * (the collect_list + pair-expansion alternative is
+    * CodegenFallback and measured ~3× slower here; the projection
+    * subtree is cheap — NumPlanes native dot products over the
+    * already-persisted index — so caching the tiny signature and
+    * joining wins). Cache lifetime: the persisted signature
+    * (O(N · bands) rows of three longs — negligible next to the
+    * corpus) registers with [[graft.functions.CacheScope]] and is
+    * released by the harness's per-query `CacheScope.drain()`;
+    * library callers running many queries in one session should
+    * drain the same way. */
   private def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = vecs(spark, sfDir)
-    val sig = bandSigs(n, Seq("vec_id"))
+    val sig = bandSigs(ivfAssignIndex(spark, sfDir), Seq("vec_id", "cluster"))
       .scopedCache
     sig.count() // eager materialization — both join sides read the cache
     // NOT distinct: a pair colliding in k bands appears k times.
@@ -549,28 +632,39 @@ object Similarity {
     // shrunk to O(true pairs) — measured faster at sf0.1 and the
     // same trade at 100 TB (k ≤ bands duplicate flops vs a
     // candidate-volume shuffle).
-    sig.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_a"))
-      .join(sig.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_b")),
-        Seq("band_idx", "band_val"))
+    sig.select(col("cluster"), col("band_idx"), col("band_val"), col("vec_id").as("vec_a"))
+      .join(sig.select(col("cluster"), col("band_idx"), col("band_val"), col("vec_id").as("vec_b")),
+        Seq("cluster", "band_idx", "band_val"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
   }
 
-  /** q37 — embedding near-dup via sign-random-projection LSH (the
-    * scale path for q36): 48 deterministic ±1 hyperplane projections
-    * → 48 sign bits → 12 bands × 4 bits; vectors sharing any band
-    * signature are candidates ([[lshCandidates]]); exact cosine then
-    * keeps true pairs, so the output is a (recall-bounded, measured —
-    * see [[NumPlanes]]) subset of q36's. The candidate→vector fetch
-    * joins are deliberately UNHINTED: the vector side is the FULL
-    * normalized corpus — a forced broadcast of it is the
-    * driver-OOM-at-100TB class (the q154/q163 lesson) — so AQE
-    * broadcasts it only while its measured size fits, and degrades to
-    * a shuffle join keyed on vec_id otherwise (plan-pinned). Everything
-    * downstream of the deterministic planes is exact, so the oracle
-    * reproduces it. */
+  /** q37 — embedding near-dup via CELL-SCOPED sign-random-projection
+    * LSH (the scale path for q36): every vector is assigned to its
+    * IVF Voronoi cell (the `ivf-assign` family index — SemDeDup's
+    * bounding, Abbas et al. 2023); within a cell, 48 deterministic
+    * ±1 hyperplane projections → 48 sign bits → 12 bands × 4 bits,
+    * and vectors sharing a (cell, band) signature are candidates
+    * ([[lshCandidates]]); exact cosine then keeps true pairs. The
+    * output is exactly the banded subset of q133's co-cell pair set
+    * (and therefore of q36's global truth — no false positives
+    * ever); OperatorSpec pins both subset properties and the
+    * measured recall vs the co-cell truth (≥ 0.8). This is the r11
+    * verdict's re-registration: the former GLOBAL banding at this
+    * exploratory threshold was mathematically non-selective (the
+    * [[NumPlanes]] collision math) and measured ×64 at the sf1
+    * decade; cell scoping bounds every bucket by its cell, so the
+    * same geometry is ∝ N at any scale. The candidate→vector fetch
+    * joins read the posting relation itself (the index carries `v`)
+    * and stay deliberately UNHINTED: the vector side is the FULL
+    * corpus — a forced broadcast of it is the driver-OOM-at-100TB
+    * class (the q154/q163 lesson) — so AQE broadcasts it only while
+    * its measured size fits, and degrades to a shuffle join keyed on
+    * vec_id otherwise (plan-pinned). Everything downstream of the
+    * deterministic planes and the deterministic Lloyd cells is
+    * exact, so the oracle reproduces it. */
   def q37(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = cvecs(spark, sfDir)
+    val n = ivfAssignIndex(spark, sfDir)
     lshCandidates(spark, sfDir)
       .join(n.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(n.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
@@ -581,9 +675,37 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** SQL twin of [[lshCandidates]] (depends on the `n` CTE from
-    * [[normedSql]]) — shared by q37Sql and q54Sql. */
-  private val lshCandSql: String =
+  /** SQL twin of the `ivf-assign` posting relation: the q133-proven
+    * trained-centroid assignment chain ending in
+    * `assigned(vec_id, v, nrm, cluster)` — the oracle's copy of the
+    * family index, shared by q37Sql and q54Sql. */
+  private lazy val ivfAssignedSql: String =
+    s"""nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = $Dim),
+       |${kmeansCtesSql("nv")},
+       |n AS (
+       |  SELECT vec_id, v, nrm FROM (
+       |    SELECT vec_id, v,
+       |      sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+       |    FROM nv) t0
+       |  WHERE nrm > 0),
+       |cent AS (SELECT c_id, cv AS qv,
+       |    sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')) AS qn
+       |  FROM c$KmeansIters),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id AS cluster FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, cent.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(cent.qv, n.v) / (cent.qn * n.nrm) DESC,
+       |                 cent.c_id) AS rk
+       |    FROM n, cent) t
+       |  WHERE rk = 1)""".stripMargin
+
+  /** SQL twin of [[lshCandidates]] (depends on the `assigned` CTE
+    * from [[ivfAssignedSql]]) — shared by q37Sql and q54Sql. The
+    * band self-join carries the cluster key, so candidates are
+    * co-cell by construction. */
+  private lazy val lshCandSql: String =
     s"""planes AS (
        |  SELECT p.p AS p, d.d AS d,
        |    CASE WHEN substring(md5(CAST(p.p AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 1) >= '8'
@@ -592,22 +714,23 @@ object Similarity {
        |), pl AS (
        |  SELECT p, list(s ORDER BY d) AS sv FROM planes GROUP BY p
        |), bits AS (
-       |  SELECT n.vec_id, pl.p,
-       |    CASE WHEN list_inner_product(n.v, pl.sv) >= 0 THEN '1' ELSE '0' END AS bit
-       |  FROM n, pl
+       |  SELECT a.vec_id, a.cluster, pl.p,
+       |    CASE WHEN list_inner_product(a.v, pl.sv) >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM assigned a, pl
        |), sig AS (
-       |  SELECT vec_id, p // $BandBits AS band_idx,
+       |  SELECT vec_id, cluster, p // $BandBits AS band_idx,
        |    string_agg(bit, '' ORDER BY p) AS band_val
-       |  FROM bits GROUP BY vec_id, p // $BandBits
+       |  FROM bits GROUP BY vec_id, cluster, p // $BandBits
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM sig a JOIN sig b
-       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |    ON a.cluster = b.cluster
+       |   AND a.band_idx = b.band_idx AND a.band_val = b.band_val
        |   AND a.vec_id < b.vec_id
        |)""".stripMargin
 
-  val q37Sql: String =
-    s"""WITH $normedSql,
+  lazy val q37Sql: String =
+    s"""WITH $ivfAssignedSql,
        |$lshCandSql
        |SELECT vec_a, vec_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos FROM (
        |  SELECT vec_a, vec_b,
@@ -620,19 +743,21 @@ object Similarity {
 
   /** q54 — the composed embedding pipeline: near-dup removal (drop
     * the higher id of every candidate pair with exact cosine ≥
-    * threshold, where candidates come from the banded SRP-LSH join —
-    * [[lshCandidates]], q37's stage) → IVF coarse assignment of the
-    * survivors (q30's shape, centroids = surviving ids < 8) →
-    * per-cluster inventory. This IS the 100 TB shape end-to-end: the
-    * dedup stage shuffles band signatures (sub-quadratic, no
-    * all-pairs product anywhere in the plan), exact cosine runs only
-    * on candidates, and the output is the partition histogram an ANN
-    * index build needs (skewed clusters ⇒ re-train centroids). The
-    * dedup is recall-bounded exactly as q37 is (measured ≥ 0.85 —
-    * see [[NumPlanes]]); the oracle reproduces the identical
-    * candidate set, so the comparison stays bit-exact. */
+    * threshold, where candidates come from the CELL-SCOPED banded
+    * SRP-LSH join — [[lshCandidates]], q37's stage) → IVF coarse
+    * assignment of the survivors (q30's shape, centroids = surviving
+    * ids < 8) → per-cluster inventory. This IS the 100 TB shape
+    * end-to-end: the dedup stage shuffles band signatures within
+    * Voronoi cells (sub-quadratic with cell-bounded buckets — the
+    * r11 re-registration; the former global banding measured ×64 at
+    * the sf1 decade), exact cosine runs only on candidates, and the
+    * output is the partition histogram an ANN index build needs
+    * (skewed clusters ⇒ re-train centroids). The dedup is
+    * recall-bounded exactly as q37 is (vs the co-cell truth — see
+    * [[NumPlanes]]); the oracle reproduces the identical candidate
+    * set, so the comparison stays bit-exact. */
   def q54(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = cvecs(spark, sfDir)
+    val n = ivfAssignIndex(spark, sfDir).select(col("vec_id"), col("v"))
     val dupIds = lshCandidates(spark, sfDir)
       // UNHINTED like q37's fetch joins: the vector side is the full
       // corpus; AQE broadcasts while it fits, shuffles on vec_id past
@@ -655,8 +780,8 @@ object Similarity {
       .orderBy("cluster")
   }
 
-  val q54Sql: String =
-    s"""WITH $normedSql,
+  lazy val q54Sql: String =
+    s"""WITH $ivfAssignedSql,
        |$lshCandSql,
        |dups AS (
        |  SELECT DISTINCT nb.vec_id FROM cand
@@ -665,20 +790,20 @@ object Similarity {
        |  WHERE list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm) >= $NearDupCos
        |), survivors AS (
        |  SELECT * FROM n WHERE vec_id NOT IN (SELECT vec_id FROM dups)
-       |), cent AS (
+       |), scent AS (
        |  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM survivors WHERE vec_id < 8
-       |), assigned AS (
+       |), sassigned AS (
        |  SELECT vec_id, c_id FROM (
-       |    SELECT s.vec_id, cent.c_id,
+       |    SELECT s.vec_id, scent.c_id,
        |      row_number() OVER (PARTITION BY s.vec_id
-       |        ORDER BY list_inner_product(cent.cv, s.v) / (cent.cn * s.nrm) DESC,
-       |                 cent.c_id) AS rk
-       |    FROM survivors s, cent) t
+       |        ORDER BY list_inner_product(scent.cv, s.v) / (scent.cn * s.nrm) DESC,
+       |                 scent.c_id) AS rk
+       |    FROM survivors s, scent) t
        |  WHERE rk = 1
        |)
        |SELECT CAST(c_id AS BIGINT) AS cluster, count(*) AS n_vectors,
        | min(vec_id) AS min_vec, max(vec_id) AS max_vec
-       |FROM assigned GROUP BY c_id ORDER BY cluster""".stripMargin
+       |FROM sassigned GROUP BY c_id ORDER BY cluster""".stripMargin
 
   /** q133 — SemDeDup (cluster-then-dedup semantic deduplication, the
     * Abbas et al. 2023 recipe): assign every vector to its nearest
@@ -707,14 +832,10 @@ object Similarity {
     * grows with the data, and a skewed mega-cell is exactly what
     * q54's inventory flags for re-training. */
   def q133(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = trainedCentroids(spark, sfDir)
-    val n = cvecs(spark, sfDir)
-    // 3 consumers (both self-join sides + the membership rollup):
-    // persist so the argmax assignment runs once, not three times.
-    val assigned = n.withColumn("best", array_min(centStructs(cents)))
-      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
-      .scopedCache
-    assigned.count()
+    // 3 consumers (both self-join sides + the membership rollup) all
+    // read the persisted ivf-assign family index — the argmax
+    // assignment runs once per corpus, not three times per query.
+    val assigned = ivfAssignIndex(spark, sfDir)
     val dupPairs = assigned
       .select(col("cluster"), col("vec_id").as("vec_a"), col("v").as("va"))
       .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"),
@@ -884,9 +1005,21 @@ object Similarity {
   /** The BASE slice for the incremental-maintenance family: the
     * vectors that existed when the index was trained (vec_id % 10
     * < 8 — a deterministic 80% cut; the arriving 20% are the "new"
-    * vectors an online ingest appends after index build). Seeds
-    * vec_id < [[KmeansK]] all fall inside the slice, so the Lloyd
-    * loop is well-defined on it. */
+    * vectors an online ingest appends after index build).
+    *
+    * Seed-count note (r11 advice): [[lloydTrain]] seeds
+    * vec_id < [[ivfNlist]](count), and this slice excludes ids
+    * ≡ 8,9 (mod 10), so the maintenance trainer actually starts from
+    * ~0.8·nlist seeds — the trained cell count lands ≈ 0.8·nominal
+    * and E|cell| ≈ 80 rather than the family's 64 target. ACCEPTED
+    * as-is: engine and oracle compute the identical seed set (both
+    * apply the same `< k` rule to the same slice — the q168/q170
+    * oracles' seed CTE carries the slice predicate), the
+    * maintenance family's purpose is drift DETECTION (cell-count
+    * slack changes no verdict), and re-seeding from the first k ids
+    * PRESENT in the slice would buy back the 20% at the cost of a
+    * rank-over-slice pass in every oracle twin. Revisit only if a
+    * consumer starts caring about the absolute cell-size target. */
   private def baseVecs(spark: SparkSession, sfDir: String): DataFrame =
     vecs(spark, sfDir).filter(col("vec_id") % 10 < 8)
 
@@ -1849,7 +1982,8 @@ object Similarity {
     trainedCentroids(spark, sfDir)
     maintCentroids(spark, sfDir)
     trainedCodebooks(spark, sfDir)
-    Seq("kmeans-centroids", "maint-centroids", "pq-codebooks")
+    ivfAssignIndex(spark, sfDir)
+    Seq("kmeans-centroids", "maint-centroids", "pq-codebooks", "ivf-assign")
   }
 
   private def trainedCodebooks(spark: SparkSession, sfDir: String): Map[Int, Seq[(Long, Seq[Double])]] = {
@@ -2264,11 +2398,8 @@ object Similarity {
     * expressions; the margin is one subtraction of bit-equal doubles;
     * ties break on doc ids; floor-rounds at presentation only. */
   def q163(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = trainedCentroids(spark, sfDir)
-    val n = cvecs(spark, sfDir)
     val langs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
-    val assigned = n.withColumn("best", array_min(centStructs(cents)))
-      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
+    val assigned = ivfAssignIndex(spark, sfDir)
       .join(langs, col("vec_id") === col("doc_id"))
     val src = assigned.filter(col("lang") === BitextSrcLang)
       .select(col("vec_id").as("src_doc"), col("v").as("sv"), col("cluster"))

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-/** A vector's band-signature occurrence arriving on the stream. */
+/** A vector's band-signature occurrence arriving on the stream,
+  * carrying its frozen-centroid IVF cell (the batch `ivf-assign`
+  * posting relation's cluster, recomputed per arrival by the same
+  * narrow argmax expression). */
 case class VecArrival(vec_id: Long, ts: java.sql.Timestamp,
-    v: Seq[Double], band_idx: Int, band_val: String)
+    v: Seq[Double], cluster: Long, band_idx: Int, band_val: String)
 
 /** A confirmed near-duplicate pair (vec_a < vec_b, exact cosine ≥
   * threshold) emitted by [[VectorStreams.nearDupPairStream]]. */
@@ -28,18 +31,28 @@ case class CellDrift(cluster: Long, n_base: Long, n_new: Long, drifted: Long)
   * the watermark window. */
 case class BucketState(members: List[BucketMember])
 
-/** Streaming twin of the banded SRP-LSH near-dup detector (the q37 /
-  * q54 candidate+confirm stage) — the last batch⇔stream parity gap in
-  * the dedup family (row dedup: EventStreams.dedupStream; chunk
-  * dedup: CorpusStreams.chunkDedupStream; mixture enforcement:
+/** Streaming twin of the CELL-SCOPED banded SRP-LSH near-dup
+  * detector (the q37 / q54 candidate+confirm stage) — the last
+  * batch⇔stream parity gap in the dedup family (row dedup:
+  * EventStreams.dedupStream; chunk dedup:
+  * CorpusStreams.chunkDedupStream; mixture enforcement:
   * CorpusStreams.rebalanceStream).
   *
-  * Vectors arrive as an unbounded stream; each expands through the
-  * SAME `Similarity.bandSigs` banding as the batch query (one shared
-  * definition — the two paths cannot plane, band, or hash
-  * differently), lands in its 12 band buckets, and is compared by
-  * EXACT cosine against every bucket member seen within the watermark
-  * window. A pair crossing the threshold is emitted once per
+  * Vectors arrive as an unbounded stream; each is assigned to its
+  * IVF Voronoi cell against the FROZEN trained centroids (the
+  * annMaintenanceStream posture: train offline, serve online —
+  * `Similarity.centStructs`, the batch family's own argmax
+  * expression, so stream and batch can never cell a vector
+  * differently), then expands through the SAME `Similarity.bandSigs`
+  * banding as the batch query (one shared definition — the two
+  * paths cannot plane, band, or hash differently), lands in its 12
+  * (cell, band) buckets, and is compared by EXACT cosine against
+  * every bucket member seen within the watermark window. Cell
+  * scoping is also the streaming SKEW fix: a hot low-entropy band
+  * bucket is bounded by its Voronoi cell's window population, not
+  * the whole stream's (the r11 sf1 lesson — global banding at an
+  * exploratory threshold is non-selective, so its buckets grow with
+  * the corpus). A pair crossing the threshold is emitted once per
   * colliding band (the batch stage has the same multi-band
   * multiplicity pre-`distinct`; consumers set-collapse, as the spec
   * does). The in-bucket cosine loop accumulates left-to-right in
@@ -70,8 +83,8 @@ object VectorStreams {
   implicit val vecEnc: Encoder[VecArrival] = Encoders.product[VecArrival]
   implicit val pairEnc: Encoder[NearDupPair] = Encoders.product[NearDupPair]
   implicit val stateEnc: Encoder[BucketState] = Encoders.product[BucketState]
-  implicit val keyEnc: Encoder[(Int, String)] =
-    Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+  implicit val keyEnc: Encoder[(Long, Int, String)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.STRING)
 
   /** Schema of the vector stream (ts = ingest event time). */
   val vecSchema: StructType = StructType(Seq(
@@ -97,22 +110,24 @@ object VectorStreams {
     * arrive within `delayMs` of each other to be detected. Applies
     * the similarity layer's dimension and zero-norm contracts at the
     * reader, like every batch cosine consumer. */
-  def nearDupPairStream(vecs: DataFrame,
+  def nearDupPairStream(vecs: DataFrame, cents: Seq[(Long, Seq[Double])],
       delayMs: Long = 10L * 60 * 1000): Dataset[NearDupPair] = {
     import graft.functions.DotProduct.dot_product
-    import graft.operators.Similarity.{bandSigs, Dim, NearDupCos}
+    import graft.operators.Similarity.{bandSigs, centStructs, Dim, NearDupCos}
     val sigs = bandSigs(
       vecs.filter(size(col("embedding")) === Dim)
         .select(col("vec_id"), col("ts"),
           col("embedding").cast("array<double>").as("v"))
-        .filter(dot_product(col("v"), col("v")) > 0.0),
-      Seq("vec_id", "ts", "v"))
+        .filter(dot_product(col("v"), col("v")) > 0.0)
+        .withColumn("cluster",
+          array_min(centStructs(cents)).getField("c_id").cast("long")),
+      Seq("vec_id", "ts", "v", "cluster"))
       .withWatermark("ts", s"$delayMs milliseconds")
       .as[VecArrival]
-    sigs.groupByKey(r => (r.band_idx, r.band_val))
+    sigs.groupByKey(r => (r.cluster, r.band_idx, r.band_val))
       .flatMapGroupsWithState[BucketState, NearDupPair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, String), rows: Iterator[VecArrival],
+        (_: (Long, Int, String), rows: Iterator[VecArrival],
          state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             state.remove()

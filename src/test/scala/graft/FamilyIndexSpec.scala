@@ -89,28 +89,41 @@ class FamilyIndexSpec extends AnyFunSuite {
     // queries, rewriting the corpus files in place, and re-running.
     // Stale cross-serve would reproduce the first run's numbers
     // exactly; a leak would grow the materialized-entry count.
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, sum}
     val dir = java.nio.file.Files.createTempDirectory("graft_famregen").toString
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     docs.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    embs.write.mode("overwrite").parquet(dir + "/embeddings.parquet")
     // q22 builds the minhash-sig memo; q154 builds ssjoin-universe/
-    // prefix/docsigs — four family indexes over the temp corpus.
-    def run(): (Long, Long, Long) = try {
+    // prefix/docsigs; q133 builds ivf-assign (and the trained-
+    // centroid driver memo behind it) — five family indexes over the
+    // temp corpus.
+    def run(): (Long, Long, Long, Long) = try {
       (SparkEntry.queries("q22_minhash_lsh")(spark, dir).count(),
         SparkEntry.queries("q154_prefix_ssjoin")(spark, dir).count(),
-        SparkEntry.queries("q21_exact_dedup")(spark, dir).count())
+        SparkEntry.queries("q21_exact_dedup")(spark, dir).count(),
+        SparkEntry.queries("q133_semdedup")(spark, dir)
+          .agg(sum("n_members")).collect()(0).getLong(0))
     } finally graft.functions.CacheScope.drain()
     val before = run()
     val matBefore = graft.functions.FamilyIndex.liveMaterializedCount(spark)
-    assert(matBefore >= 4, s"expected the 4 family memos live, saw $matBefore")
+    assert(matBefore >= 5, s"expected the 5 family memos live, saw $matBefore")
     Thread.sleep(1100) // defeat mtime granularity in the fingerprint
     docs.filter(col("doc_id") < 250)
       .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    embs.filter(col("vec_id") < 250)
+      .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
     val after = run()
     // q21's report is one row per surviving doc — deterministic 250 on
     // the regenerated half-corpus; a stale memo would still say 500.
     assert(after._3 === 250L,
       s"q21 reported ${after._3} docs after regeneration — stale memo serve")
+    // q133's membership rollup counts every cosine-space vector once:
+    // a stale ivf-assign (or centroid) memo would still roll up the
+    // full 500-vector corpus.
+    assert(after._4 <= 250L && after._4 > 0L,
+      s"q133 rolled up ${after._4} members after regeneration — stale ivf-assign serve")
     assert(after !== before, "regenerated corpus reproduced old results")
     val matAfter = graft.functions.FamilyIndex.liveMaterializedCount(spark)
     assert(matAfter === matBefore,

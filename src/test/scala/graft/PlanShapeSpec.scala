@@ -501,6 +501,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-assign family index serves q30/q133/q37: posting lists from cache, no per-consumer re-assignment") {
+    // r11 verdict item 2: q30/q132/q133/q163/q37/q54 used to each
+    // recompute the narrow argmax assignment per query (~2 s × 4 at
+    // sf1). Served from the ivf-assign FamilyIndex, a consumer's
+    // CORPUS leg must read the persisted posting relation
+    // (InMemoryTableScan) and must not re-evaluate the centroid
+    // scoring expression over the corpus. Formatted explain EXPANDS
+    // the InMemoryRelation's cached build plan, so the build's own
+    // centroid site is visible inside every consumer — the pin is
+    // therefore RELATIVE: a consumer may carry exactly the index's
+    // own site count (its cached subtree), plus one for q30's
+    // deliberate vec_id-pruned probe-side projection; anything more
+    // is a corpus re-assignment.
+    val fmt = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    val idx = graft.operators.Similarity.ivfAssignIndex(spark, sf)
+    def sites(p: String) = "centroid_negcos_scores".r.findAllIn(p).size
+    val base = sites(idx.queryExecution.explainString(fmt))
+    val p133 = plan("q133_semdedup")
+    assert(p133.contains("InMemoryTableScan"),
+      s"q133 corpus leg not served from the ivf-assign index:\n$p133")
+    assert(sites(p133) == base,
+      s"q133 has ${sites(p133)} centroid sites vs the index's $base — re-assigning:\n$p133")
+    val p37 = plan("q37_srp_lsh_neardup")
+    assert(p37.contains("InMemoryTableScan") && sites(p37) == base,
+      s"q37 has ${sites(p37)} centroid sites vs the index's $base — re-assigning:\n$p37")
+    val p30 = plan("q30_ann_ivf")
+    assert(p30.contains("InMemoryTableScan"),
+      s"q30 corpus leg not served from the ivf-assign index:\n$p30")
+    // the probe-side argmax prints in TWO Project details (the
+    // withColumn and the q_id-aliasing projection) — a corpus-side
+    // re-assignment would add two more on top of these
+    assert(sites(p30) <= base + 2,
+      s"q30 has ${sites(p30)} centroid sites (index $base + 2 probe prints expected):\n$p30")
+  }
+
   test("q114: sparse KL — per-token source map, no sort-merge, never the dense |V|·S² grid") {
     // The zero-zero tail is closed-form (z·term0), so the plan must
     // carry only OBSERVED (source, tok) rows. r9 replaced the

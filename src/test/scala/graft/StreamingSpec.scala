@@ -354,8 +354,13 @@ class StreamingSpec extends AnyFunSuite {
     vecs.filter(col("vec_id") >= mid).coalesce(1).write.mode("append").json(dir)
     val stream = spark.readStream.schema(VectorStreams.vecSchema)
       .option("maxFilesPerTrigger", 1).json(dir)
+    // Frozen trained centroids — the cell-scoped twin's offline
+    // model, identical to the batch ivf-assign family's.
+    val cents = graft.operators.Similarity.trainedCentroids(
+      spark, "/root/testdata/sf0.001")
     val q = EventStreams.runToMemory(
-      VectorStreams.nearDupPairStream(stream, delayMs = 3600L * 1000).toDF(),
+      VectorStreams.nearDupPairStream(stream, cents,
+        delayMs = 3600L * 1000).toDF(),
       "lsh_neardup_out", outputMode = "append")
     try {
       assert(q.recentProgress.length >= 2,
@@ -364,7 +369,10 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val want = SparkEntry.queries("q37_srp_lsh_neardup")(spark, "/root/testdata/sf0.001")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(want.size > 40, s"degenerate batch truth: ${want.size} pairs")
+      // cell-scoped truth is smaller than the former global banding's
+      // 56 pairs (only co-cell pairs are candidates) but must stay
+      // non-degenerate for the parity check to mean anything
+      assert(want.size > 10, s"degenerate batch truth: ${want.size} pairs")
       assert(got === want,
         s"stream pair-set diverged from batch: missing ${want -- got}, extra ${got -- want}")
     } finally q.stop()
@@ -696,8 +704,14 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.StatefulOps.evEnc
     val multiDir = writeEventsJson(4, "graft_tclsstream")
     val stream = EventStreams.readEventStream(spark, multiDir, maxFilesPerTrigger = 1).as[Ev]
+    // Batch parity means auditing ALL history — full-history replay is
+    // the one posture that explicitly opts OUT of the r11 default
+    // retention horizon (which itself must stay finite out of the box).
+    assert(StatefulOps.DefaultTclsRetainDays.exists(_ > 0),
+      "default t-closeness horizon is no longer finite — forever-run state is unbounded again")
     val q = EventStreams.runToMemory(
-      StatefulOps.tclosenessMonitor(stream).toDF(), "tcls_out", outputMode = "update")
+      StatefulOps.tclosenessMonitor(stream, retainDays = None).toDF(),
+      "tcls_out", outputMode = "update")
     try {
       assert(q.recentProgress.length >= 4, "cross-batch state path not exercised")
       val rows = spark.table("tcls_out").collect()
