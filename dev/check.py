@@ -160,6 +160,15 @@ def main():
     if "--skip-verify" not in FLAGS:
         run_verify()
     con = duckdb.connect()
+    # Spill instead of dying: an in-memory DuckDB has NO temp
+    # directory, so a single big operator (the r12 sf1 gate lost q30's
+    # 6.3M-row assignment window to "Failed to allocate" at the
+    # default ~80%-of-RAM ceiling after 100 earlier queries had warmed
+    # the buffer pool) aborts the whole sweep. A bounded limit plus an
+    # explicit temp dir turns that into a slower, spilling query.
+    con.execute("SET memory_limit='48GB'")
+    os.makedirs(f"{OUT_DIR}/.duck_tmp", exist_ok=True)
+    con.execute(f"SET temp_directory='{OUT_DIR}/.duck_tmp'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")

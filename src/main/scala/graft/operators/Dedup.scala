@@ -1524,12 +1524,37 @@ object Dedup {
     val res = b.select(col("lang").as("lang_b"), col("tok1").as("tok1_b"),
       col("blk").as("blk_b"), col("doc_id").as("id_b"),
       col("n_chars").as("len_b"), col("pfx").as("pfx_b"))
-    probe.join(res,
+    // Candidate enumeration, CHEAP predicates only — the expensive
+    // verify must NOT live here. The r12 sf1 profile: Catalyst folds
+    // a downstream `dist ≤ 12` filter INTO THE JOIN CONDITION (it
+    // pushes straight through an Exchange placed between join and
+    // filter), so the 12 µs/pair DP ran inside the join stage, which
+    // AQE had coalesced to 1-2 partitions (its byte-based advisory
+    // sees ~20 MB of skinny inputs, not the 2.6M-pair OUTPUT) — ~35 s
+    // of effectively single-core levenshtein at sf1. Salting the key
+    // spread the keys but not the partitions and measured the same.
+    val cands = probe.join(res,
         col("lang_a") === col("lang_b") && col("tok1_a") === col("tok1_b") &&
           col("gj") === col("blk_b") &&
           (col("blk_a") < col("blk_b") ||
             (col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))) &&
           abs(col("len_a") - col("len_b")) <= FuzzyLenBand)
+      .select("id_a", "id_b", "lang_a", "pfx_a", "pfx_b")
+      // Rebalance + BARRIER before the DP: the explicit-N repartition
+      // spreads the candidate rows evenly (a user-numbered shuffle is
+      // exempt from AQE coalescing), and the lazy localCheckpoint
+      // (the q62 lineage-barrier pattern, CacheScope-registered)
+      // stops the predicate pushdown at the RDD boundary, so the
+      // verify runs ONCE per candidate in a fully parallel stage:
+      // 36 → ~2 s at sf1. At 100 TB this is the standard
+      // rebalance-before-expensive-verify stage, and the materialized
+      // barrier is ids + two 40-char prefixes per candidate — a
+      // fraction of the corpus.
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("id_a"), col("id_b"))
+      .localCheckpoint(false)
+      .transform(graft.functions.CacheScope.registerCheckpoint)
+    cands
       // threshold form: banded DP visits O(len·threshold) cells and
       // bails out early instead of O(len²) per pair, returning -1
       // above the bound — ~3× less DP work at threshold 12 over
