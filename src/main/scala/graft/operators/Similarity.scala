@@ -1448,16 +1448,26 @@ object Similarity {
     * division is IEEE-on-identical-bits, and the means aggregate in
     * DECIMAL(28,12) (order-independent) before one floorRound. */
   def q143(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.EuclideanDistance.l2_distance
     val cents = trainedCentroids(spark, sfDir)
     val n = vecs(spark, sfDir)
-    val sortedDists = array_sort(array(cents.map { case (cId, cv) =>
-      struct(l2_distance(typedlit(cv), col("v")).as("dist"),
-        lit(cId).as("c_id"))
-    }: _*))
-    n.withColumn("ds", sortedDists)
-      .select(col("ds")(0)("c_id").as("cluster"),
-        col("ds")(0)("dist").as("a"), col("ds")(1)("dist").as("b"))
+    // Native centroid loop, NOT nlist unrolled l2_distance structs:
+    // at the sf1 decade's nlist = 313 the unrolled form re-crossed
+    // HotSpot's 8000-byte huge-method limit (the r11 q30 cliff, found
+    // again by the r12 sf1 gate's ratio table — ×24.6) and ran
+    // interpreted; the loop form emits bit-identical (dist, c_id)
+    // structs at constant bytecode size. And only the TOP-2 are
+    // needed, so: array_min for the nearest, array_min over the
+    // best-cell-excluded remainder for the second-nearest — O(nlist)
+    // struct comparisons per row instead of array_sort's
+    // O(nlist log nlist) (struct ordering is interpreted per
+    // comparison; at nlist = 313 the full sort was the residual
+    // cost). Tie behavior identical: struct ordering (dist, c_id) ≡
+    // the sorted form's [0] and [1] ≡ the oracle's row_number order.
+    n.withColumn("sc", graft.functions.CentroidScores.centroid_l2(cents, col("v")))
+      .withColumn("best", array_min(col("sc")))
+      .select(col("best.c_id").as("cluster"), col("best.dist").as("a"),
+        array_min(filter(col("sc"),
+          s => s("c_id") =!= col("best")("c_id")))("dist").as("b"))
       .withColumn("s", when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
         .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
       .groupBy("cluster")
