@@ -2273,7 +2273,88 @@ object Dedup {
        |FROM s ORDER BY raw DESC, doc_a, doc_b""".stripMargin
   }
 
+  /** Duplicated-span token width (q175): 8-token exact spans, the
+    * granularity substring-level training-data dedup uses — long
+    * enough that a shared span means copied text, short enough to
+    * catch partial overlap exact dedup (q21, whole-text) misses. */
+  private val SpanK = 8
+
+  /** q175 — duplicated-span scrub: substring-level dedup that MASKS
+    * repeated text instead of dropping documents (the "dedup inside
+    * documents" pass of an LLM pipeline — whole-doc dedup keeps the
+    * first copy of a near-dup pair intact, but the shared passage is
+    * still trained on twice). Every token position covered by an
+    * 8-token span whose exact content already occurred earlier in
+    * the corpus (first occurrence = lowest (doc_id, pos), the same
+    * keep-first rule as q21) is marked masked; the report is
+    * per-document masked-token counts and rates, docs with no
+    * duplicated span omitted.
+    *
+    * Shapes: one shuffle keyed on the 32-hex span fingerprint (the
+    * row_number window — text itself never shuffles), then an
+    * 8×|dup| explode deduped per (doc, position). At 100 TB the
+    * window input is corpus-token-sized but each partition-group is
+    * occurrence-count-sized (almost always 1); the explode is
+    * proportional to duplicated volume only. Same plan family as
+    * q131/q145, which the sf1 gate measured sublinear. */
+  def q175(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= SpanK)
+    val occ = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - lit(SpanK - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("t"), col("pos"), lit(SpanK)))).as("h"))
+    val dup = occ
+      .withColumn("rk", row_number().over(
+        w.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("rk") > 1)
+    val masked = dup
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(SpanK - 1))).as("mpos"))
+      .distinct()
+    val perDoc = masked.groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(perDoc, "doc_id")
+      .withColumn("masked_rate",
+        floorRound(col("n_masked").cast("double") / col("n_tokens"), 6))
+      .select("doc_id", "n_tokens", "n_masked", "masked_rate")
+      .orderBy("doc_id")
+  }
+
+  val q175Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |  WHERE len(string_split(text,' ')) >= $SpanK
+       |), occ AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(t[pos:pos+${SpanK - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, unnest(range(1, len(t)-${SpanK - 2})) AS pos, t
+       |        FROM toks) u
+       |), dup AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+       |    FROM occ) r WHERE rk > 1
+       |), masked AS (
+       |  SELECT DISTINCT doc_id, mpos FROM (
+       |    SELECT doc_id, unnest(generate_series(pos, pos+${SpanK - 1})) AS mpos
+       |    FROM dup) u
+       |), perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked
+       |  FROM masked GROUP BY doc_id)
+       |SELECT l.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, n_masked,
+       |  ${floorRoundSql(s"CAST(n_masked AS DOUBLE) / len(t)", 6)} AS masked_rate
+       |FROM toks l JOIN perdoc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_dupspan_scrub" -> q175 _,
     "q165_fs_linkage" -> q165 _,
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
@@ -2296,6 +2377,7 @@ object Dedup {
     "q140_source_dup_matrix" -> q140 _)
 
   val oracles: Map[String, String] = Map(
+    "q175_dupspan_scrub" -> q175Sql,
     "q165_fs_linkage" -> q165Sql,
     "q21_exact_dedup" -> q21Sql,
     "q22_minhash_lsh" -> q22Sql,

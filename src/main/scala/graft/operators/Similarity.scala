@@ -2492,7 +2492,58 @@ object Similarity {
        |  ${floorRoundSql("cos1 - cos2", 6)} AS margin
        |FROM top ORDER BY cos1 - cos2 DESC, src_doc LIMIT 10""".stripMargin
 
+  /** q176 — cluster-balanced diversity sample: deterministic
+    * per-Voronoi-cell quotas of ⌈√|cell|⌉ members, selected by
+    * md5(vec_id) rank within the cell — the "sample across semantic
+    * space, not across row order" selection a curation pipeline uses
+    * to keep long-tail clusters represented (uniform sampling is
+    * dominated by the head clusters; √-scaling is the standard
+    * between-uniform-and-equal allocation). Rides the `ivf-assign`
+    * family index (r11 verdict item 2), so the assignment pass is
+    * served from the posting relation, not recomputed; the only new
+    * work is one cell-keyed window (count + hash rank in a single
+    * partition pass — both windows share the exchange).
+    *
+    * 100 TB shape: E|cell| ≈ 64 by the nlist schedule, so every
+    * window group is ~64 rows regardless of corpus size, and the
+    * output is Σ⌈√|cell|⌉ ≈ N/8 rows of ids — the downstream
+    * training-mix join key, never vectors. Determinism is the md5
+    * rank (HashBucket discipline): retries and engines agree on the
+    * exact member set. */
+  def q176(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCell = Window.partitionBy("cluster")
+    ivfAssignIndex(spark, sfDir)
+      .select(col("vec_id"), col("cluster"))
+      .withColumn("csize", count(lit(1)).over(byCell))
+      .withColumn("rk", row_number().over(byCell.orderBy(
+        expr(graft.functions.HashBucket.rawExpr("vec_id")), col("vec_id")))
+        .cast("long"))
+      .withColumn("quota", ceil(sqrt(col("csize").cast("double"))).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("csize").cast("long").as("csize"), col("quota"), col("rk"),
+        col("vec_id"))
+      .orderBy("cluster", "rk")
+  }
+
+  val q176Sql: String =
+    s"""WITH $ivfAssignedSql,
+       |sized AS (
+       |  SELECT cluster, vec_id,
+       |    count(*) OVER (PARTITION BY cluster) AS csize,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY ${graft.functions.HashBucket.rawSql("vec_id")}, vec_id) AS rk
+       |  FROM assigned)
+       |SELECT CAST(cluster AS BIGINT) AS cluster,
+       |  CAST(csize AS BIGINT) AS csize,
+       |  CAST(ceil(sqrt(CAST(csize AS DOUBLE))) AS BIGINT) AS quota,
+       |  CAST(rk AS BIGINT) AS rk, vec_id
+       |FROM sized
+       |WHERE rk <= CAST(ceil(sqrt(CAST(csize AS DOUBLE))) AS BIGINT)
+       |ORDER BY cluster, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_cluster_balanced_sample" -> q176 _,
     "q163_bitext_mining" -> q163 _,
     "q162_mmr_select" -> q162 _,
     "q158_pq_codebook" -> q158 _,
@@ -2518,6 +2569,7 @@ object Similarity {
     "q137_hard_negatives" -> q137 _)
 
   val oracles: Map[String, String] = Map(
+    "q176_cluster_balanced_sample" -> q176Sql,
     "q163_bitext_mining" -> q163Sql,
     "q162_mmr_select" -> q162Sql,
     "q158_pq_codebook" -> q158Sql,

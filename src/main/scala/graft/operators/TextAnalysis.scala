@@ -255,6 +255,94 @@ object TextAnalysis {
       |    GROUP BY lang, tok) c) r
       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  /** Count-min sketch geometry (q174). Width 256 over the fixture's
+    * ~930 distinct bigrams guarantees real collisions (measured: 815
+    * of 916 grams overestimated at sf0.01, max overcount 148), so the
+    * min-over-rows estimate is non-trivially exercised; depth 4 rows
+    * is the standard ε = e/w, δ = e⁻ᵈ trade. */
+  private val CmRows = 4
+  private val CmWidth = 256
+  private val CmTopK = 20
+
+  /** q174 — count-min sketch heavy hitters over corpus bigrams, with
+    * the sketch REPLAYED exactly by the oracle (unlike the engine's
+    * 5 declared rows-only sketches, CM over deterministic md5 row
+    * hashes is bit-reproducible on any engine — DuckDB recomputes
+    * the identical 4×256 counter array). Pipeline: bigram counts
+    * (one vocab-sized shuffle with map-side partials), bucket sums
+    * per sketch row via a window over the 4×256 cells, estimate =
+    * min over rows, then a distributed TakeOrdered top-20 so the
+    * rank window only ever sees 20 rows. CM's one-sided guarantee
+    * (est ≥ exact, always) is pinned by OperatorSpec over the whole
+    * vocabulary.
+    *
+    * 100 TB shape: sketch state is a FIXED 1024 cells no matter the
+    * corpus (that is the point of CM) — the only data-sized stages
+    * are the bigram count (map-side combined) and the top-k
+    * (TakeOrderedAndProject, no global sort materialized); in a
+    * production heavy-hitter pass you'd add `est ≥ φN` before the
+    * top-k, which this plan's shape already accommodates as one
+    * more codegen'd filter.
+    *
+    * [[cmEstimates]] is the full-vocabulary (gram, cnt, est) frame
+    * behind the top-k — exposed so OperatorSpec can pin CM's
+    * one-sided guarantee (est ≥ cnt) over EVERY gram, not just the
+    * published rows. */
+  private[graft] def cmEstimates(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= 2)
+    // Positional explode + element_at, NOT transform(...) — the
+    // higher-order-function form is CodegenFallback (same pitfall the
+    // file header records for shingles); this stays in whole-stage
+    // codegen end to end.
+    val grams = toks
+      .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(concat(element_at(col("t"), col("i")), lit(" "),
+        element_at(col("t"), col("i") + 1)).as("gram"))
+    val vocab = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val vr = vocab
+      .select(col("gram"), col("cnt"),
+        explode(sequence(lit(0), lit(CmRows - 1))).as("r"))
+      .withColumn("bucket", expr("CAST(conv(substring(md5(concat(gram, ':', " +
+        s"CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) % $CmWidth"))
+    vr.withColumn("bsum", sum("cnt").over(Window.partitionBy("r", "bucket")))
+      .groupBy("gram").agg(max("cnt").as("cnt"), min("bsum").as("est"))
+  }
+
+  def q174(spark: SparkSession, sfDir: String): DataFrame = {
+    cmEstimates(spark, sfDir)
+      .orderBy(col("est").desc, col("gram")).limit(CmTopK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("est").desc, col("gram"))).cast("long"))
+      .select(col("rk"), col("gram"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+      .orderBy("rk")
+  }
+
+  val q174Sql: String =
+    s"""WITH toks AS (
+      |  SELECT string_split(text,' ') AS t FROM documents
+      |  WHERE len(string_split(text,' ')) >= 2
+      |), grams AS (
+      |  SELECT t[i] || ' ' || t[i+1] AS gram
+      |  FROM (SELECT unnest(range(1, len(t))) AS i, t FROM toks) u
+      |), vocab AS (
+      |  SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+      |), vr AS (
+      |  SELECT gram, cnt, r,
+      |    CAST(('0x' || substring(md5(gram || ':' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % $CmWidth AS bucket
+      |  FROM vocab, (SELECT unnest(range(0, $CmRows)) AS r) rows
+      |), est AS (
+      |  SELECT gram, CAST(max(cnt) AS BIGINT) AS cnt, CAST(min(bsum) AS BIGINT) AS est
+      |  FROM (SELECT gram, cnt, sum(cnt) OVER (PARTITION BY r, bucket) AS bsum FROM vr) w
+      |  GROUP BY gram)
+      |SELECT rk, gram, cnt, est, est - cnt AS overcount FROM (
+      |  SELECT gram, cnt, est,
+      |    CAST(row_number() OVER (ORDER BY est DESC, gram) AS BIGINT) AS rk
+      |  FROM est) r
+      |WHERE rk <= $CmTopK ORDER BY rk""".stripMargin
+
   /** q50 — deterministic hash sampling: a reproducible 10% sample per
     * source via md5(doc_id) mod 100 < 10 — the sampling method a
     * training-data pipeline actually wants at 100 TB (no RNG state,
@@ -1786,6 +1874,7 @@ object TextAnalysis {
     "q65_stratified_sample" -> q65 _,
     "q68_decontamination" -> q68 _,
     "q41_salted_heavy_hitters" -> q41 _,
+    "q174_countmin_heavy" -> q174 _,
     "q25_token_stats" -> q25 _,
     "q148_tokenizer_fertility" -> q148 _,
     "q26_quality_score" -> q26 _,
@@ -1812,6 +1901,7 @@ object TextAnalysis {
     "q65_stratified_sample" -> q65Sql,
     "q68_decontamination" -> q68Sql,
     "q41_salted_heavy_hitters" -> q41Sql,
+    "q174_countmin_heavy" -> q174Sql,
     "q25_token_stats" -> q25Sql,
     "q148_tokenizer_fertility" -> q148Sql,
     "q26_quality_score" -> q26Sql,

@@ -2526,4 +2526,94 @@ class OperatorSpec extends AnyFunSuite {
       assert(meanCos >= -1.0 - 1e-9 && meanCos <= 1.0 + 1e-9, s"label $l cos range")
     }
   }
+
+  test("q174 count-min: one-sided guarantee over the WHOLE vocabulary, exact counts, exercised collisions") {
+    import org.apache.spark.sql.functions._
+    val est = graft.operators.TextAnalysis.cmEstimates(spark, sf).collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("cnt"), r.getAs[Long]("est")))
+    // CM never underestimates — for every gram, not just the top-k.
+    val under = est.filter { case (_, cnt, e) => e < cnt }
+    assert(under.isEmpty, s"CM underestimated: ${under.take(5).toSeq}")
+    // The geometry must actually collide (width 256 < vocab) or the
+    // sketch degenerates to an exact count and the test proves nothing.
+    assert(est.exists { case (_, cnt, e) => e > cnt },
+      "no collisions — sketch trivially exact, geometry drifted")
+    // The cnt column is the true bigram count (cross-check brute force).
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    val exact = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { r =>
+      val t = r.getString(1).split(" ", -1)
+      var i = 0
+      while (i < t.length - 1) {
+        val g = t(i) + " " + t(i + 1)
+        exact.update(g, exact.getOrElse(g, 0L) + 1L); i += 1
+      }
+    }
+    assert(est.map(e => e._1 -> e._2).toMap === exact.toMap, "exact counts diverge from brute force")
+    // Published top-k is the estimate-ordered head of that frame.
+    val top = SparkEntry.queries("q174_countmin_heavy")(spark, sf).collect()
+    assert(top.length === 20)
+    val expTop = est.sortBy { case (g, _, e) => (-e, g) }.take(20)
+    assert(top.map(r => (r.getAs[String]("gram"), r.getAs[Long]("est"))).toSeq ===
+      expTop.map(e => (e._1, e._3)).toSeq, "top-k disagrees with full-frame ordering")
+    assert(top.forall(_.getAs[Long]("overcount") >= 0L))
+  }
+
+  test("q175 dup-span scrub: injected shared passage masked at the non-first occurrence only; verbatim copy fully masked") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q175_inj").toString
+    // 8-token passage shared between 9201 (first, by doc_id) and 9202
+    // (later — its covered positions must be masked). 9203 is a
+    // verbatim copy of 9201: every position covered by some repeated
+    // 8-gram → fully masked. 9204 shares nothing 8 tokens long.
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val d1 = s"a1 a2 $passage a3 a4"         // 12 tokens, passage at pos 3..10
+    val d2 = s"b1 $passage b2 b3 b4"         // 12 tokens, passage at pos 2..9
+    val d3 = d1                               // verbatim copy
+    val d4 = "c1 c2 c3 c4 c5 c6 c7 c8 c9"    // unique 9-token doc
+    val injected = Seq(
+      (9201L, d1, "xx", "srcI", d1.length.toLong),
+      (9202L, d2, "xx", "srcI", d2.length.toLong),
+      (9203L, d3, "xx", "srcI", d3.length.toLong),
+      (9204L, d4, "xx", "srcI", d4.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    injected.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q175_dupspan_scrub")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"),
+        r.getAs[Double]("masked_rate"))).toMap
+    // 9201 is the global first occurrence of every one of its spans
+    // (doc_id order) — nothing masked, so it must be ABSENT.
+    assert(!got.contains(9201L), s"first occurrence masked: $got")
+    assert(!got.contains(9204L), s"unique doc masked: $got")
+    // 9202: only the 8 passage positions (2..9) are covered by a
+    // repeated span (its b-prefixed spans are unique).
+    assert(got(9202L) === ((12L, 8L, math.floor(8.0 / 12 * 1e6 + 0.5) / 1e6)), s"got $got")
+    // 9203: verbatim copy — all 12 positions masked, rate exactly 1.
+    assert(got(9203L) === ((12L, 12L, 1.0)), s"got $got")
+  }
+
+  test("q176 cluster-balanced sample: exact √-quotas per cell, selection ⊆ assignment, full cell coverage") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q176_cluster_balanced_sample")(spark, sf).collect()
+    val asg = graft.operators.Similarity.ivfAssignIndex(spark, sf)
+      .select(col("cluster").cast("long"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cellSizes = asg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byCell = rows.groupBy(_.getAs[Long]("cluster"))
+    // Every trained cell is represented — the point of the operator.
+    assert(byCell.keySet === cellSizes.keySet, "cell coverage diverges from the index")
+    byCell.foreach { case (c, rs) =>
+      val quota = math.ceil(math.sqrt(cellSizes(c).toDouble)).toLong
+      assert(rs.length.toLong === quota, s"cell $c: ${rs.length} selected, quota $quota")
+      assert(rs.forall(_.getAs[Long]("csize") === cellSizes(c)), s"cell $c csize")
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to quota).toSeq, s"cell $c ranks")
+    }
+    // Selected members really belong to the cell they claim.
+    val asgSet = asg.toSet
+    assert(rows.forall(r => asgSet((r.getAs[Long]("cluster"), r.getAs[Long]("vec_id")))),
+      "selected member not in its claimed cell")
+    graft.functions.CacheScope.drain()
+  }
 }

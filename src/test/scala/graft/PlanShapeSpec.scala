@@ -534,6 +534,48 @@ class PlanShapeSpec extends AnyFunSuite {
     // re-assignment would add two more on top of these
     assert(sites(p30) <= base + 2,
       s"q30 has ${sites(p30)} centroid sites (index $base + 2 probe prints expected):\n$p30")
+    // q176 rides the same index: one InMemoryTableScan, no
+    // re-assignment, and its two windows (cell count + hash rank)
+    // share a single cluster-keyed exchange — the whole query adds
+    // exactly one shuffle over the served posting lists.
+    val p176 = plan("q176_cluster_balanced_sample")
+    assert(p176.contains("InMemoryTableScan") && sites(p176) == base,
+      s"q176 has ${sites(p176)} centroid sites vs the index's $base — re-assigning:\n$p176")
+    // Count only exchanges ABOVE the cached build subtree (formatted
+    // explain expands the InMemoryRelation's own plan below it).
+    val above176 =
+      if (p176.contains("InMemoryRelation")) p176.take(p176.indexOf("InMemoryRelation")) else p176
+    val shuffles = "Exchange hashpartitioning\\(cluster".r.findAllIn(above176).size
+    assert(shuffles <= 1, s"q176 windows do not share one cluster exchange:\n$p176")
+  }
+
+  test("q174: CM sketch — map-combined bigram count; top-k via TakeOrdered, never a global sort; codegen'd bigram pass") {
+    val p = plan("q174_countmin_heavy")
+    // The corpus-sized stage (bigram counting) must combine map-side —
+    // the shuffle carries (gram, partial count), ~vocab rows per task.
+    assert(p.contains("partial_count"), s"bigram count not map-combined:\n$p")
+    // The published head comes from a distributed TakeOrdered — the
+    // vocabulary is never globally sorted (the 20-row rank window that
+    // follows is the only unpartitioned window, over 20 rows).
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    // The bigram emission stays in whole-stage codegen (no
+    // higher-order-function CodegenFallback in the hot path).
+    assert(!p.contains("transform("), s"HOF transform crept back into the bigram pass:\n$p")
+  }
+
+  test("q175: dup-span scrub — the span shuffle carries 32-hex fingerprints with doc/pos, never document text") {
+    val p = plan("q175_dupspan_scrub")
+    // One window exchange keyed on the md5 span hash; by that point
+    // the projection is (doc_id, pos, h) — text and the token array
+    // must already be gone from every exchange. Formatted explain
+    // puts each Exchange's row schema on the `Input [...]` line of
+    // its numbered detail block.
+    assert(p.contains("hashpartitioning(h#"),
+      s"span window not keyed on the fingerprint:\n$p")
+    val exchangeInputs = "(?m)^\\(\\d+\\) Exchange\\nInput [^\\n]*".r.findAllIn(p).toSeq
+    assert(exchangeInputs.nonEmpty, s"no exchange detail blocks parsed:\n$p")
+    assert(exchangeInputs.forall(b => !b.contains("text#") && !b.contains(" t#")),
+      s"an exchange carries document text or the token array:\n${exchangeInputs.mkString("\n")}")
   }
 
   test("q114: sparse KL — per-token source map, no sort-merge, never the dense |V|·S² grid") {
