@@ -260,9 +260,27 @@ object TextAnalysis {
     * of 916 grams overestimated at sf0.01, max overcount 148), so the
     * min-over-rows estimate is non-trivially exercised; depth 4 rows
     * is the standard ε = e/w, δ = e⁻ᵈ trade. */
-  private val CmRows = 4
-  private val CmWidth = 256
+  private[graft] val CmRows = 4
+  private[graft] val CmWidth = 256
   private val CmTopK = 20
+
+  /** The CM row-hash bucket, as Spark SQL text over a frame exposing
+    * the gram column and the sketch-row column `r` — ONE definition
+    * shared by batch q174 and the streaming sketch so the two paths
+    * can never hash into different cells. */
+  private[graft] def cmBucketSql(gramCol: String): String =
+    s"CAST(conv(substring(md5(concat($gramCol, ':', CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) % $CmWidth"
+
+  /** Codegen'd bigram emission over any frame with a `text` column —
+    * shared by batch q174 and the streaming sketch (positional
+    * explode + element_at; see the q174 scaladoc for why not the
+    * higher-order `transform` form). */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(concat(element_at(col("t"), col("i")), lit(" "),
+        element_at(col("t"), col("i") + 1)).as("gram"))
 
   /** q174 — count-min sketch heavy hitters over corpus bigrams, with
     * the sketch REPLAYED exactly by the oracle (unlike the engine's
@@ -289,23 +307,12 @@ object TextAnalysis {
     * one-sided guarantee (est ≥ cnt) over EVERY gram, not just the
     * published rows. */
   private[graft] def cmEstimates(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(split(col("text"), " ", -1).as("t"))
-      .filter(size(col("t")) >= 2)
-    // Positional explode + element_at, NOT transform(...) — the
-    // higher-order-function form is CodegenFallback (same pitfall the
-    // file header records for shingles); this stays in whole-stage
-    // codegen end to end.
-    val grams = toks
-      .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
-      .select(concat(element_at(col("t"), col("i")), lit(" "),
-        element_at(col("t"), col("i") + 1)).as("gram"))
+    val grams = bigramsOf(Tables.documents(spark, sfDir))
     val vocab = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
     val vr = vocab
       .select(col("gram"), col("cnt"),
         explode(sequence(lit(0), lit(CmRows - 1))).as("r"))
-      .withColumn("bucket", expr("CAST(conv(substring(md5(concat(gram, ':', " +
-        s"CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) % $CmWidth"))
+      .withColumn("bucket", expr(cmBucketSql("gram")))
     vr.withColumn("bsum", sum("cnt").over(Window.partitionBy("r", "bucket")))
       .groupBy("gram").agg(max("cnt").as("cnt"), min("bsum").as("est"))
   }

@@ -187,6 +187,40 @@ object CorpusStreams {
           sum(col("n_syms")).cast("double"), 6).as("chars_per_symbol"))
   }
 
+  /** Streaming twin of the count-min sketch (TextAnalysis.q174) —
+    * the operator class streaming was INVENTED for: CM state is a
+    * pure mergeable sum over a FIXED 4×256 cell grid, so the running
+    * sketch is just a streaming aggregation whose state store holds
+    * ≤ 1 024 rows forever, no watermark, no eviction policy, no
+    * per-key growth — the bounded-state property every other monitor
+    * in this file has to work for comes free here. Arriving
+    * documents' bigrams (the SHARED
+    * [[graft.operators.TextAnalysis.bigramsOf]] emission) hash into
+    * (r, bucket) cells through the SHARED
+    * [[graft.operators.TextAnalysis.cmBucketSql]] row hash — neither
+    * tokenization nor cell placement can drift from batch. Point
+    * estimates est(g) = min over rows of cell(r, bucket(g, r)) read
+    * the emitted state directly.
+    *
+    * Batch computes the same cells as VOCAB-weighted sums (window
+    * over the distinct-gram frame); the stream counts instances
+    * as they arrive. Σ instances-in-bucket ≡ Σ vocab-count-in-bucket,
+    * so the two formulations must agree cell-for-cell — StreamingSpec
+    * pins exactly that (against an independent pure-Scala md5 replay,
+    * not against either engine path), plus estimate parity with
+    * [[graft.operators.TextAnalysis.cmEstimates]] for every gram
+    * after a 2-batch replay. Counts are exact integers: retries,
+    * reordering, and micro-batch boundaries cannot change any cell. */
+  def countMinStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.bigramsOf(docs)
+      .select(col("gram"),
+        explode(sequence(lit(0),
+          lit(graft.operators.TextAnalysis.CmRows - 1))).as("r"))
+      .withColumn("bucket",
+        expr(graft.operators.TextAnalysis.cmBucketSql("gram")))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming twin of the benchmark decontamination (TextAnalysis
     * .q68) — enforcement at ingest: the benchmark's distinct shingle
     * set is calibrated OFFLINE (TextAnalysis.benchShingles, the same

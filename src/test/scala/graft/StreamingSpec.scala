@@ -589,6 +589,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch (q174 twin): final cells ≡ independent md5 replay; estimates ≡ batch for every gram") {
+    import graft.streaming.CorpusStreams
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmstream").toString + "/in"
+    val docs = graft.sources.Tables.documents(spark, sfd)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = spark.readStream.schema(CorpusStreams.docSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = EventStreams.runToMemory(
+      CorpusStreams.countMinStream(stream), "cm_out", outputMode = "update")
+    try {
+      assert(q.recentProgress.length >= 2, "cross-batch path not exercised")
+      val rows = spark.table("cm_out").collect()
+      // update mode re-emits a cell whenever it changes — the final
+      // state per cell is its LAST emission.
+      val finalCells = rows.zipWithIndex
+        .groupBy(r => (r._1.getInt(0), r._1.getLong(1)))
+        .map { case (k, rs) => k -> rs.maxBy(_._2)._1.getLong(2) }
+      // Independent reference: pure-Scala md5 replay of the sketch —
+      // neither the batch nor the stream engine path vouches for it.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(gram: String, r: Int): Long = {
+        val hex = md.digest(s"$gram:$r".getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16) % graft.operators.TextAnalysis.CmWidth
+      }
+      val want = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      val vocab = scala.collection.mutable.Map.empty[String, Long]
+      graft.sources.Tables.documents(spark, sfd)
+        .select(col("text")).collect().foreach { row =>
+          val t = row.getString(0).split(" ", -1)
+          var i = 0
+          while (i < t.length - 1) {
+            val g = t(i) + " " + t(i + 1)
+            vocab.update(g, vocab.getOrElse(g, 0L) + 1L)
+            var r = 0
+            while (r < graft.operators.TextAnalysis.CmRows) {
+              val k = (r, bucket(g, r))
+              want.update(k, want.getOrElse(k, 0L) + 1L); r += 1
+            }
+            i += 1
+          }
+        }
+      assert(finalCells === want.toMap,
+        "stream cells diverge from the independent md5 replay")
+      // Point-estimate parity: min-over-rows reads of the streamed
+      // state must equal batch cmEstimates for EVERY gram.
+      val batchEst = graft.operators.TextAnalysis.cmEstimates(spark, sfd)
+        .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("est")).toMap
+      vocab.keys.foreach { g =>
+        val streamEst = (0 until graft.operators.TextAnalysis.CmRows)
+          .map(r => finalCells((r, bucket(g, r)))).min
+        assert(streamEst === batchEst(g), s"gram '$g': stream est $streamEst vs batch ${batchEst(g)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming decontamination (q68 twin): per-doc flags and counts ≡ batch over a 2-batch replay") {
     import graft.streaming.CorpusStreams
     // Calibrate offline (the src0 benchmark shingle set — exactly
