@@ -267,9 +267,13 @@ object TextAnalysis {
   /** The CM row-hash bucket, as Spark SQL text over a frame exposing
     * the gram column and the sketch-row column `r` — ONE definition
     * shared by batch q174 and the streaming sketch so the two paths
-    * can never hash into different cells. */
+    * can never hash into different cells. Delegates to the engine's
+    * single md5-bucket primitive ([[graft.functions.HashBucket]]) —
+    * the key is the row-salted gram `"<gram>:<r>"`; the wrapper CAST
+    * HashBucket adds is an identity on an already-string key. */
   private[graft] def cmBucketSql(gramCol: String): String =
-    s"CAST(conv(substring(md5(concat($gramCol, ':', CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) % $CmWidth"
+    graft.functions.HashBucket.bucketExpr(
+      s"concat($gramCol, ':', CAST(r AS STRING))", CmWidth)
 
   /** Codegen'd bigram emission over any frame with a `text` column —
     * shared by batch q174 and the streaming sketch (positional
@@ -338,7 +342,7 @@ object TextAnalysis {
       |  SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
       |), vr AS (
       |  SELECT gram, cnt, r,
-      |    CAST(('0x' || substring(md5(gram || ':' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % $CmWidth AS bucket
+      |    ${graft.functions.HashBucket.bucketSql("gram || ':' || CAST(r AS VARCHAR)", CmWidth)} AS bucket
       |  FROM vocab, (SELECT unnest(range(0, $CmRows)) AS r) rows
       |), est AS (
       |  SELECT gram, CAST(max(cnt) AS BIGINT) AS cnt, CAST(min(bsum) AS BIGINT) AS est

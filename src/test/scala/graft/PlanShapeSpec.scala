@@ -574,7 +574,9 @@ class PlanShapeSpec extends AnyFunSuite {
       s"span window not keyed on the fingerprint:\n$p")
     val exchangeInputs = "(?m)^\\(\\d+\\) Exchange\\nInput [^\\n]*".r.findAllIn(p).toSeq
     assert(exchangeInputs.nonEmpty, s"no exchange detail blocks parsed:\n$p")
-    assert(exchangeInputs.forall(b => !b.contains("text#") && !b.contains(" t#")),
+    // `[t#` catches the token array in first position, `, t#` elsewhere.
+    assert(exchangeInputs.forall(b =>
+      !b.contains("text#") && "[\\[, ]t#".r.findFirstIn(b).isEmpty),
       s"an exchange carries document text or the token array:\n${exchangeInputs.mkString("\n")}")
   }
 

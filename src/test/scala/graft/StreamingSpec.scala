@@ -624,7 +624,10 @@ class StreamingSpec extends AnyFunSuite {
       }
       val want = scala.collection.mutable.Map.empty[(Int, Long), Long]
       val vocab = scala.collection.mutable.Map.empty[String, Long]
+      // Same isNotNull filter as the stream input — the reference must
+      // replay exactly the rows the stream saw.
       graft.sources.Tables.documents(spark, sfd)
+        .filter(col("text").isNotNull)
         .select(col("text")).collect().foreach { row =>
           val t = row.getString(0).split(" ", -1)
           var i = 0
