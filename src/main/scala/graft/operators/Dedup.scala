@@ -2297,8 +2297,13 @@ object Dedup {
     * occurrence-count-sized (almost always 1); the explode is
     * proportional to duplicated volume only. Same plan family as
     * q131/q145, which the sf1 gate measured sublinear. */
-  def q175(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.OracleRound.floorRound
+  /** The (tokenized docs, duplicated span starts) pair behind q175 and
+    * q177 — ONE derivation so the scrub's masks and the passage
+    * report's runs can never disagree about which spans are
+    * duplicated. `toks` is (doc_id, t); `dup` is the (doc_id, pos) of
+    * every SpanK-token span whose exact content occurred earlier
+    * (keep-first = lowest (doc_id, pos), q21's rule). */
+  private def spanFrames(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
@@ -2312,6 +2317,13 @@ object Dedup {
       .withColumn("rk", row_number().over(
         w.partitionBy("h").orderBy("doc_id", "pos")))
       .filter(col("rk") > 1)
+      .select("doc_id", "pos")
+    (toks, dup)
+  }
+
+  def q175(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val (toks, dup) = spanFrames(spark, sfDir)
     val masked = dup
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(SpanK - 1))).as("mpos"))
@@ -2325,8 +2337,9 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val q175Sql: String = {
-    import graft.functions.OracleRound.floorRoundSql
+  /** DuckDB twin of [[spanFrames]] — the toks/occ/dup CTE prefix
+    * shared by q175Sql and q177Sql. */
+  private val spanCtesSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
        |  WHERE len(string_split(text,' ')) >= $SpanK
@@ -2340,7 +2353,11 @@ object Dedup {
        |    SELECT doc_id, pos,
        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
        |    FROM occ) r WHERE rk > 1
-       |), masked AS (
+       |)""".stripMargin
+
+  val q175Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""$spanCtesSql, masked AS (
        |  SELECT DISTINCT doc_id, mpos FROM (
        |    SELECT doc_id, unnest(generate_series(pos, pos+${SpanK - 1})) AS mpos
        |    FROM dup) u
@@ -2353,8 +2370,86 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** How many maximal duplicated runs q177 reports, and how many
+    * tokens of each run it quotes in the preview column. */
+  private val RunTopK = 10
+  private val RunPreviewTokens = 12
+
+  /** q177 — longest-duplicated-passage report: the human-auditable
+    * face of q175. q175 answers "how much of each doc is duplicated";
+    * this answers "WHAT is being duplicated" — it merges each doc's
+    * duplicated span starts into maximal runs (two SpanK-token spans
+    * whose masked intervals touch or overlap, i.e. start gap ≤ SpanK,
+    * belong to one run — islands-and-gaps, so a run has no unmasked
+    * hole) and publishes the RunTopK longest runs with a
+    * RunPreviewTokens-token excerpt. This is the triage report a
+    * curation team reads before choosing scrub thresholds: boilerplate
+    * headers, license blocks, and template text show up here first.
+    *
+    * Shapes on top of [[spanFrames]] (one fingerprint-keyed shuffle,
+    * q175's cost): one doc_id-keyed window pass over the DUPLICATED
+    * span starts only (duplicated-volume-sized, per-partition-group
+    * bounded by one doc's spans), a RunTopK global TakeOrdered (no
+    * full sort materialized), then the 10-row report joins back to
+    * the token arrays broadcast-side to slice the excerpts — the text
+    * itself never shuffles. */
+  def q177(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val (toks, dup) = spanFrames(spark, sfDir)
+    val byDoc = w.partitionBy("doc_id").orderBy("pos")
+    val runs = dup
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > SpanK, 1)
+          .otherwise(0))
+      .withColumn("run_id", sum("brk").over(byDoc))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(min("pos").cast("long").as("run_start"),
+        (max("pos") - min("pos") + lit(SpanK)).cast("long").as("run_len"),
+        count(lit(1)).as("n_spans"))
+    val top = runs
+      .orderBy(col("run_len").desc, col("doc_id"), col("run_start"))
+      .limit(RunTopK)
+    toks.join(broadcast(top), "doc_id")
+      .withColumn("preview", concat_ws(" ",
+        slice(col("t"), col("run_start").cast("int"),
+          least(col("run_len"), lit(RunPreviewTokens.toLong)).cast("int"))))
+      .withColumn("rk", row_number().over(w.orderBy(
+        col("run_len").desc, col("doc_id"), col("run_start"))).cast("long"))
+      .select("rk", "doc_id", "run_start", "run_len", "n_spans", "preview")
+      .orderBy("rk")
+  }
+
+  val q177Sql: String =
+    s"""$spanCtesSql, brks AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL
+       |      OR pos - lag(pos) OVER w > $SpanK THEN 1 ELSE 0 END AS brk
+       |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |), isl AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY pos) AS run_id FROM brks
+       |), runs AS (
+       |  SELECT doc_id, run_id,
+       |    CAST(min(pos) AS BIGINT) AS run_start,
+       |    CAST(max(pos) - min(pos) + $SpanK AS BIGINT) AS run_len,
+       |    CAST(count(*) AS BIGINT) AS n_spans
+       |  FROM isl GROUP BY doc_id, run_id
+       |), top AS (
+       |  SELECT * FROM runs
+       |  ORDER BY run_len DESC, doc_id, run_start LIMIT $RunTopK)
+       |SELECT
+       |  CAST(row_number() OVER (
+       |    ORDER BY run_len DESC, p.doc_id, run_start) AS BIGINT) AS rk,
+       |  p.doc_id, run_start, run_len, n_spans,
+       |  array_to_string(list_slice(t, run_start,
+       |    run_start + least(run_len, $RunPreviewTokens) - 1), ' ') AS preview
+       |FROM top p JOIN toks USING (doc_id)
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_dupspan_scrub" -> q175 _,
+    "q177_dup_passages" -> q177 _,
     "q165_fs_linkage" -> q165 _,
     "q21_exact_dedup" -> q21 _,
     "q22_minhash_lsh" -> q22 _,
@@ -2378,6 +2473,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q175_dupspan_scrub" -> q175Sql,
+    "q177_dup_passages" -> q177Sql,
     "q165_fs_linkage" -> q165Sql,
     "q21_exact_dedup" -> q21Sql,
     "q22_minhash_lsh" -> q22Sql,

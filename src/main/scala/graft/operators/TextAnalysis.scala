@@ -279,12 +279,15 @@ object TextAnalysis {
     * shared by batch q174 and the streaming sketch (positional
     * explode + element_at; see the q174 scaladoc for why not the
     * higher-order `transform` form). */
-  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
-    docs.select(split(col("text"), " ", -1).as("t"))
+  private[graft] def bigramsOf(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val keepCols = keep.map(col)
+    docs.select(keepCols :+ split(col("text"), " ", -1).as("t"): _*)
       .filter(size(col("t")) >= 2)
-      .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
-      .select(concat(element_at(col("t"), col("i")), lit(" "),
-        element_at(col("t"), col("i") + 1)).as("gram"))
+      .select(keepCols ++ Seq(
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t")): _*)
+      .select(keepCols :+ concat(element_at(col("t"), col("i")), lit(" "),
+        element_at(col("t"), col("i") + 1)).as("gram"): _*)
+  }
 
   /** q174 — count-min sketch heavy hitters over corpus bigrams, with
     * the sketch REPLAYED exactly by the oracle (unlike the engine's
@@ -353,6 +356,120 @@ object TextAnalysis {
       |    CAST(row_number() OVER (ORDER BY est DESC, gram) AS BIGINT) AS rk
       |  FROM est) r
       |WHERE rk <= $CmTopK ORDER BY rk""".stripMargin
+
+  /** KMV (k-minimum-values) sketch size — q178 + its streaming twin.
+    * Sized against the fixture like CmWidth: ~930 distinct bigrams
+    * corpus-wide means per-source vocabularies genuinely overflow 64
+    * slots at sf0.01+, so the estimator path (not the
+    * degenerate exact-small-set path) is what the oracle checks. */
+  private[graft] val KmvK = 64
+
+  /** Per-source KMV bottom-k sketch over the bigram vocabulary —
+    * ONE definition shared by batch q178 and
+    * `CorpusStreams.kmvStream`, so the two paths can never keep
+    * different sketch members. Output: one row per source, the
+    * sketch as the sorted array of its k smallest (h, gram) members
+    * (h = the engine's single md5 hash primitive, so any engine —
+    * and the DuckDB oracle — reproduces the identical member set).
+    * The [[graft.functions.BottomKByHash]] buffer dedupes, so the
+    * corpus-sized bigram stream feeds the aggregation directly with
+    * no separate distinct pass. */
+  private[graft] def kmvSketches(docs: DataFrame): DataFrame = {
+    val bk = udaf(graft.functions.BottomKByHash(KmvK))
+    bigramsOf(docs, keep = Seq("source"))
+      .withColumn("h", expr(graft.functions.HashBucket.rawExpr("gram")))
+      .groupBy("source")
+      .agg(bk(col("h"), col("gram")).as("sketch"))
+  }
+
+  /** q178 — source-vocabulary overlap via KMV bottom-k sketches: for
+    * every source pair, estimate the Jaccard similarity of their
+    * bigram vocabularies from k-minimum-values sketches (Beyer et
+    * al., "On synopses for distinct-value estimation under multiset
+    * operations", SIGMOD'07): merge the two bottom-k member sets,
+    * re-rank, keep the k smallest of the union; the estimate is the
+    * fraction of those present in BOTH sketches. The mixture-design
+    * diagnostic behind "are these two crawls the same text?" — q140
+    * answers it at document grain by shipping every signature pair;
+    * this answers it at vocabulary grain from S fixed-size sketches.
+    *
+    * Unlike the engine's five declared rows-only sketches, KMV over
+    * the deterministic md5 hash is bit-reproducible on any engine —
+    * the oracle rebuilds the identical sketches (rank window form)
+    * and the driver hash-compares every estimate.
+    *
+    * 100 TB shape: the ONLY corpus-sized stage is the bigram scan
+    * feeding a mergeable bounded aggregation (map-side partials ship
+    * ≤ k rows per source per task); everything after operates on
+    * S·k sketch rows — the S² pair stage touches sketches, never
+    * data. Per-source state is k hashes forever, the same fixed-
+    * state discipline as q174's count-min. OperatorSpec pins the
+    * estimates against exact vocabulary Jaccard and the sketch
+    * members against an independent pure-Scala replay. */
+  def q178(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val bk = kmvSketches(Tables.documents(spark, sfDir))
+      .select(col("source"), explode(col("sketch")).as("e"))
+      .select(col("source"), col("e.h").as("h"), col("e.gram").as("gram"))
+    val srcs = bk.select("source").distinct()
+    val pairs = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"))
+    val u = pairs
+      .join(bk, col("source") === col("sa") || col("source") === col("sb"))
+      .groupBy("sa", "sb", "gram", "h")
+      .agg(max(when(col("source") === col("sa"), 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === col("sb"), 1).otherwise(0)).as("in_b"))
+    u.withColumn("rk", row_number().over(
+        Window.partitionBy("sa", "sb").orderBy("h", "gram")))
+      .filter(col("rk") <= KmvK)
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("union_k"),
+        sum(col("in_a") * col("in_b")).cast("long").as("shared_k"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("union_k"), col("shared_k"),
+        floorRound(col("shared_k").cast("double") / col("union_k"), 6)
+          .as("kmv_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q178Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""WITH toks AS (
+      |  SELECT source, string_split(text,' ') AS t FROM documents
+      |  WHERE len(string_split(text,' ')) >= 2
+      |), hg AS (
+      |  SELECT DISTINCT source, gram,
+      |    ${graft.functions.HashBucket.rawSql("gram")} AS h
+      |  FROM (SELECT source, t[i] || ' ' || t[i+1] AS gram
+      |        FROM (SELECT source, unnest(range(1, len(t))) AS i, t
+      |              FROM toks) i) g
+      |), bk AS (
+      |  SELECT source, gram, h FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY source ORDER BY h, gram) AS rk FROM hg) r
+      |  WHERE rk <= $KmvK
+      |), pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb
+      |  FROM (SELECT DISTINCT source FROM bk) a
+      |  JOIN (SELECT DISTINCT source FROM bk) b ON a.source < b.source
+      |), u AS (
+      |  SELECT sa, sb, gram, h,
+      |    max(CASE WHEN k.source = sa THEN 1 ELSE 0 END) AS in_a,
+      |    max(CASE WHEN k.source = sb THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN bk k ON k.source IN (p.sa, p.sb)
+      |  GROUP BY sa, sb, gram, h
+      |), rked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY sa, sb ORDER BY h, gram) AS rk FROM u)
+      |SELECT sa AS source_a, sb AS source_b,
+      |  CAST(count(*) AS BIGINT) AS union_k,
+      |  CAST(sum(in_a * in_b) AS BIGINT) AS shared_k,
+      |  ${floorRoundSql("CAST(sum(in_a * in_b) AS DOUBLE) / count(*)", 6)}
+      |    AS kmv_jaccard
+      |FROM rked WHERE rk <= $KmvK
+      |GROUP BY sa, sb ORDER BY source_a, source_b""".stripMargin
+  }
 
   /** q50 — deterministic hash sampling: a reproducible 10% sample per
     * source via md5(doc_id) mod 100 < 10 — the sampling method a
@@ -1886,6 +2003,7 @@ object TextAnalysis {
     "q68_decontamination" -> q68 _,
     "q41_salted_heavy_hitters" -> q41 _,
     "q174_countmin_heavy" -> q174 _,
+    "q178_kmv_source_overlap" -> q178 _,
     "q25_token_stats" -> q25 _,
     "q148_tokenizer_fertility" -> q148 _,
     "q26_quality_score" -> q26 _,
@@ -1913,6 +2031,7 @@ object TextAnalysis {
     "q68_decontamination" -> q68Sql,
     "q41_salted_heavy_hitters" -> q41Sql,
     "q174_countmin_heavy" -> q174Sql,
+    "q178_kmv_source_overlap" -> q178Sql,
     "q25_token_stats" -> q25Sql,
     "q148_tokenizer_fertility" -> q148Sql,
     "q26_quality_score" -> q26Sql,

@@ -221,6 +221,25 @@ object CorpusStreams {
       .groupBy("r", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming twin of the KMV sketch builder (TextAnalysis.q178) —
+    * literally the SAME pipeline as batch
+    * ([[graft.operators.TextAnalysis.kmvSketches]] runs unmodified on
+    * an unbounded frame): a streaming aggregation whose per-source
+    * state is the k-bounded [[graft.functions.BottomKByHash]] buffer —
+    * like [[countMinStream]], fixed state forever with no watermark or
+    * eviction, because bounding state is what the sketch itself does.
+    * The buffer dedupes on insert, so the arriving bigram stream needs
+    * no distinct (which a stateful agg couldn't chain anyway); a
+    * re-delivered document re-offers members the buffer already holds
+    * and changes nothing — the sketch is idempotent under replay by
+    * construction, not by sink dedup. Emitted rows are the per-source
+    * sketches; any pairwise overlap estimate (q178's report) reads
+    * them without touching data. StreamingSpec pins the final
+    * per-source sketch ≡ batch over a 2-batch replay AND ≡ an
+    * independent pure-Scala md5 replay. */
+  def kmvStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.kmvSketches(docs)
+
   /** Streaming twin of the benchmark decontamination (TextAnalysis
     * .q68) — enforcement at ingest: the benchmark's distinct shingle
     * set is calibrated OFFLINE (TextAnalysis.benchShingles, the same

@@ -2616,4 +2616,93 @@ class OperatorSpec extends AnyFunSuite {
       "selected member not in its claimed cell")
     graft.functions.CacheScope.drain()
   }
+
+  test("q177 dup-passage report: injected runs merge/split exactly; preview quotes the run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q177_inj").toString
+    // 9301 is the base (first occurrence of everything — absent from
+    // the report). 9302 embeds ONE contiguous 16-token copy → its 9
+    // duplicated span starts (gap 1 ≤ SpanK) must merge into ONE run
+    // of exactly 16 covered tokens. 9303 embeds TWO 8-token copies
+    // separated by 10 unique tokens (start gap 18 > SpanK) → two
+    // DISTINCT runs of 8, NOT merged.
+    val w = (1 to 30).map(i => s"w$i")
+    val d1 = w.mkString(" ")
+    val d2 = (Seq("x1", "x2") ++ w.slice(4, 20) ++ Seq("x3", "x4")).mkString(" ")
+    val d3 = (Seq("y1") ++ w.slice(0, 8) ++ (2 to 11).map(i => s"y$i") ++
+      w.slice(20, 28) ++ Seq("y12")).mkString(" ")
+    Seq((9301L, d1, "xx", "srcI", d1.length.toLong),
+      (9302L, d2, "xx", "srcI", d2.length.toLong),
+      (9303L, d3, "xx", "srcI", d3.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q177_dup_passages")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("run_start"), r.getAs[Long]("run_len"),
+        r.getAs[Long]("n_spans"), r.getAs[String]("preview")))
+    assert(got.toSeq === Seq(
+      (1L, 9302L, 3L, 16L, 9L, w.slice(4, 16).mkString(" ")), // 12-token preview cap
+      (2L, 9303L, 2L, 8L, 1L, w.slice(0, 8).mkString(" ")),
+      (3L, 9303L, 20L, 8L, 1L, w.slice(20, 28).mkString(" "))),
+      s"got ${got.toSeq}")
+  }
+
+  test("q177 on the fixture: ranks dense, lengths non-increasing, preview width = min(run_len, 12)") {
+    val rows = SparkEntry.queries("q177_dup_passages")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq === (1L to rows.length).toSeq)
+    val lens = rows.map(_.getAs[Long]("run_len"))
+    assert(lens.zip(lens.tail).forall { case (a, b) => a >= b }, "not length-ordered")
+    rows.foreach { r =>
+      val want = math.min(r.getAs[Long]("run_len"), 12L)
+      assert(r.getAs[String]("preview").split(" ", -1).length.toLong === want,
+        s"preview width at rk ${r.getAs[Long]("rk")}")
+      assert(r.getAs[Long]("n_spans") >= 1L &&
+        r.getAs[Long]("n_spans") <= r.getAs[Long]("run_len") - 7L)
+    }
+  }
+
+  test("q178 KMV overlap: sketch members ≡ independent md5 replay; estimates within bound of exact Jaccard") {
+    import org.apache.spark.sql.functions._
+    // Independent reference: per-source distinct bigram sets and their
+    // bottom-64 by the same first-8-hex-of-md5 hash, in pure Scala —
+    // neither engine path vouches for it.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(g: String): Long = {
+      val hex = md.digest(g.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val vocab = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect().foreach { r =>
+        val s = vocab.getOrElseUpdate(r.getString(0), scala.collection.mutable.Set.empty)
+        val t = r.getString(1).split(" ", -1)
+        var i = 0
+        while (i < t.length - 1) { s += (t(i) + " " + t(i + 1)); i += 1 }
+      }
+    val wantSketch = vocab.map { case (src, gs) =>
+      src -> gs.toSeq.map(g => (h(g), g)).sorted.take(64)
+    }.toMap
+    val gotSketch = graft.operators.TextAnalysis
+      .kmvSketches(graft.sources.Tables.documents(spark, sf)).collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getString(1))).toSeq)
+      .toMap
+    assert(gotSketch === wantSketch, "sketch members diverge from the independent replay")
+    // Estimator accuracy against exact vocabulary Jaccard: measured
+    // max|err| 0.176 at sf0.001 (k=64 ⇒ std ≈ √(J(1-J)/k) ≈ 0.06, so
+    // ≈2.8σ); the pin leaves headroom to 0.25 max / 0.08 mean.
+    val rows = SparkEntry.queries("q178_kmv_source_overlap")(spark, sf).collect()
+    assert(rows.length === vocab.size * (vocab.size - 1) / 2, "pair coverage")
+    val errs = rows.map { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val (sa, sb) = (vocab(a), vocab(b))
+      val exact = (sa & sb).size.toDouble / (sa | sb).size
+      assert(r.getAs[Long]("shared_k") <= r.getAs[Long]("union_k"), s"$a/$b shared>union")
+      assert(r.getAs[Long]("union_k") <= 64L, s"$a/$b union_k over k")
+      math.abs(r.getAs[Double]("kmv_jaccard") - exact)
+    }
+    assert(errs.max <= 0.25, s"max |kmv - exact| = ${errs.max}")
+    assert(errs.sum / errs.length <= 0.08, s"mean |kmv - exact| = ${errs.sum / errs.length}")
+  }
 }

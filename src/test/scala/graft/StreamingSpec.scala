@@ -656,6 +656,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch (q178 twin): final per-source sketches ≡ batch over a 2-batch replay") {
+    import graft.streaming.CorpusStreams
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvstream").toString + "/in"
+    val docs = graft.sources.Tables.documents(spark, sfd)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("source"), col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = spark.readStream.schema(CorpusStreams.sourcedDocSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = EventStreams.runToMemory(
+      CorpusStreams.kmvStream(stream), "kmv_out", outputMode = "update")
+    try {
+      assert(q.recentProgress.length >= 2, "cross-batch path not exercised")
+      val rows = spark.table("kmv_out").collect()
+      // update mode re-emits a source whenever its sketch changes —
+      // the final state per source is its LAST emission.
+      val finals = rows.zipWithIndex.groupBy(_._1.getString(0))
+        .map { case (s, rs) =>
+          s -> rs.maxBy(_._2)._1.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (e.getLong(0), e.getString(1))).toSeq
+        }
+      val want = graft.operators.TextAnalysis
+        .kmvSketches(graft.sources.Tables.documents(spark, sfd)
+          .filter(col("text").isNotNull)).collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getString(1))).toSeq)
+        .toMap
+      assert(finals.keySet === want.keySet, "source coverage diverges")
+      finals.foreach { case (s, got) =>
+        assert(got === want(s), s"source $s: stream sketch diverges from batch")
+      }
+      assert(rows.length > finals.size, "no intermediate emissions seen")
+    } finally q.stop()
+  }
+
   test("streaming decontamination (q68 twin): per-doc flags and counts ≡ batch over a 2-batch replay") {
     import graft.streaming.CorpusStreams
     // Calibrate offline (the src0 benchmark shingle set — exactly
