@@ -211,11 +211,15 @@ def main():
                 n_fail += 1
             continue
         try:
+            # fetchall() inside the guard: execution errors (incl. the
+            # OutOfMemoryException that aborted the r12 sf1 sweep at
+            # q176 under concurrent load) surface HERE, not at plan
+            # time — one sick oracle must cost one FAIL, not the sweep.
             exp = con.sql(oracle[name])
+            ecols, etypes = exp.columns, exp.types
+            erows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
-        ecols, etypes = exp.columns, exp.types
-        erows = exp.fetchall()
         gi = sorted(range(len(gcols)), key=lambda i: gcols[i])
         ei = sorted(range(len(ecols)), key=lambda i: ecols[i])
         if sorted(gcols) != sorted(ecols):
