@@ -408,9 +408,16 @@ object TextAnalysis {
     * members against an independent pure-Scala replay. */
   def q178(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.floorRound
+    import graft.functions.CacheScope.Ops
+    // scopedCache: `bk` is referenced three times below (both pair
+    // sides + the membership join) — without the persist the
+    // corpus-sized sketch build runs three times (seen in the plan as
+    // three full scan→Generate→ObjectHashAggregate subtrees). The
+    // cached relation is S·k rows — sketch-sized, never corpus bytes.
     val bk = kmvSketches(Tables.documents(spark, sfDir))
       .select(col("source"), explode(col("sketch")).as("e"))
       .select(col("source"), col("e.h").as("h"), col("e.gram").as("gram"))
+      .scopedCache
     val srcs = bk.select("source").distinct()
     val pairs = srcs.as("a").join(srcs.as("b"),
         col("a.source") < col("b.source"))

@@ -2704,5 +2704,6 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(errs.max <= 0.25, s"max |kmv - exact| = ${errs.max}")
     assert(errs.sum / errs.length <= 0.08, s"mean |kmv - exact| = ${errs.sum / errs.length}")
+    graft.functions.CacheScope.drain()
   }
 }

@@ -580,6 +580,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"an exchange carries document text or the token array:\n${exchangeInputs.mkString("\n")}")
   }
 
+  test("q177: passage report rides ONE span derivation; the excerpt join broadcasts the 10-row report") {
+    val p = plan("q177_dup_passages")
+    // The run merge + top-k must come from a single exploded-span
+    // subtree: exactly one exchange keyed on the md5 span hash (a
+    // second one would mean the spanFrames sharing broke and the
+    // corpus-sized explode runs twice).
+    val spanKeyed = "hashpartitioning\\(h#".r.findAllIn(p).size
+    assert(spanKeyed == 1, s"expected 1 span-hash exchange, got $spanKeyed:\n$p")
+    // Top-k is a TakeOrdered (no materialized global sort of runs),
+    // and the excerpt join back to the token arrays broadcasts the
+    // 10-row report — the text side must never shuffle.
+    assert(p.contains("TakeOrderedAndProject"), s"runs top-k fully sorts:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"excerpt join does not broadcast:\n$p")
+    val exchangeInputs = "(?m)^\\(\\d+\\) Exchange\\nInput [^\\n]*".r.findAllIn(p).toSeq
+    assert(exchangeInputs.forall(b => !b.contains("text#")),
+      s"an exchange carries document text:\n${exchangeInputs.mkString("\n")}")
+  }
+
+  test("q178: ONE corpus scan feeds the cached sketches; the udaf aggregates map-side") {
+    val p = plan("q178_kmv_source_overlap")
+    // bk is consumed three times (both pair sides + membership) — the
+    // scopedCache must collapse that to one materialized sketch build
+    // over one documents scan; three distinct scan ids = the triple
+    // corpus read this pin exists to prevent.
+    val scans = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scans.size == 1, s"expected 1 distinct documents scan, got $scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"sketch cache missing from the plan:\n$p")
+    // The bounded Aggregator must combine partially map-side — the
+    // whole point of the KMV shuffle shape (≤ k rows per source per
+    // map task, enforced by ObjectHashAggregate partial functions).
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"KMV aggregation not map-side combined:\n$p")
+  }
+
   test("q114: sparse KL — per-token source map, no sort-merge, never the dense |V|·S² grid") {
     // The zero-zero tail is closed-form (z·term0), so the plan must
     // carry only OBSERVED (source, tok) rows. r9 replaced the
