@@ -197,9 +197,16 @@ def main():
         files = glob.glob(d + "/*.parquet")
         if not files:
             print(f"FAIL {name}: no output parquet"); n_fail += 1; continue
-        got = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
-        gcols, gtypes = got.columns, got.types
-        grows = got.fetchall()
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
+            gcols, gtypes = got.columns, got.types
+            grows = got.fetchall()
+        except Exception as e:
+            # Same survival contract as the oracle side: a truncated or
+            # corrupt output parquet is one FAIL, not a dead sweep.
+            print(f"FAIL {name}: output parquet unreadable: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             # An empty rows-only result is a broken query, not a pass:
             # the driver's weaker rows-only check requires rows > 0,

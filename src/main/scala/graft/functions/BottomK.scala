@@ -24,20 +24,47 @@ case class HashedGram(h: Long, gram: String)
   * mergeable, so Spark aggregates partially map-side and the shuffle
   * carries at most k rows per source per map task — per-source state
   * is k hashes no matter the corpus (that is the point of KMV).
-  * Buffer is a k-bounded sorted list (k is small; insertion O(k)),
-  * same discipline as [[TopKByPrice]].
+  * Buffer is a k-bounded sorted array with binary-search reject on
+  * the per-row path, the [[BoundedDocSet]] discipline.
   */
 class BottomKByHash(k: Int)
     extends Aggregator[HashedGram, Seq[HashedGram], Seq[HashedGram]]
     with Serializable {
 
-  private def ord: Ordering[HashedGram] =
+  private val ord: Ordering[HashedGram] =
     Ordering.by((x: HashedGram) => (x.h, x.gram))
 
-  override def zero: Seq[HashedGram] = Nil
+  override def zero: Seq[HashedGram] = Vector.empty
 
-  override def reduce(b: Seq[HashedGram], x: HashedGram): Seq[HashedGram] =
-    if (b.contains(x)) b else ((b :+ x).sorted(ord)).take(k)
+  // reduce runs once per bigram OCCURRENCE (the corpus-sized stage
+  // feeds it with no distinct pass — that is the design), so it
+  // exploits the buffer invariant — sorted by (h, gram), distinct,
+  // length ≤ k — the same way [[BoundedDocSet.reduce]] does: binary
+  // search locates x; a duplicate or an element ranking past a full
+  // buffer's kth member returns the buffer untouched (the dominant
+  // cases once a source saturates), and an insert is one positional
+  // array copy. merge runs once per partition pair; the simple form
+  // is fine there.
+  override def reduce(b: Seq[HashedGram], x: HashedGram): Seq[HashedGram] = {
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.compare(b(mid), x) < 0) lo = mid + 1 else hi = mid
+    }
+    if (lo < b.length && b(lo) == x) b // present
+    else if (lo >= k) b // ranks past the kth of a full buffer
+    else {
+      val n = math.min(b.length + 1, k)
+      val out = new Array[HashedGram](n)
+      var i = 0
+      while (i < lo) { out(i) = b(i); i += 1 }
+      out(lo) = x
+      var j = lo + 1
+      while (j < n) { out(j) = b(j - 1); j += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
 
   override def merge(a: Seq[HashedGram], b: Seq[HashedGram]): Seq[HashedGram] =
     (a ++ b).distinct.sorted(ord).take(k)

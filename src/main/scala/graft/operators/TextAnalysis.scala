@@ -422,8 +422,13 @@ object TextAnalysis {
     val pairs = srcs.as("a").join(srcs.as("b"),
         col("a.source") < col("b.source"))
       .select(col("a.source").as("sa"), col("b.source").as("sb"))
-    val u = pairs
-      .join(bk, col("source") === col("sa") || col("source") === col("sb"))
+    // Two equi-joins (hash-joinable), not one OR-predicate join: the
+    // OR form has no extractable key, so Spark plans a nested loop —
+    // every pair × every sketch row is S³·k work where the estimator
+    // needs only S²·k. Each side hash-joins on its own key and the
+    // union is exactly the pair-membership relation.
+    val u = pairs.join(bk, col("source") === col("sa"))
+      .unionByName(pairs.join(bk, col("source") === col("sb")))
       .groupBy("sa", "sb", "gram", "h")
       .agg(max(when(col("source") === col("sa"), 1).otherwise(0)).as("in_a"),
         max(when(col("source") === col("sb"), 1).otherwise(0)).as("in_b"))

@@ -598,22 +598,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"an exchange carries document text:\n${exchangeInputs.mkString("\n")}")
   }
 
-  test("q178: ONE corpus scan feeds the cached sketches; the udaf aggregates map-side") {
-    val p = plan("q178_kmv_source_overlap")
-    // bk is consumed three times (both pair sides + membership) — the
-    // scopedCache must collapse that to one materialized sketch build
-    // over one documents scan; three distinct scan ids = the triple
-    // corpus read this pin exists to prevent.
-    val scans = "Scan parquet\\s+\\((\\d+)\\)".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(scans.size == 1, s"expected 1 distinct documents scan, got $scans:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"sketch cache missing from the plan:\n$p")
-    // The bounded Aggregator must combine partially map-side — the
-    // whole point of the KMV shuffle shape (≤ k rows per source per
-    // map task, enforced by ObjectHashAggregate partial functions).
-    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
-      s"KMV aggregation not map-side combined:\n$p")
+  test("q178: ONE corpus scan feeds the cached sketches; the udaf aggregates map-side; pair joins hash, never loop") {
+    try {
+      val p = plan("q178_kmv_source_overlap")
+      // bk is consumed three times (both pair sides + membership) — the
+      // scopedCache must collapse that to one materialized sketch build
+      // over one documents scan; three distinct scan ids = the triple
+      // corpus read this pin exists to prevent.
+      val scans = "Scan parquet\\s+\\((\\d+)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(scans.size == 1, s"expected 1 distinct documents scan, got $scans:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"sketch cache missing from the plan:\n$p")
+      // The bounded Aggregator must combine partially map-side — the
+      // whole point of the KMV shuffle shape (≤ k rows per source per
+      // map task, enforced by ObjectHashAggregate partial functions).
+      assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+        s"KMV aggregation not map-side combined:\n$p")
+      // The pair-membership join is two equi-joins (BroadcastHashJoin),
+      // not an OR-predicate nested loop (S³·k comparisons at many
+      // sources); only the sa < sb pair ENUMERATION may nest — S-row
+      // inputs, once per union branch. Count detail headers (one per
+      // node; the tree renders each node a second time).
+      assert(p.contains("BroadcastHashJoin"),
+        s"membership join is not a hash join:\n$p")
+      val loops = "(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(loops <= 2, s"expected only the pair enumerations to nest, got $loops:\n$p")
+    } finally {
+      graft.functions.CacheScope.drain()
+      spark.catalog.clearCache()
+    }
   }
 
   test("q114: sparse KL — per-token source map, no sort-merge, never the dense |V|·S² grid") {
