@@ -159,6 +159,12 @@ def main():
         dec18_probe()
     if "--skip-verify" not in FLAGS:
         run_verify()
+    if "--verify-only" in FLAGS:
+        # sf1_gate splits the Spark dump (one process, full roster)
+        # from the DuckDB replay (chunked fresh processes, so one
+        # malloc-level death costs a chunk, not the sweep).
+        print("verify-only done")
+        return
     con = duckdb.connect()
     # Spill instead of dying: an in-memory DuckDB has NO temp
     # directory, so a single big operator (the r12 sf1 gate lost q30's
@@ -166,7 +172,14 @@ def main():
     # default ~80%-of-RAM ceiling after 100 earlier queries had warmed
     # the buffer pool) aborts the whole sweep. A bounded limit plus an
     # explicit temp dir turns that into a slower, spilling query.
-    con.execute("SET memory_limit='48GB'")
+    # A LOW cap is the safe direction, not a high one (measured, r12
+    # sf1 gate): DuckDB's accounting misses part of what list-heavy
+    # operators allocate, and the overshoot scales with the cap — at
+    # 48GB and 100GB the q172/q176/q177 sf1 oracles died at system
+    # malloc level ("bad allocation"), while at 20GB the SAME queries
+    # spill early and pass (q172 in 25 s). GRAFT_DUCK_MEM overrides
+    # for triage; the sf1 gate's OOM retry goes DOWN (12GB), not up.
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '24GB')}'")
     os.makedirs(f"{OUT_DIR}/.duck_tmp", exist_ok=True)
     con.execute(f"SET temp_directory='{OUT_DIR}/.duck_tmp'")
     for t in TABLES:
