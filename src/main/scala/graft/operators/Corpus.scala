@@ -433,19 +433,21 @@ object Corpus {
   /** Shared chunk→sig expansion — batch q117 AND its streaming twin
     * (streaming/CorpusStreams.chunkDedupStream) call THIS, so the two
     * paths cannot silently chunk or hash differently: disjoint
-    * [[DedupChunkW]]-token chunks, 0-based chunk_id, sig = md5 of the
-    * chunk's space-joined tokens. Columns named in `passthrough` ride
-    * along (the stream threads its event-time column through). */
+    * `width`-token chunks (default [[DedupChunkW]]), 0-based
+    * chunk_id, sig = md5 of the chunk's space-joined tokens. Columns
+    * named in `passthrough` ride along (the stream threads its
+    * event-time column through; q179 threads `source`). */
   private[graft] def chunkSigs(docs: DataFrame,
-      passthrough: Seq[String] = Nil): DataFrame = {
+      passthrough: Seq[String] = Nil,
+      width: Int = DedupChunkW): DataFrame = {
     val keep = passthrough.map(col)
     docs
       .select(Seq(col("doc_id"), split(col("text"), " ").as("t")) ++ keep: _*)
       .select(Seq(col("doc_id"), col("t"),
-        posexplode(sequence(lit(1), size(col("t")), lit(DedupChunkW)))
+        posexplode(sequence(lit(1), size(col("t")), lit(width)))
           .as(Seq("chunk_id", "start"))) ++ keep: _*)
       .select(Seq(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        md5(array_join(slice(col("t"), col("start"), lit(DedupChunkW)), " ")).as("sig"))
+        md5(array_join(slice(col("t"), col("start"), lit(width)), " ")).as("sig"))
         ++ keep: _*)
   }
 
@@ -505,6 +507,98 @@ object Corpus {
        |  ${floorRoundSql(
             "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS kept_ratio
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q179 unit width and within-source document-frequency threshold.
+    * 8-token disjoint units stand in for "lines" (the fixture text
+    * has no newlines); DfMin = 2 because fixture sources hold only
+    * tens-to-hundreds of docs — a production corpus would set the
+    * threshold as a share of source size the way CCNet does, and the
+    * plan below is threshold-agnostic (the DF aggregate is computed
+    * either way; only the filter constant changes). */
+  private[graft] val BoilerW = 8
+  private[graft] val BoilerDfMin = 2
+
+  /** Per-(source, unit-sig, doc) instance counts — the shared first
+    * stage of batch q179 and the streaming boilerplate monitor
+    * ([[graft.streaming.CorpusStreams.boilerplateStream]] consumes
+    * the same [[chunkSigs]] expansion at the same width, so the two
+    * paths cannot segment or hash differently). Mergeable aggregate:
+    * a unit repeated across a million docs of one source partially
+    * reduces map-side per (sig, doc), never concentrating a hot sig
+    * on one task. */
+  private[graft] def boilerDocSigs(docs: DataFrame): DataFrame =
+    chunkSigs(docs, Seq("source"), BoilerW)
+      .groupBy("source", "sig", "doc_id")
+      .agg(count(lit(1)).as("n_inst"))
+
+  /** The DF rule itself, factored from [[q179]] so the batch query,
+    * the streaming monitor's parity spec, and any scrub consumer
+    * share ONE definition of "boilerplate": unit types whose
+    * distinct-doc count within their source reaches [[BoilerDfMin]].
+    * Input is [[boilerDocSigs]] (or a cached copy of it). */
+  private[graft] def boilerSigsFrom(perDocSig: DataFrame): DataFrame =
+    perDocSig.groupBy("source", "sig")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDfMin)
+      .select(col("source"), col("sig"))
+
+  /** q179 — within-source boilerplate scrub (CCNet/RefinedWeb rule):
+    * a unit whose DOCUMENT frequency within its source reaches
+    * [[BoilerDfMin]] is boilerplate (site header/footer/nav) and is
+    * dropped EVERYWHERE — including its first occurrence. That is
+    * the semantic difference from the roster's other sub-document
+    * dedups: q117 keeps the first copy of each chunk corpus-wide,
+    * q175 masks later copies of repeated spans; q179 removes all
+    * copies, but only when the repetition crosses sources' own DF
+    * threshold, so a passage repeated inside ONE document (q70's
+    * domain) is untouched. Output: per-doc unit counts, boilerplate
+    * unit counts, and kept ratio.
+    *
+    * Scale shape (the q117 discipline): three shuffles, all on
+    * 32-hex sigs or doc_id — (source, sig, doc) partial aggregate,
+    * (source, sig) DF aggregate over the already-reduced rows, and
+    * the per-doc rollup; text never shuffles. The DF-qualified
+    * boilerplate set is a small fraction of unit types (17/9231 even
+    * at sf0.1's near-dup-rich fixture), so the join back is
+    * broadcast-eligible at fixture scale and AQE keeps it a hash
+    * join at corpus scale. The doc-sig relation is consumed twice
+    * (DF derivation + join-back) with canonically different
+    * exchanges, so it is cached like q117's chunk table — one row
+    * per (doc, unit type) with a 32-byte sig. */
+  def q179(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDocSig = boilerDocSigs(Tables.documents(spark, sfDir)).scopedCache
+    perDocSig.count()
+    val boiler = boilerSigsFrom(perDocSig).withColumn("is_boiler", lit(1L))
+    perDocSig.join(boiler, Seq("source", "sig"), "left")
+      .groupBy("doc_id", "source")
+      .agg(sum("n_inst").as("n_units"),
+        coalesce(sum(when(col("is_boiler").isNotNull, col("n_inst"))), lit(0L))
+          .as("n_boiler"))
+      .select(col("doc_id"), col("source"), col("n_units"), col("n_boiler"),
+        floorRound((col("n_units") - col("n_boiler")).cast("double") /
+          col("n_units").cast("double"), 6).as("kept_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q179Sql: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |s AS (SELECT doc_id, source, t,
+       |        unnest(generate_series(1, len(t), $BoilerW)) AS start
+       |      FROM d),
+       |c AS (SELECT doc_id, source,
+       |        md5(array_to_string(list_slice(t, start, start + ${BoilerW - 1}), ' ')) AS sig
+       |      FROM s),
+       |pd AS (SELECT source, sig, doc_id, count(*) AS n_inst
+       |       FROM c GROUP BY 1, 2, 3),
+       |b AS (SELECT source, sig FROM pd
+       |      GROUP BY source, sig HAVING count(*) >= $BoilerDfMin)
+       |SELECT pd.doc_id, pd.source,
+       |  CAST(sum(pd.n_inst) AS BIGINT) AS n_units,
+       |  CAST(coalesce(sum(CASE WHEN b.sig IS NOT NULL THEN pd.n_inst END), 0) AS BIGINT) AS n_boiler,
+       |  ${floorRoundSql(
+            "CAST(sum(pd.n_inst) - coalesce(sum(CASE WHEN b.sig IS NOT NULL THEN pd.n_inst END), 0) AS DOUBLE) / CAST(sum(pd.n_inst) AS DOUBLE)", 6)} AS kept_ratio
+       |FROM pd LEFT JOIN b ON pd.source = b.source AND pd.sig = b.sig
+       |GROUP BY 1, 2 ORDER BY pd.doc_id""".stripMargin
 
   /** The calibrate-offline half of [[q127]], factored so the batch
     * query and the streaming enforcement twin
@@ -828,6 +922,7 @@ object Corpus {
     "q113_bm25_retrieval" -> q113 _,
     "q117_chunk_dedup" -> q117 _,
     "q127_mixture_rebalance" -> q127 _,
+    "q179_boilerplate_scrub" -> q179 _,
     "q141_unimax_epochs" -> q141 _,
     "q149_curriculum_interleave" -> q149 _)
 
@@ -841,6 +936,7 @@ object Corpus {
     "q113_bm25_retrieval" -> q113Sql,
     "q117_chunk_dedup" -> q117Sql,
     "q127_mixture_rebalance" -> q127Sql,
+    "q179_boilerplate_scrub" -> q179Sql,
     "q141_unimax_epochs" -> q141Sql,
     "q149_curriculum_interleave" -> q149Sql)
 }

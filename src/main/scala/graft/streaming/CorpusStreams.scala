@@ -48,6 +48,22 @@ case class DocMember(doc_id: Long, tsMs: Long)
   * within the watermark window. */
 case class DocBucketState(members: List[DocMember])
 
+/** One unit occurrence arriving on the sourced document stream
+  * (q179's granularity: source-scoped 8-token units). */
+case class UnitArrival(source: String, sig: String, doc_id: Long)
+
+/** State of one (source, sig) unit type in the boilerplate monitor:
+  * distinct docs seen so far (capped at BoilerDfMin − 1 entries) and
+  * whether the DF threshold has been crossed. Once crossed, the id
+  * list drops and only the flag remains — state per unit type is
+  * O(BoilerDfMin), forever. */
+case class BoilerState(docIds: List[Long], crossed: Boolean)
+
+/** A unit type newly classified boilerplate, emitted exactly once by
+  * [[CorpusStreams.boilerplateStream]] in the micro-batch where its
+  * within-source document frequency crosses the threshold. */
+case class BoilerSig(source: String, sig: String)
+
 /** A kept (first-seen) chunk emitted by
   * [[CorpusStreams.chunkDedupStream]]. */
 case class KeptChunk(sig: String, doc_id: Long, chunk_id: Long)
@@ -220,6 +236,70 @@ object CorpusStreams {
         expr(graft.operators.TextAnalysis.cmBucketSql("gram")))
       .groupBy("r", "bucket")
       .agg(count(lit(1)).as("cnt"))
+
+  implicit val unitEnc: Encoder[UnitArrival] = Encoders.product[UnitArrival]
+  implicit val boilStEnc: Encoder[BoilerState] = Encoders.product[BoilerState]
+  implicit val boilEnc: Encoder[BoilerSig] = Encoders.product[BoilerSig]
+  implicit val srcSigEnc: Encoder[(String, String)] =
+    Encoders.tuple(Encoders.STRING, Encoders.STRING)
+
+  /** Streaming twin of the boilerplate DF rule (Corpus.q179) — the
+    * discovery half runs online: every arriving document explodes
+    * through the SAME Corpus.chunkSigs expansion at the SAME width as
+    * batch (one shared definition — the two paths cannot segment or
+    * hash differently), and a unit type is emitted as [[BoilerSig]]
+    * exactly once, in the micro-batch where its within-source
+    * DISTINCT-document count reaches Corpus.BoilerDfMin. A live scrub
+    * consumes the emitted set as its denylist; the per-doc kept
+    * ratios are batch q179's report over any corpus snapshot.
+    *
+    * Why flatMapGroupsWithState and not a streaming aggregation:
+    * the rule counts DISTINCT docs per (source, sig), and chaining
+    * dedup into a streaming agg is both unsupported and unbounded —
+    * here the state codifies exactly what the rule needs and no
+    * more: up to BoilerDfMin − 1 doc ids before crossing, one
+    * boolean after ([[BoilerState]]). Like [[kmvStream]] there is no
+    * watermark/GC — boilerplate identity is forever, state is one
+    * tiny record per unit TYPE (not occurrence), and hot units cost
+    * the same state as rare ones, so a billion-copy site header is
+    * one flag. Re-delivered documents re-offer doc ids the state
+    * already holds and change nothing — idempotent under replay by
+    * construction; emission is once-only because crossing is a
+    * monotone one-way transition (StreamingSpec pins the emitted set
+    * ≡ the batch rule and once-only emission over a 2-batch replay
+    * that re-delivers batch-1 docs). */
+  def boilerplateStream(docs: DataFrame): Dataset[BoilerSig] = {
+    val units = graft.operators.Corpus
+      .chunkSigs(docs, Seq("source"), graft.operators.Corpus.BoilerW)
+      .select(col("source"), col("sig"), col("doc_id")).as[UnitArrival]
+    val dfMin = graft.operators.Corpus.BoilerDfMin
+    units.groupByKey(u => (u.source, u.sig))
+      .flatMapGroupsWithState[BoilerState, BoilerSig](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[UnitArrival],
+            state: GroupState[BoilerState]) =>
+          val (source, sig) = key
+          val st = state.getOption.getOrElse(BoilerState(Nil, crossed = false))
+          if (st.crossed) Iterator.empty
+          else {
+            val seen = scala.collection.mutable.SortedSet(st.docIds: _*)
+            var crossed = false
+            rows.foreach { r =>
+              if (!crossed && !seen.contains(r.doc_id)) {
+                if (seen.size >= dfMin - 1) crossed = true
+                else seen += r.doc_id
+              }
+            }
+            if (crossed) {
+              state.update(BoilerState(Nil, crossed = true))
+              Iterator.single(BoilerSig(source, sig))
+            } else {
+              state.update(BoilerState(seen.toList, crossed = false))
+              Iterator.empty
+            }
+          }
+      }
+  }
 
   /** Streaming twin of the KMV sketch builder (TextAnalysis.q178) —
     * literally the SAME pipeline as batch

@@ -2706,4 +2706,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(errs.sum / errs.length <= 0.08, s"mean |kmv - exact| = ${errs.sum / errs.length}")
     graft.functions.CacheScope.drain()
   }
+
+  test("q179 boilerplate scrub: within-source DF rule drops ALL copies (incl. the first); other sources and intra-doc repeats untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q179_inj").toString
+    // 8-token header H as the grid-aligned first unit of three srcA
+    // docs (df = 3 within srcA => boilerplate), of ONE srcB doc
+    // (df = 1 there => kept — the rule is source-scoped), and TWICE
+    // inside one srcC doc (2 instances, 1 doc => df = 1 => kept —
+    // intra-doc repetition is q70's domain, not boilerplate).
+    val H = "h1 h2 h3 h4 h5 h6 h7 h8"
+    def doc(id: Long, text: String, src: String) =
+      (id, text, "xx", src, text.length.toLong)
+    val injected = Seq(
+      doc(9301L, s"$H a1 a2 a3 a4 a5 a6 a7 a8", "srcA"),
+      doc(9302L, s"$H b1 b2 b3 b4 b5 b6 b7 b8", "srcA"),
+      doc(9303L, s"$H c1 c2 c3 c4 c5 c6 c7 c8", "srcA"),
+      doc(9304L, s"$H d1 d2 d3 d4 d5 d6 d7 d8", "srcB"),
+      doc(9305L, s"$H $H e1 e2 e3 e4 e5 e6 e7 e8", "srcC"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    injected.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q179_boilerplate_scrub")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("n_units"),
+          r.getAs[Long]("n_boiler"), r.getAs[Double]("kept_ratio")))).toMap
+    // The distinguishing semantic vs q117 (keep-first) and q175
+    // (mask-later-copies): the FIRST srcA doc loses its header too.
+    assert(got(9301L) === (("srcA", 2L, 1L, 0.5)), s"got $got")
+    assert(got(9302L) === (("srcA", 2L, 1L, 0.5)), s"got $got")
+    assert(got(9303L) === (("srcA", 2L, 1L, 0.5)), s"got $got")
+    assert(got(9304L) === (("srcB", 2L, 0L, 1.0)), s"got $got")
+    assert(got(9305L) === (("srcC", 3L, 0L, 1.0)), s"got $got")
+    graft.functions.CacheScope.drain()
+  }
+
+  test("q179 on the fixture: every doc reported once, boilerplate units exist at sf0.1-shape fixtures, ratios consistent") {
+    val rows = SparkEntry.queries("q179_boilerplate_scrub")(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs, "per-doc report row count")
+    rows.foreach { r =>
+      val (u, b) = (r.getAs[Long]("n_units"), r.getAs[Long]("n_boiler"))
+      assert(u >= 1L && b >= 0L && b <= u, s"unit bounds at ${r.getAs[Long]("doc_id")}")
+      val want = math.floor((u - b).toDouble / u * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("kept_ratio") === want, s"ratio at ${r.getAs[Long]("doc_id")}")
+    }
+    graft.functions.CacheScope.drain()
+  }
 }

@@ -580,6 +580,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"an exchange carries document text or the token array:\n${exchangeInputs.mkString("\n")}")
   }
 
+  test("q179: boilerplate scrub exchanges carry unit sigs, never text; doc-sig relation cached once for its two consumers") {
+    val p = plan("q179_boilerplate_scrub")
+    // Every exchange moves (source, sig, doc_id, counts) — by the
+    // first shuffle the projection must already have dropped text
+    // and the token array (same contract as q21/q175).
+    val exchangeInputs = "(?m)^\\(\\d+\\) Exchange\\nInput [^\\n]*".r.findAllIn(p).toSeq
+    assert(exchangeInputs.nonEmpty, s"no exchange detail blocks parsed:\n$p")
+    assert(exchangeInputs.forall(b =>
+      !b.contains("text#") && "[\\[, ]t#".r.findFirstIn(b).isEmpty),
+      s"an exchange carries document text or the token array:\n${exchangeInputs.mkString("\n")}")
+    // The (source, sig, doc) relation serves both the DF aggregate
+    // and the join-back from the cache, so the tokenize+md5 corpus
+    // pass runs once.
+    assert(p.contains("InMemoryTableScan"),
+      s"doc-sig relation not served from cache:\n$p")
+    assert(!p.contains("CodegenFallback"), s"fallback in the hot path:\n$p")
+  }
+
   test("q177: passage report rides ONE span derivation; the excerpt join broadcasts the 10-row report") {
     val p = plan("q177_dup_passages")
     // The run merge + top-k must come from a single exploded-span

@@ -997,4 +997,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === want, "streaming top-k state diverged from the batch aggregate")
     } finally q.stop()
   }
+
+  test("streaming boilerplate monitor (q179 twin): emitted set ≡ batch DF rule, once-only under re-delivery") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_boilstream").toString + "/in"
+    def ts(i: Long) = new java.sql.Timestamp(1700000000000L + i * 1000)
+    // The batch injection fixture, replayed in two micro-batches:
+    // batch 1 holds the FIRST srcA header sight plus the srcB single
+    // and the srcC intra-doc double (neither may ever emit); batch 2
+    // delivers the srcA crossing AND re-delivers doc 9301 verbatim
+    // (replay idempotence — the state already holds its doc id).
+    val H = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val b1 = Seq((9301L, ts(1), "srcA", s"$H a1 a2 a3 a4 a5 a6 a7 a8"),
+      (9304L, ts(2), "srcB", s"$H d1 d2 d3 d4 d5 d6 d7 d8"),
+      (9305L, ts(3), "srcC", s"$H $H e1 e2 e3 e4 e5 e6 e7 e8"))
+    val b2 = Seq((9302L, ts(4), "srcA", s"$H b1 b2 b3 b4 b5 b6 b7 b8"),
+      (9303L, ts(5), "srcA", s"$H c1 c2 c3 c4 c5 c6 c7 c8"),
+      (9301L, ts(6), "srcA", s"$H a1 a2 a3 a4 a5 a6 a7 a8"))
+    b1.toDF("doc_id", "ts", "source", "text")
+      .coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    b2.toDF("doc_id", "ts", "source", "text")
+      .coalesce(1).write.mode("append").json(dir)
+    val stream = spark.readStream.schema(CorpusStreams.sourcedDocSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = EventStreams.runToMemory(
+      CorpusStreams.boilerplateStream(stream).toDF(), "boil_out",
+      outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2, "cross-batch path not exercised")
+      val rows = spark.table("boil_out").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val md5H = md.digest(H.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      // Exactly ONE emission ever — the srcA header in the batch
+      // where its distinct-doc count crossed BoilerDfMin; the srcB
+      // copy (df = 1 there) and the srcC intra-doc double stay out,
+      // and the re-delivered 9301 adds nothing.
+      assert(rows.toSeq === Seq(("srcA", md5H)), s"emissions: ${rows.toSeq}")
+      // Parity with the batch rule over the replayed corpus (the
+      // shared Corpus.boilerSigsFrom definition).
+      val batchDocs = (b1 ++ b2.dropRight(1))
+        .toDF("doc_id", "ts", "source", "text")
+      val want = graft.operators.Corpus
+        .boilerSigsFrom(graft.operators.Corpus.boilerDocSigs(batchDocs))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows.toSet === want, "stream emissions diverge from the batch DF rule")
+    } finally q.stop()
+  }
 }
