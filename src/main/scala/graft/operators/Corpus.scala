@@ -600,6 +600,137 @@ object Corpus {
        |FROM pd LEFT JOIN b ON pd.source = b.source AND pd.sig = b.sig
        |GROUP BY 1, 2 ORDER BY pd.doc_id""".stripMargin
 
+  /** q181 CDC parameters: boundary window width (the content the
+    * boundary decision hashes) and divisor (expected chunk length ≈
+    * CdcD tokens — 1-in-CdcD positions qualify). Production CDC adds
+    * min/max chunk guards (FastCDC); the pure rule keeps the oracle
+    * twin exact and the re-synchronization property is what the spec
+    * pins. */
+  private[graft] val CdcW = 8
+  private[graft] val CdcD = 16
+
+  /** q181 — content-defined chunking (CDC) dedup: chunk boundaries
+    * are placed where the hash of the LAST [[CdcW]] tokens satisfies
+    * h mod [[CdcD]] = 0 (Rabin/LBFS-family rule, token granularity),
+    * then first-occurrence dedup over the CDC chunk set with q117's
+    * keeper algebra. The property fixed-grid chunking (q117) cannot
+    * have, and the reason storage/corpus dedup uses CDC: an
+    * insertion shifts EVERY downstream grid chunk (q117 sees a
+    * 1-token-prefixed copy as 100% novel), but CDC boundaries are
+    * functions of content windows, so they re-synchronize right
+    * after the edit and every later chunk deduplicates — the
+    * injection spec measures exactly that (grid shares 0 chunks,
+    * CDC shares all but the edited one).
+    *
+    * Shape: the boundary-detect explode evaluates its window hash
+    * scan-side and emits ONLY (doc_id, i) boundary rows (~1/D of
+    * positions) plus one sentinel per doc, so the lag window that
+    * derives spans moves a few integers per doc; the token array
+    * crosses exactly ONE exchange — the doc_id join that brings each
+    * doc to its spans for slicing, each doc shipped once (the pin
+    * allows precisely that one t-carrying hashpartitioning(doc_id)
+    * exchange and no other). NOT the in-row HOF form: a
+    * filter/transform lambda pipeline computes the same chunks with
+    * zero text movement but runs interpreted — measured 41 s vs
+    * 1.7 s at sf0.1, the file-header CodegenFallback lesson at ×20.
+    * Chunk sigs then run q117's exact algebra — mergeable min-struct
+    * firsts, 32-hex-sig join-back, doc_id rollup. */
+  /** Pure-Scala CDC chunker — ONE definition consumed by the
+    * streaming twin ([[graft.streaming.CorpusStreams.cdcDedupStream]]
+    * runs it per arriving document) and by the batch spec's
+    * independent replay, and proven ≡ the batch SQL pipeline by the
+    * q181 injection spec + StreamingSpec parity pin (a doc's chunks
+    * depend only on its own text, so the function is stateless and
+    * per-row — exactly what a stream wants). Returns (chunk_id, sig,
+    * clen) per chunk. */
+  private[graft] def cdcChunksOf(text: String): Seq[(Long, String, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val t = text.split(" ", -1)
+    val n = t.length
+    val interior = (CdcW until n).filter(i =>
+      h32(t.slice(i - CdcW, i).mkString(" ")) % CdcD == 0)
+    val ends = interior :+ n
+    ends.zip(0 +: ends.dropRight(1)).zipWithIndex.map { case ((e, s), j) =>
+      (j.toLong, Md5Hex.of(t.slice(s, e).mkString(" ")), (e - s).toLong)
+    }
+  }
+
+  /** md5 hex of a UTF-8 string — the same primitive Spark's `md5`
+    * and DuckDB's `md5` evaluate, for driver-side replays. */
+  private[graft] object Md5Hex {
+    def of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  def q181(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // interior boundaries (i < n; a boundary AT n folds into the
+    // sentinel) — t feeds the hash here and is dropped before any
+    // exchange; strict > keeps the sequence ascending.
+    val bounds = docs.filter(size(col("t")) > CdcW)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(CdcW), size(col("t")) - 1)).as("i"))
+      .filter(expr(graft.functions.HashBucket.bucketExpr(
+        s"array_join(slice(t, i - ${CdcW - 1}, $CdcW), ' ')", CdcD)) === 0)
+      .select(col("doc_id"), col("i"))
+    val sentinel = docs.select(col("doc_id"), size(col("t")).as("i"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val spans = bounds.unionByName(sentinel)
+      .withColumn("start", coalesce(lag(col("i"), 1).over(wDoc), lit(0)) + 1)
+      .withColumn("chunk_id", (row_number().over(wDoc) - 1).cast("long"))
+    val chunks = spans.join(docs, "doc_id")
+      .select(col("doc_id"), col("chunk_id"),
+        md5(array_join(slice(col("t"), col("start"),
+          col("i") - col("start") + 1), " ")).as("sig"),
+        (col("i") - col("start") + 1).cast("long").as("clen"))
+    import graft.functions.CacheScope.Ops
+    val ch = chunks.scopedCache
+    ch.count()
+    val firsts = ch.groupBy("sig")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keeper"))
+    ch.join(firsts, "sig")
+      .withColumn("kept",
+        (struct(col("doc_id"), col("chunk_id")) === col("keeper")).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"),
+        sum("clen").as("n_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        floorRound(col("n_kept").cast("double") / col("n_chunks"), 6).as("kept_ratio"),
+        floorRound(col("n_tokens").cast("double") / col("n_chunks"), 6).as("mean_chunk_len"))
+      .orderBy("doc_id")
+  }
+
+  val q181Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |p AS (SELECT doc_id, t, unnest(range($CdcW, len(t) + 1)) AS i
+       |      FROM d WHERE len(t) >= $CdcW),
+       |b AS (SELECT doc_id, t, i FROM p
+       |      WHERE ${graft.functions.HashBucket.bucketSql(
+              s"array_to_string(list_slice(t, i - ${CdcW - 1}, i), ' ')", CdcD)} = 0),
+       |bn AS (SELECT DISTINCT doc_id, t, i FROM
+       |        (SELECT * FROM b UNION ALL SELECT doc_id, t, len(t) AS i FROM d) u),
+       |ch AS (SELECT doc_id,
+       |        CAST(row_number() OVER w - 1 AS BIGINT) AS chunk_id,
+       |        md5(array_to_string(list_slice(t,
+       |          coalesce(lag(i) OVER w, 0) + 1, i), ' ')) AS sig,
+       |        CAST(i - coalesce(lag(i) OVER w, 0) AS BIGINT) AS clen
+       |       FROM bn WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |k AS (SELECT doc_id, chunk_id, clen,
+       |        row_number() OVER (PARTITION BY sig ORDER BY doc_id, chunk_id) AS rk
+       |      FROM ch)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${floorRoundSql(
+            "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS kept_ratio,
+       |  ${floorRoundSql("CAST(sum(clen) AS DOUBLE) / count(*)", 6)} AS mean_chunk_len
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The calibrate-offline half of [[q127]], factored so the batch
     * query and the streaming enforcement twin
     * ([[graft.streaming.CorpusStreams.rebalanceStream]]) consume ONE
@@ -923,6 +1054,7 @@ object Corpus {
     "q117_chunk_dedup" -> q117 _,
     "q127_mixture_rebalance" -> q127 _,
     "q179_boilerplate_scrub" -> q179 _,
+    "q181_cdc_dedup" -> q181 _,
     "q141_unimax_epochs" -> q141 _,
     "q149_curriculum_interleave" -> q149 _)
 
@@ -937,6 +1069,7 @@ object Corpus {
     "q117_chunk_dedup" -> q117Sql,
     "q127_mixture_rebalance" -> q127Sql,
     "q179_boilerplate_scrub" -> q179Sql,
+    "q181_cdc_dedup" -> q181Sql,
     "q141_unimax_epochs" -> q141Sql,
     "q149_curriculum_interleave" -> q149Sql)
 }

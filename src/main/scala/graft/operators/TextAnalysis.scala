@@ -445,8 +445,10 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
-  val q178Sql: String = {
-    import graft.functions.OracleRound.floorRoundSql
+  /** DuckDB twin of [[kmvSketches]] — the toks/hg/bk CTE prefix
+    * shared by q178Sql and q180Sql, so the two sketch consumers can
+    * never rebuild different member sets. */
+  private val kmvCtesSql: String =
     s"""WITH toks AS (
       |  SELECT source, string_split(text,' ') AS t FROM documents
       |  WHERE len(string_split(text,' ')) >= 2
@@ -461,7 +463,11 @@ object TextAnalysis {
       |    SELECT *, row_number() OVER (
       |      PARTITION BY source ORDER BY h, gram) AS rk FROM hg) r
       |  WHERE rk <= $KmvK
-      |), pairs AS (
+      |)""".stripMargin
+
+  val q178Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""$kmvCtesSql, pairs AS (
       |  SELECT a.source AS sa, b.source AS sb
       |  FROM (SELECT DISTINCT source FROM bk) a
       |  JOIN (SELECT DISTINCT source FROM bk) b ON a.source < b.source
@@ -481,6 +487,76 @@ object TextAnalysis {
       |    AS kmv_jaccard
       |FROM rked WHERE rk <= $KmvK
       |GROUP BY sa, sb ORDER BY source_a, source_b""".stripMargin
+  }
+
+  /** q180 — per-source distinct-bigram cardinality from the KMV
+    * sketch, audited against the exact count: the classical KMV
+    * estimator D̂ = (k−1)/u_k with u_k = h_k/2³² the kth smallest
+    * normalized hash (Bar-Yossef et al. RANDOM'02 / Beyer et al.
+    * SIGMOD'07), falling back to the EXACT sketch size when a
+    * source's vocabulary fits in the sketch (< k members — the
+    * sketch then IS the distinct set). This closes the one gap in
+    * the sketch story: q33's HLL bits are engine-specific so it is
+    * declared rows-only, but KMV over the deterministic md5 hash is
+    * bit-reproducible, making this the roster's hash-matched
+    * approximate count-distinct — the driver compares every
+    * estimate, not just row shapes.
+    *
+    * The exact leg (countDistinct per source) is the AUDIT face a
+    * calibration run wants and is the only corpus-sized stage beyond
+    * the sketch build itself — a two-phase distinct aggregate over
+    * (source, gram); a production pipeline publishing estimates only
+    * would drop it and ship S·k sketch rows, q178's cost. h_k guards
+    * with greatest(h_k, 1): a zero minimum hash (possible at corpus
+    * scale, ~k·2⁻³² per source) must not divide by zero on either
+    * engine. Estimator error for n ≥ k has std ≈ 1/√(k−2) ≈ 0.127
+    * at k = 64; the spec pins max/mean bounds and exactness of the
+    * small-set path. */
+  def q180(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleRound.floorRound
+    val docs = Tables.documents(spark, sfDir)
+    val sk = kmvSketches(docs)
+      .select(col("source"), size(col("sketch")).cast("long").as("n_sketch"),
+        // try_: under ANSI a small-vocabulary sketch (< k members)
+        // must yield NULL here, not throw — the estimator's CASE
+        // never reads hk on that branch.
+        try_element_at(col("sketch"), lit(KmvK)).getField("h").as("hk"))
+    val exact = bigramsOf(docs, keep = Seq("source"))
+      .groupBy("source")
+      .agg(countDistinct(col("gram")).as("n_exact"))
+    sk.join(exact, "source")
+      .withColumn("est_distinct",
+        when(col("n_sketch") < KmvK, col("n_sketch").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * 4294967296.0) /
+            greatest(col("hk"), lit(1L)).cast("double")))
+      .select(col("source"), col("n_exact"), col("n_sketch"),
+        floorRound(col("est_distinct"), 3).as("est_distinct"),
+        floorRound(abs(col("est_distinct") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+      .orderBy("source")
+  }
+
+  val q180Sql: String = {
+    import graft.functions.OracleRound.floorRoundSql
+    s"""$kmvCtesSql, sk AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_sketch,
+      |    max(CASE WHEN rk = $KmvK THEN h END) AS hk
+      |  FROM (SELECT source, h, row_number() OVER (
+      |          PARTITION BY source ORDER BY h, gram) AS rk FROM bk) r
+      |  GROUP BY source
+      |), ex AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM hg
+      |  GROUP BY source
+      |), est AS (
+      |  SELECT sk.source, n_exact, n_sketch,
+      |    CASE WHEN n_sketch < $KmvK THEN CAST(n_sketch AS DOUBLE)
+      |         ELSE ${(KmvK - 1).toDouble} * 4294967296.0 /
+      |              CAST(greatest(hk, 1) AS DOUBLE) END AS e
+      |  FROM sk JOIN ex ON ex.source = sk.source)
+      |SELECT source, n_exact, n_sketch,
+      |  ${floorRoundSql("e", 3)} AS est_distinct,
+      |  ${floorRoundSql("abs(e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)", 6)} AS rel_err
+      |FROM est ORDER BY source""".stripMargin
   }
 
   /** q50 — deterministic hash sampling: a reproducible 10% sample per
@@ -2016,6 +2092,7 @@ object TextAnalysis {
     "q41_salted_heavy_hitters" -> q41 _,
     "q174_countmin_heavy" -> q174 _,
     "q178_kmv_source_overlap" -> q178 _,
+    "q180_kmv_distinct" -> q180 _,
     "q25_token_stats" -> q25 _,
     "q148_tokenizer_fertility" -> q148 _,
     "q26_quality_score" -> q26 _,
@@ -2044,6 +2121,7 @@ object TextAnalysis {
     "q41_salted_heavy_hitters" -> q41Sql,
     "q174_countmin_heavy" -> q174Sql,
     "q178_kmv_source_overlap" -> q178Sql,
+    "q180_kmv_distinct" -> q180Sql,
     "q25_token_stats" -> q25Sql,
     "q148_tokenizer_fertility" -> q148Sql,
     "q26_quality_score" -> q26Sql,

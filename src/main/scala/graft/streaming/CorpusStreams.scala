@@ -528,6 +528,35 @@ object CorpusStreams {
     firstOccurrence(chunks, delayMs)
   }
 
+  /** Streaming twin of the batch CDC dedup (Corpus.q181) — live
+    * first-occurrence admission over CONTENT-DEFINED chunks: each
+    * arriving document runs the shared pure-Scala chunker
+    * (`Corpus.cdcChunksOf` — the same definition the batch spec's
+    * replay pins ≡ the SQL pipeline, so stream and batch cannot
+    * segment or hash differently), and the chunk stream feeds the
+    * SAME [[firstOccurrence]] state machine as the grid twin
+    * ([[chunkDedupStream]]) — deterministic min(doc_id, chunk_id)
+    * keeper, event-time-GC'd boolean per sig. The CDC difference
+    * shows exactly where it matters online: a re-crawled page with
+    * one inserted token re-admits only the edited chunk, where the
+    * grid twin re-admits the whole document. */
+  def cdcDedupStream(docs: DataFrame,
+      delayMs: Long = 10L * 60 * 1000): Dataset[KeptChunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docs
+      .select(col("doc_id"), col("ts"), col("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .flatMap { case (id, ts, text) =>
+        graft.operators.Corpus.cdcChunksOf(text).map { case (cid, sig, _) =>
+          ChunkArrival(sig, id, cid, ts)
+        }
+      }
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .as[ChunkArrival]
+    firstOccurrence(chunks, delayMs)
+  }
+
   /** Streaming twin of the batch NORMALIZED dedup (Dedup.q139): one
     * arrival per document keyed by the SHARED canonical-form
     * signature (Dedup.normSig — the two paths cannot canonicalize

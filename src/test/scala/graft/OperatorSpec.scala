@@ -2707,6 +2707,134 @@ class OperatorSpec extends AnyFunSuite {
     graft.functions.CacheScope.drain()
   }
 
+  test("q180 KMV distinct: estimates ≡ independent md5 replay; error within estimator bound; small-vocabulary path exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Independent reference: per-source distinct bigrams hashed and
+    // ranked in pure Scala — neither engine path vouches for it.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(g: String): Long = {
+      val hex = md.digest(g.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val vocab = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect().foreach { r =>
+        val s = vocab.getOrElseUpdate(r.getString(0), scala.collection.mutable.Set.empty)
+        val t = r.getString(1).split(" ", -1)
+        var i = 0
+        while (i < t.length - 1) { s += t(i) + " " + t(i + 1); i += 1 }
+      }
+    val k = 64
+    val rows = SparkEntry.queries("q180_kmv_distinct")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === vocab.keySet)
+    val errs = rows.map { r =>
+      val src = r.getAs[String]("source")
+      val grams = vocab(src)
+      assert(r.getAs[Long]("n_exact") === grams.size.toLong, s"$src exact count")
+      assert(r.getAs[Long]("n_sketch") === math.min(k, grams.size).toLong, s"$src sketch size")
+      val wantE =
+        if (grams.size < k) grams.size.toDouble
+        else {
+          val hk = grams.toSeq.map(g => (h(g), g)).sorted.apply(k - 1)._1
+          (k - 1).toDouble * 4294967296.0 / math.max(hk, 1L).toDouble
+        }
+      assert(r.getAs[Double]("est_distinct") === math.floor(wantE * 1e3 + 0.5) / 1e3,
+        s"$src estimate vs replay")
+      r.getAs[Double]("rel_err")
+    }
+    // k = 64 ⇒ std ≈ 1/√62 ≈ 0.127; generous tails, tight mean.
+    assert(errs.max <= 0.5, s"max rel_err ${errs.max}")
+    assert(errs.sum / errs.length <= 0.15, s"mean rel_err ${errs.sum / errs.length}")
+    // Small-vocabulary exactness: a source whose vocabulary fits in
+    // the sketch is counted EXACTLY (the sketch is the set).
+    val dir = java.nio.file.Files.createTempDirectory("graft_q180_inj").toString
+    Seq((9401L, "w1 w2 w3 w4", "xx", "tiny", 11L),
+      (9402L, "w1 w2 w5", "xx", "tiny", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val inj = SparkEntry.queries("q180_kmv_distinct")(spark, dir).collect()
+    // distinct bigrams: w1w2 (shared), w2w3, w3w4, w2w5 -> 4
+    assert(inj.length === 1)
+    assert(inj.head.getAs[Long]("n_exact") === 4L)
+    assert(inj.head.getAs[Double]("est_distinct") === 4.0)
+    assert(inj.head.getAs[Double]("rel_err") === 0.0)
+    graft.functions.CacheScope.drain()
+  }
+
+  test("q181 CDC dedup: engine ≡ pure-Scala replay; boundaries re-synchronize after an insertion where the fixed grid shares nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val (w, dmod) = (8, 16)
+    // Pure-Scala replay of the CDC rule: boundary after token i (1-
+    // based) iff i >= w and h(last w tokens) % dmod == 0; sentinel n.
+    def cdcChunks(t: Array[String]): Seq[String] = {
+      val n = t.length
+      val bs = ((w to n).filter(i =>
+        h32(t.slice(i - w, i).mkString(" ")) % dmod == 0) :+ n).distinct.sorted
+      bs.zip(0 +: bs.dropRight(1)).map { case (e, s) => t.slice(s, e).mkString(" ") }
+    }
+    // Pick a fixture doc whose replay has >= 2 interior boundaries so
+    // the re-synchronization claim has room to bind.
+    val base = graft.sources.Tables.documents(spark, sf)
+      .orderBy("doc_id").limit(10).select("text").collect().map(_.getString(0))
+      .find(tx => cdcChunks(tx.split(" ", -1)).length >= 3).get
+    val bT = base.split(" ", -1)
+    val shifted = "zzinserted " + base
+    val sT = shifted.split(" ", -1)
+    val (cb, cs) = (cdcChunks(bT), cdcChunks(sT))
+    // The shared production chunker (Corpus.cdcChunksOf — consumed by
+    // the streaming twin) must agree with this test's independent
+    // replay chunk-for-chunk, sigs included.
+    Seq(base, shifted).foreach { tx =>
+      val viaShared = graft.operators.Corpus.cdcChunksOf(tx)
+      val viaReplay = cdcChunks(tx.split(" ", -1))
+      assert(viaShared.map(_._2) ===
+        viaReplay.map(c => md.digest(c.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString),
+        "shared chunker diverges from the independent replay")
+      assert(viaShared.map(_._1) === viaReplay.indices.map(_.toLong))
+      assert(viaShared.map(_._3) === viaReplay.map(_.split(" ", -1).length.toLong))
+    }
+    // THE CDC property: downstream of the insertion the boundary
+    // decisions see identical windows, so all but the first chunk(s)
+    // re-synchronize...
+    val sharedCdc = cs.toSet.intersect(cb.toSet).size
+    assert(sharedCdc >= cb.length - 2,
+      s"CDC failed to re-synchronize: $sharedCdc of ${cb.length} chunks shared")
+    // ...while the FIXED grid (q117's 40-token chunks) shares zero
+    // chunks between the two docs — every grid cell shifted by one.
+    def gridChunks(t: Array[String]): Seq[String] =
+      t.grouped(40).map(_.mkString(" ")).toSeq
+    assert(gridChunks(sT).toSet.intersect(gridChunks(bT).toSet).isEmpty,
+      "grid chunking unexpectedly survived the shift — property contrast broken")
+    // Engine agreement on an injected two-doc corpus: doc A keeps all
+    // its chunks (firsts); doc B keeps exactly its non-shared ones.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q181_inj").toString
+    Seq((9501L, base, "xx", "srcI", base.length.toLong),
+      (9502L, shifted, "xx", "srcI", shifted.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q181_cdc_dedup")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept")))).toMap
+    // Exact keeper replay (global (doc_id, chunk_id) order, so
+    // within-doc repeats dedup too): A's firsts, then B against
+    // everything earlier.
+    val seen = scala.collection.mutable.Set.empty[String]
+    val keptA = cb.count(seen.add)
+    val keptB = cs.count(seen.add)
+    assert(got(9501L) === ((cb.length.toLong, keptA.toLong)), s"got $got")
+    assert(got(9502L) === ((cs.length.toLong, keptB.toLong)), s"got $got")
+    assert(keptB < cs.length, "insertion doc shared nothing — CDC gained nothing here")
+    graft.functions.CacheScope.drain()
+  }
+
   test("q179 boilerplate scrub: within-source DF rule drops ALL copies (incl. the first); other sources and intra-doc repeats untouched") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

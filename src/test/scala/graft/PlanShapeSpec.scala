@@ -598,6 +598,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CodegenFallback"), s"fallback in the hot path:\n$p")
   }
 
+  test("q181: CDC dedup ships each doc's tokens through at most the one doc_id slicing join; sig stages carry sigs only") {
+    val p = plan("q181_cdc_dedup")
+    val exchangeBlocks = "(?m)^\\(\\d+\\) Exchange\\nInput [^\\n]*".r.findAllIn(p).toSeq
+    assert(exchangeBlocks.nonEmpty, s"no exchange detail blocks parsed:\n$p")
+    assert(exchangeBlocks.forall(b => !b.contains("text#")),
+      s"an exchange carries raw document text:\n${exchangeBlocks.mkString("\n")}")
+    // The token array may cross ONLY the slicing join's doc_id
+    // exchange — one copy of each doc, like a repartition; the span
+    // window and both sig stages must be token-free. The formatted
+    // plan repeats the cached build subtree per consumer, so count
+    // DISTINCT t-carrying blocks.
+    val tCarrying = exchangeBlocks.filter(b => "[\\[, ]t#".r.findFirstIn(b).isDefined).distinct
+    assert(tCarrying.size <= 1,
+      s"more than one distinct exchange carries the token array:\n${tCarrying.mkString("\n")}")
+    assert(p.contains("InMemoryTableScan"),
+      s"chunk relation not served from cache:\n$p")
+  }
+
   test("q177: passage report rides ONE span derivation; the excerpt join broadcasts the 10-row report") {
     val p = plan("q177_dup_passages")
     // The run merge + top-k must come from a single exploded-span

@@ -998,6 +998,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC dedup (q181 twin): kept-set ≡ batch first-occurrence over shared chunker, no duplicate admissions") {
+    import graft.streaming.CorpusStreams
+    // Same 2-batch sf0.001 replay discipline as the grid twin; the
+    // truth is the first-occurrence set over Corpus.cdcChunksOf in
+    // (doc_id, chunk_id) order — the SAME shared chunker the stream
+    // runs, itself pinned ≡ the batch SQL pipeline by OperatorSpec's
+    // q181 injection replay.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcdedup").toString + "/in"
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"), col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") < mid).coalesce(1).write.mode("overwrite").json(dir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.mode("append").json(dir)
+    val stream = CorpusStreams.readDocStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = graft.streaming.EventStreams.runToMemory(
+      CorpusStreams.cdcDedupStream(stream).toDF(), "cdc_dedup_out",
+      outputMode = "append")
+    try {
+      assert(q.recentProgress.length >= 2, "cross-batch path not exercised")
+      val rows = spark.table("cdc_dedup_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.length === rows.toSet.size,
+        s"${rows.length - rows.toSet.size} duplicate admissions")
+      val want = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").collect()
+        .sortBy(_.getLong(0)).foreach { r =>
+          graft.operators.Corpus.cdcChunksOf(r.getString(1)).foreach {
+            case (cid, sig, _) =>
+              if (!want.contains(sig)) want(sig) = (r.getLong(0), cid)
+          }
+        }
+      assert(rows.toSet === want.map { case (s, (d, c)) => (s, d, c) }.toSet,
+        "streaming kept-set diverged from the shared-chunker first-occurrence set")
+    } finally q.stop()
+  }
+
   test("streaming boilerplate monitor (q179 twin): emitted set ≡ batch DF rule, once-only under re-delivery") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
