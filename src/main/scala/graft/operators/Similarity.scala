@@ -64,6 +64,24 @@ object Similarity {
   private[graft] def ivfNlist(n: Long): Long =
     math.max(KmeansK.toLong, math.min(4096L, (n + IvfTargetCell - 1) / IvfTargetCell))
 
+  /** Lloyd TRAINING-set cap (r12): with nlist ∝ N, training on the
+    * full corpus costs O(N²/64·d) per iteration — quadratic until
+    * the 4096 nlist cap linearizes it at N > 256k, and the dominant
+    * lump in the sf1 decade sweep (q77 8.2 s, ×8.1). Production IVF
+    * builds train on a bounded sample (faiss's max_points_per_
+    * centroid discipline), so the loop now trains on an EXPECTED
+    * [[TrainCap]]-point deterministic hash sample: keep vec iff
+    * md5bucket(vec_id, 2²⁰)·N < TrainCap·2²⁰ — the q173 integer
+    * cross-multiply, exact on both engines, and for N ≤ TrainCap the
+    * inequality is always true, so every fixture at sf ≤ 0.1 trains
+    * on the FULL set and all existing results are bit-identical.
+    * Serving (the final q77 assignment, the ivf-assign index, every
+    * probe) stays full-corpus — only the mean-update loop samples.
+    * At 100 TB: training cost becomes O(TrainCap·nlist·d) ≈ 2G flops
+    * regardless of N, vs the ~10^12-flop full-corpus loop. */
+  private[graft] val TrainCap = 8192L
+  private val TrainBucketMod = 1L << 20
+
   /** SQL twin of [[ivfNlist]] over base relation `$base` — a one-row
     * CTE body the seed CTE reads, regenerated per instantiation so
     * engine and oracle can never disagree on the cell count. */
@@ -192,14 +210,21 @@ object Similarity {
   private def lloydTrain(n: DataFrame): Seq[(Long, Seq[Double])] = {
     // Scale-aware cell count ([[ivfNlist]]): the count hits the
     // caller's cache (every caller pre-persists and eagerly counts n).
-    val k = ivfNlist(n.count())
+    val cnt = n.count()
+    val k = ivfNlist(cnt)
     var cent: Seq[(Long, Seq[Double])] =
       n.filter(col("vec_id") < k).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    // Bounded training sample ([[TrainCap]] scaladoc): full set at
+    // fixture scales, expected-TrainCap hash sample beyond — a
+    // narrow filter over the caller's cached relation.
+    val tr = n.filter(
+      expr(graft.functions.HashBucket.bucketExpr("vec_id", TrainBucketMod)) *
+        lit(cnt) < lit(TrainCap * TrainBucketMod))
     for (_ <- 1 to KmeansIters) {
       // new centroid = per-dimension mean of members; k·d rows reach
       // the driver (512 doubles), never corpus data.
-      val means = assignL2(n, cent)
+      val means = assignL2(tr, cent)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
@@ -282,12 +307,16 @@ object Similarity {
     * constant, not a data-sized knob. */
   private def kmeansCtesSql(base: String, dim: Int = Dim, pfx: String = "",
       scaleK: Boolean = true): String = {
+    // The IVF family iterates over the bounded training sample
+    // ([[TrainCap]] scaladoc — identical to base at fixture scales);
+    // the PQ codebooks (scaleK = false, fixed k) train on base.
+    val trn = if (scaleK) s"${pfx}tr" else base
     val iters = (1 to KmeansIters).map { i =>
       s"""${pfx}a$i AS (SELECT vec_id, v, cluster, dist FROM (
-         |  SELECT $base.vec_id, $base.v, c.c_id AS cluster, list_distance(c.cv, $base.v) AS dist,
-         |    row_number() OVER (PARTITION BY $base.vec_id
-         |      ORDER BY list_distance(c.cv, $base.v), c.c_id) AS rk
-         |  FROM $base, ${pfx}c${i - 1} c) t WHERE rk = 1),
+         |  SELECT $trn.vec_id, $trn.v, c.c_id AS cluster, list_distance(c.cv, $trn.v) AS dist,
+         |    row_number() OVER (PARTITION BY $trn.vec_id
+         |      ORDER BY list_distance(c.cv, $trn.v), c.c_id) AS rk
+         |  FROM $trn, ${pfx}c${i - 1} c) t WHERE rk = 1),
          |${pfx}c$i AS (SELECT cluster AS c_id, list(m ORDER BY pos) AS cv FROM (
          |  SELECT cluster, pos,
          |    CAST(sum(CAST(v[pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
@@ -297,6 +326,10 @@ object Similarity {
     val seed =
       if (scaleK)
         s"""${pfx}nl AS (${ivfNlistSql(base)}),
+           |${pfx}cn AS (SELECT count(*) AS cnt FROM $base),
+           |${pfx}tr AS (SELECT vec_id, v FROM $base
+           |  WHERE ${graft.functions.HashBucket.bucketSql("vec_id", TrainBucketMod)}
+           |    * (SELECT cnt FROM ${pfx}cn) < ${TrainCap * TrainBucketMod}),
            |${pfx}c0 AS (SELECT vec_id AS c_id, v AS cv FROM $base
            |  WHERE vec_id < (SELECT kk FROM ${pfx}nl))""".stripMargin
       else
