@@ -55,7 +55,12 @@ def opt(name, default):
 
 
 RND = opt("round", "0")
-ONLY = ARGS[ARGS.index("--only") + 1:] if "--only" in ARGS else []
+# Only take NON-flag args after --only: `--only q177 --skip-verify`
+# must not swallow the flag into the query roster (a flag "query"
+# reaches check.py with zero positional names, which runs the entire
+# roster in one process — the exact failure mode chunking avoids).
+ONLY = [a for a in (ARGS[ARGS.index("--only") + 1:]
+                    if "--only" in ARGS else []) if not a.startswith("--")]
 OUT = os.path.join(HERE, f"sf1_gate_r{RND}.json")
 
 
@@ -84,9 +89,10 @@ def main():
     # level ("bad allocation") after ~100 queries of buffer-pool
     # warmup — in-process guards can't catch a dead process, but a
     # 6-query chunk resets the pool and bounds the blast radius to
-    # one chunk, whose cells then retry solo. OOM FAILs retry once at
-    # GRAFT_DUCK_MEM=100GB (idle-host cap; the default 48GB leaves
-    # headroom for concurrent sbt JVMs the big oracles don't have).
+    # one chunk, whose cells then retry solo (and once more at a
+    # LOWER 12GB cap — DuckDB's unaccounted list allocations scale
+    # with the cap, so shrinking it spills earlier and survives;
+    # measured: q172/q176/q177 die at 48-100GB, pass at 20GB).
     check = [sys.executable, os.path.join(HERE, "check.py"), SF1,
              "/tmp/graft_sf1_verify"]
     if not flag("skip-verify"):
@@ -124,10 +130,17 @@ def main():
                 got2, fl2 = replay([name])
                 cells.update(got2); failures += fl2
                 if name not in got2:
-                    cells[name] = "CRASH"
-                    crashed.append(name)
-                    print(f"[sf1_gate] CRASH {name} (died even solo)",
-                          flush=True)
+                    # A hard process death prints no FAIL line, so it
+                    # would never reach the OOM-retry pass below —
+                    # give the dead cell the low-cap retry directly
+                    # (the malloc-level mode IS the OOM mode).
+                    got3, fl3 = replay([name], env={"GRAFT_DUCK_MEM": "12GB"})
+                    cells.update(got3); failures += fl3
+                    if name not in got3:
+                        cells[name] = "CRASH"
+                        crashed.append(name)
+                        print(f"[sf1_gate] CRASH {name} (died even solo "
+                              "at 12GB)", flush=True)
     oom = [f.split()[1].rstrip(":") for f in failures
            if "Out of Memory" in f or "bad allocation" in f]
     if oom:
@@ -138,13 +151,15 @@ def main():
               flush=True)
         for name in oom:
             got, fl = replay([name], env={"GRAFT_DUCK_MEM": "12GB"})
+            # The retry's result supersedes the first attempt either
+            # way: drop the stale 24GB failure lines for this cell so
+            # the artifact never carries two contradictory diagnoses.
+            failures = [f for f in failures
+                        if not f.startswith(f"FAIL {name}")]
             if got.get(name) and got[name] != "FAIL":
                 cells[name] = got[name]
-                failures = [f for f in failures
-                            if not f.startswith(f"FAIL {name}")]
             else:
-                failures += [f for f in fl
-                             if not any(f == p for p in failures)]
+                failures += fl
     n_pass = sum(1 for v in cells.values() if v == "PASS")
     n_fail = sum(1 for v in cells.values() if v == "FAIL") + len(crashed)
     tail = f"== {n_pass} pass, {n_fail} fail =="

@@ -609,6 +609,38 @@ object Corpus {
   private[graft] val CdcW = 8
   private[graft] val CdcD = 16
 
+  /** md5 hex of a UTF-8 string — the same primitive Spark's `md5`
+    * and DuckDB's `md5` evaluate, for driver-side replays. */
+  private[graft] object Md5Hex {
+    def of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** Pure-Scala CDC chunker — ONE definition consumed by the
+    * streaming twin ([[graft.streaming.CorpusStreams.cdcDedupStream]]
+    * runs it per arriving document) and by the batch spec's
+    * independent replay, and proven ≡ the batch SQL pipeline by the
+    * q181 injection spec + StreamingSpec parity pin (a doc's chunks
+    * depend only on its own text, so the function is stateless and
+    * per-row — exactly what a stream wants). Returns (chunk_id, sig,
+    * clen) per chunk. */
+  private[graft] def cdcChunksOf(text: String): Seq[(Long, String, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val t = text.split(" ", -1)
+    val n = t.length
+    val interior = (CdcW until n).filter(i =>
+      h32(t.slice(i - CdcW, i).mkString(" ")) % CdcD == 0)
+    val ends = interior :+ n
+    ends.zip(0 +: ends.dropRight(1)).zipWithIndex.map { case ((e, s), j) =>
+      (j.toLong, Md5Hex.of(t.slice(s, e).mkString(" ")), (e - s).toLong)
+    }
+  }
+
   /** q181 — content-defined chunking (CDC) dedup: chunk boundaries
     * are placed where the hash of the LAST [[CdcW]] tokens satisfies
     * h mod [[CdcD]] = 0 (Rabin/LBFS-family rule, token granularity),
@@ -635,38 +667,6 @@ object Corpus {
     * 1.7 s at sf0.1, the file-header CodegenFallback lesson at ×20.
     * Chunk sigs then run q117's exact algebra — mergeable min-struct
     * firsts, 32-hex-sig join-back, doc_id rollup. */
-  /** Pure-Scala CDC chunker — ONE definition consumed by the
-    * streaming twin ([[graft.streaming.CorpusStreams.cdcDedupStream]]
-    * runs it per arriving document) and by the batch spec's
-    * independent replay, and proven ≡ the batch SQL pipeline by the
-    * q181 injection spec + StreamingSpec parity pin (a doc's chunks
-    * depend only on its own text, so the function is stateless and
-    * per-row — exactly what a stream wants). Returns (chunk_id, sig,
-    * clen) per chunk. */
-  private[graft] def cdcChunksOf(text: String): Seq[(Long, String, Long)] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h32(s: String): Long = {
-      val hex = md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16)
-    }
-    val t = text.split(" ", -1)
-    val n = t.length
-    val interior = (CdcW until n).filter(i =>
-      h32(t.slice(i - CdcW, i).mkString(" ")) % CdcD == 0)
-    val ends = interior :+ n
-    ends.zip(0 +: ends.dropRight(1)).zipWithIndex.map { case ((e, s), j) =>
-      (j.toLong, Md5Hex.of(t.slice(s, e).mkString(" ")), (e - s).toLong)
-    }
-  }
-
-  /** md5 hex of a UTF-8 string — the same primitive Spark's `md5`
-    * and DuckDB's `md5` evaluate, for driver-side replays. */
-  private[graft] object Md5Hex {
-    def of(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-  }
-
   def q181(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -689,7 +689,6 @@ object Corpus {
         md5(array_join(slice(col("t"), col("start"),
           col("i") - col("start") + 1), " ")).as("sig"),
         (col("i") - col("start") + 1).cast("long").as("clen"))
-    import graft.functions.CacheScope.Ops
     val ch = chunks.scopedCache
     ch.count()
     val firsts = ch.groupBy("sig")
