@@ -307,10 +307,13 @@ object Similarity {
     * constant, not a data-sized knob. */
   private def kmeansCtesSql(base: String, dim: Int = Dim, pfx: String = "",
       scaleK: Boolean = true): String = {
-    // The IVF family iterates over the bounded training sample
-    // ([[TrainCap]] scaladoc — identical to base at fixture scales);
-    // the PQ codebooks (scaleK = false, fixed k) train on base.
-    val trn = if (scaleK) s"${pfx}tr" else base
+    // BOTH families iterate over the bounded training sample
+    // ([[TrainCap]] scaladoc — identical to base at fixture scales):
+    // the IVF family since the r12 q77 wave, the PQ codebooks
+    // (scaleK = false, fixed k) since the q158 follow-up. The seed
+    // and the count stay on base, so only the mean-update loop
+    // samples — the [[lloydTrain]]/[[pqTrain]] twins exactly.
+    val trn = s"${pfx}tr"
     val iters = (1 to KmeansIters).map { i =>
       s"""${pfx}a$i AS (SELECT vec_id, v, cluster, dist FROM (
          |  SELECT $trn.vec_id, $trn.v, c.c_id AS cluster, list_distance(c.cv, $trn.v) AS dist,
@@ -333,7 +336,11 @@ object Similarity {
            |${pfx}c0 AS (SELECT vec_id AS c_id, v AS cv FROM $base
            |  WHERE vec_id < (SELECT kk FROM ${pfx}nl))""".stripMargin
       else
-        s"${pfx}c0 AS (SELECT vec_id AS c_id, v AS cv FROM $base WHERE vec_id < $KmeansK)"
+        s"""${pfx}cn AS (SELECT count(*) AS cnt FROM $base),
+           |${pfx}tr AS (SELECT vec_id, v FROM $base
+           |  WHERE ${graft.functions.HashBucket.bucketSql("vec_id", TrainBucketMod)}
+           |    * (SELECT cnt FROM ${pfx}cn) < ${TrainCap * TrainBucketMod}),
+           |${pfx}c0 AS (SELECT vec_id AS c_id, v AS cv FROM $base WHERE vec_id < $KmeansK)""".stripMargin
     s"""$seed,
        |$iters""".stripMargin
   }
@@ -2033,8 +2040,8 @@ object Similarity {
     val key = graft.sources.Tables.fingerprint(sfDir, Seq("embeddings"))
     codebookMemo.computeIfAbsent(key, _ => {
       val n = vecs(spark, sfDir).scopedCache
-      n.count() // eager: every training iteration reads the cache
-      try pqTrain(pqSliced(n)) finally { n.unpersist(false); () }
+      val cnt = n.count() // eager: every training iteration reads the cache
+      try pqTrain(pqSliced(n), cnt) finally { n.unpersist(false); () }
     })
   }
 
@@ -2063,8 +2070,21 @@ object Similarity {
     * Per subspace the arithmetic is IDENTICAL to an independent
     * [[lloydTrain]] run on that slice (grouping by subspace only
     * partitions the rows), which is what the per-subspace unrolled
-    * oracle chains verify. O(M·k·d) doubles reach the driver. */
-  private def pqTrain(sl: DataFrame): Map[Int, Seq[(Long, Seq[Double])]] = {
+    * oracle chains verify. O(M·k·d) doubles reach the driver.
+    *
+    * Bounded training sample (r12, the [[TrainCap]] discipline
+    * extended from [[lloydTrain]]): the mean-update loop iterates
+    * over the expected-[[TrainCap]]-vector deterministic hash sample
+    * of the corpus — identical rule, so for N ≤ TrainCap (every
+    * driver fixture) the filter keeps everything and the codebooks
+    * are bit-identical to the r11 full-corpus training. `cnt` is the
+    * CORPUS vector count (not the sliced row count): the rule
+    * samples vec_ids, and each sampled vector contributes all M
+    * slices, exactly like the per-subspace oracle twins. At 100 TB
+    * the training loop is O(TrainCap·M·k·subdim) flops regardless of
+    * N — the final full-corpus pass (q158's distortion table, the
+    * encode in q160) is serving, and stays full. */
+  private def pqTrain(sl: DataFrame, cnt: Long): Map[Int, Seq[(Long, Seq[Double])]] = {
     var cents: Map[Int, Seq[(Long, Seq[Double])]] =
       sl.filter(col("vec_id") < KmeansK).collect()
         .groupBy(_.getLong(0).toInt)
@@ -2072,8 +2092,11 @@ object Similarity {
           m -> rows.map(r => (r.getLong(1), r.getSeq[Double](2).toSeq))
             .sortBy(_._1).toSeq
         }
+    val tr = sl.filter(
+      expr(graft.functions.HashBucket.bucketExpr("vec_id", TrainBucketMod)) *
+        lit(cnt) < lit(TrainCap * TrainBucketMod))
     for (_ <- 1 to KmeansIters) {
-      val means = pqAssign(sl, cents)
+      val means = pqAssign(tr, cents)
         .select(col("subspace"), col("code"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("subspace", "code", "pos")
@@ -2120,9 +2143,9 @@ object Similarity {
   def q158(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.exactSum
     val n = vecs(spark, sfDir).scopedCache
-    n.count() // eager: iters+2 consumers must not race the cache
+    val cnt = n.count() // eager: iters+2 consumers must not race the cache
     val sl = pqSliced(n)
-    val cents = pqTrain(sl)
+    val cents = pqTrain(sl, cnt)
     // refresh the served index with the identical deterministic value
     // (the q77 → trainedCentroids discipline)
     codebookMemo.put(graft.sources.Tables.fingerprint(sfDir, Seq("embeddings")), cents)
