@@ -80,7 +80,7 @@ object Similarity {
     * At 100 TB: training cost becomes O(TrainCap·nlist·d) ≈ 2G flops
     * regardless of N, vs the ~10^12-flop full-corpus loop. */
   private[graft] val TrainCap = 8192L
-  private val TrainBucketMod = 1L << 20
+  private[graft] val TrainBucketMod = 1L << 20
 
   /** SQL twin of [[ivfNlist]] over base relation `$base` — a one-row
     * CTE body the seed CTE reads, regenerated per instantiation so

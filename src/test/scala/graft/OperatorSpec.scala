@@ -1646,6 +1646,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("TrainCap sample rule (q77 Lloyd + q158 PQ training sets): identity at fixture scale, deterministic expected-cap subset beyond, monotone in N") {
+    // The bounded-training-sample rule both trainers and all their
+    // oracle CTEs share: keep vec iff md5bucket(vec_id, 2^20)·N <
+    // TrainCap·2^20. The e2e bit-parity proof at an active-sample
+    // corpus lives in the sf1 gate (N = 20035 > cap, engine ≡ DuckDB
+    // hash-match); THIS test pins the rule's three load-bearing
+    // properties so a rule edit can't silently change regimes.
+    import org.apache.spark.sql.functions._
+    val cap = graft.operators.Similarity.TrainCap
+    val mod = graft.operators.Similarity.TrainBucketMod
+    val ids = spark.range(0, 20000).select(col("id").as("vec_id"))
+    def keptIds(cnt: Long): Set[Long] = ids.filter(
+      expr(graft.functions.HashBucket.bucketExpr("vec_id", mod)) *
+        lit(cnt) < lit(cap * mod))
+      .collect().map(_.getLong(0)).toSet
+    // 1. keep-everything regime is a property of the corpus COUNT:
+    //    for cnt <= cap the inequality holds for every bucket value,
+    //    so every driver-fixture training set is the full corpus.
+    assert(keptIds(cap).size === 20000, "cnt = cap must keep every vector")
+    // 2. beyond the cap: expected-cap-sized, deterministic across
+    //    evaluations (md5, not RNG — retry/rerun stable).
+    val at20k = keptIds(20000L)
+    assert(math.abs(at20k.size - cap.toInt) < 500,
+      s"expected ~$cap kept of 20000, got ${at20k.size}")
+    assert(keptIds(20000L) === at20k, "sample must be deterministic")
+    // 3. monotone: a larger corpus tightens the same per-id threshold,
+    //    so sampled sets nest (no id flickers back in as N grows).
+    assert(keptIds(40000L).subsetOf(at20k), "samples must nest as N grows")
+  }
+
   test("q160 ADC k-NN matches an exact local PQ replay (encode + LUT lookups) and recalls L2 truth") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.functions._
