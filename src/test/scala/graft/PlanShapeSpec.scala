@@ -614,6 +614,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"more than one distinct exchange carries the token array:\n${tCarrying.mkString("\n")}")
     assert(p.contains("InMemoryTableScan"),
       s"chunk relation not served from cache:\n$p")
+    // r12: the keeper count is derived FROM the sig aggregate (keepers
+    // grouped by their doc_id), never by re-joining the chunk stream on
+    // sig — exactly one distinct sig-keyed exchange, carrying partial
+    // min-structs. A second one means the join-back form crept back and
+    // the chunk stream ships twice.
+    val sigKeyed = "hashpartitioning\\(sig#\\d+".r.findAllIn(p).toSeq.distinct
+    assert(sigKeyed.size == 1,
+      s"expected exactly 1 distinct sig-keyed exchange, got ${sigKeyed.size}:\n$p")
   }
 
   test("q177: passage report rides ONE span derivation; the excerpt join broadcasts the 10-row report") {
