@@ -2004,13 +2004,17 @@ object Similarity {
     * (the sliced rows in [[pqAssign]], an inline slice in q160's
     * single-pass encoder). */
   private def pqBestOn(v: org.apache.spark.sql.Column,
-      cent: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column = {
-    import graft.functions.EuclideanDistance.l2_distance
-    array_min(array(cent.map { case (cId, cv) =>
-      struct(l2_distance(typedlit(cv), v).as("dist"),
-        lit(cId).as("c_id"))
-    }: _*))
-  }
+      cent: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+    // Loop-form [[graft.functions.CentroidScores]], NOT k unrolled
+    // l2_distance(typedlit(...)) structs (the r12 assignL2/q143 lesson
+    // applied to PQ): the unrolled form built a ~30x larger expression
+    // tree that Catalyst re-optimized and Janino re-generated on EVERY
+    // training iteration — pqTrain's cost was driver-side planning, not
+    // flops (measured core-count-invariant: 2.38 s at local[32] vs
+    // 2.43 s at local[8] solo). The loop expression carries the
+    // codebook in the references array, scores bit-identical by the
+    // shared sequential-accumulation contract (same as assignL2).
+    array_min(graft.functions.CentroidScores.centroid_l2(cent, v))
 
   private def pqBest(cent: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
     pqBestOn(col("v"), cent)

@@ -304,6 +304,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 1 distinct embeddings scan, got $scans:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"no map-side partial cell aggregation:\n$p")
+    // r12: the per-codeword argmin is the LOOP-form centroid_l2_scores
+    // expression (codebooks ride the references array), not k unrolled
+    // l2_distance(literal) structs — the unrolled tree made every
+    // pqTrain iteration re-plan and re-codegen a ~30x larger expression
+    // (measured core-count-invariant 2.4 s solo; loop form 1.5 s).
+    assert(p.contains("centroid_l2_scores"),
+      s"PQ assignment lost the loop-form centroid expression:\n$p")
   }
 
   test("q161: RRF legs end in bounded heads; fusion never ranks the corpus globally") {
