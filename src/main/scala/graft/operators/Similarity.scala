@@ -429,9 +429,18 @@ object Similarity {
     // queries keep their nprobe nearest centroids — the only change
     // from q30, and it multiplies the query side alone
     val queries = n.filter(col("vec_id") >= 8 && col("vec_id") < 28)
-      .withColumn("best2", slice(array_sort(centStructs(cents)), 1, NProbe))
+      // top-2 via array_min + best-excluded array_min (the q143 form),
+      // not array_sort + slice: struct ordering is interpreted per
+      // comparison, so the full sort is O(nlist log nlist) interpreted
+      // work per probe row where only the 2 best cells are needed.
+      // Selection identical: (negcos, c_id) struct order ≡ sorted[0],
+      // sorted[1] ≡ the oracle's row_number ranks 1 and 2.
+      .withColumn("sc", centStructs(cents))
+      .withColumn("b1", array_min(col("sc")))
+      .withColumn("b2", array_min(filter(col("sc"),
+        s => s("c_id") =!= col("b1")("c_id"))))
       .select(col("vec_id").as("q_id"), col("v").as("qv2"),
-        explode(col("best2.c_id")).as("cluster"))
+        explode(array(col("b1.c_id"), col("b2.c_id"))).as("cluster"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(queries), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -506,6 +506,13 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("WindowGroupLimit"),
         s"$q per-query head lost the rank-limit pushdown:\n$p")
     }
+    // r12: q132's probe side picks its NProbe=2 cells via array_min +
+    // best-excluded array_min (the q143 form) — a full array_sort of
+    // the (negcos, c_id) structs is O(nlist log nlist) INTERPRETED
+    // comparisons per evaluation and measured 3.84 → 0.66 s at the sf1
+    // decade when nlist = 313.
+    assert(!plan("q132_ann_ivf_multiprobe").contains("array_sort"),
+      "q132 probe side regressed to a full array_sort of the centroid scores")
   }
 
   test("ivf-assign family index serves q30/q133/q37: posting lists from cache, no per-consumer re-assignment") {
