@@ -186,7 +186,11 @@ object Similarity {
     // scale-aware nlist the unrolled form's generated method crosses
     // HotSpot's huge-method limit and runs interpreted (see
     // [[graft.functions.CentroidScores]]); scores are bit-identical.
-    val best = array_min(graft.functions.CentroidScores.centroid_l2(cent, col("v")))
+    // r12: the argmin is fused into the native loop (CentroidBest) —
+    // array_min over the k-struct score array allocated 2k boxed
+    // values per row just to reduce them (selection bit-identical,
+    // see the expression's contract).
+    val best = graft.functions.CentroidBest.centroid_l2_best(cent, col("v"))
     n.withColumn("best", best)
       .select(col("vec_id"), col("v"),
         col("best.c_id").as("cluster"), col("best.dist").as("dist"))
@@ -217,24 +221,48 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     // Bounded training sample ([[TrainCap]] scaladoc): full set at
     // fixture scales, expected-TrainCap hash sample beyond — a
-    // narrow filter over the caller's cached relation.
-    val tr = n.filter(
+    // narrow filter over the caller's cached relation. Beyond the cap
+    // the sample is persisted in its own right (r12): the loop scans
+    // it [[KmeansIters]] times, and re-applying the filter each
+    // iteration would re-scan the FULL corpus cache per iteration —
+    // 10 corpus passes where training needs one, the difference
+    // between O(N) and O(N + iters·TrainCap) total training reads at
+    // 100 TB. At N ≤ TrainCap the filter keeps everything, so the
+    // sample IS the caller's cache and a second persist would only
+    // double the storage.
+    val sample = n.filter(
       expr(graft.functions.HashBucket.bucketExpr("vec_id", TrainBucketMod)) *
         lit(cnt) < lit(TrainCap * TrainBucketMod))
-    for (_ <- 1 to KmeansIters) {
-      // new centroid = per-dimension mean of members; k·d rows reach
-      // the driver (512 doubles), never corpus data.
-      val means = assignL2(tr, cent)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-          count(lit(1))).as("m"))
-        .collect()
-      cent = means.groupBy(_.getLong(0)).map { case (cId, rows) =>
-        (cId, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-      }.toSeq.sortBy(_._1)
-    }
-    cent
+    val sampled = cnt > TrainCap
+    val tr = if (sampled) {
+      // coalesce before persisting: the sample is ≤ TrainCap rows
+      // FOREVER (scale-independent), but it inherits the corpus
+      // cache's partitioning — at sf1 that meant every iteration's
+      // means aggregate ran 32 map tasks over ~256 rows each and
+      // shipped ~tasks × k·d partial rows (640k partials for 524k raw
+      // values). 8 partitions keep the assign parallel while the
+      // partial layer actually combines.
+      val t = sample.coalesce(8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count() // eager: iteration 1 must read the bounded sample, not re-filter
+      t
+    } else sample
+    try {
+      for (_ <- 1 to KmeansIters) {
+        // new centroid = per-dimension mean of members; k·d rows reach
+        // the driver (512 doubles), never corpus data.
+        val means = assignL2(tr, cent)
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos")
+          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("m"))
+          .collect()
+        cent = means.groupBy(_.getLong(0)).map { case (cId, rows) =>
+          (cId, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.toSeq.sortBy(_._1)
+      }
+      cent
+    } finally if (sampled) { tr.unpersist(false); () }
   }
 
   /** Trained-centroid memo, keyed by canonical fixture dir: an ANN
@@ -286,7 +314,8 @@ object Similarity {
       Tables.fingerprint(sfDir, Seq("embeddings"))) { () =>
       val cents = trainedCentroids(spark, sfDir)
       val asg = cvecs(spark, sfDir)
-        .withColumn("best", array_min(centStructs(cents)))
+        .withColumn("best",
+          graft.functions.CentroidBest.centroid_negcos_best(cents, col("v")))
         .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       asg.count() // eager — consumers read posting lists, not parquet
@@ -346,12 +375,15 @@ object Similarity {
   }
 
   /** Per-row (negcos, c_id) struct array over the trained centroid
-    * literals — the cosine twin of [[assignL2]]'s narrow argmax.
+    * literals — the REFERENCE form of the family's cosine argmax:
     * `array_min` of it is the best cell (struct ordering = negcos ASC
-    * then c_id ASC ≡ the oracle's ORDER BY cos DESC, c_id);
-    * `array_sort` + slice gives the nprobe best. Negation is exact
-    * (sign-bit flip), so ties and orderings agree bitwise with the
-    * oracle's un-negated DESC sort. */
+    * then c_id ASC ≡ the oracle's ORDER BY cos DESC, c_id). The hot
+    * paths all use the fused [[graft.functions.CentroidBest]]
+    * selection instead (r12 — no per-row k-struct array allocation);
+    * the CentroidBest parity spec pins best/best2 ≡ array_min /
+    * sorted-slice over THIS array, which is what keeps the fused form
+    * honest. Negation is exact (sign-bit flip), so ties and orderings
+    * agree bitwise with the oracle's un-negated DESC sort. */
   private[graft] def centStructs(cents: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
     // One native loop over the centroid matrix ([[graft.functions
     // .CentroidScores]]) — the unrolled per-centroid cosine_sim form
@@ -386,7 +418,8 @@ object Similarity {
     // assignment pass per corpus, not one per consumer query)
     val assigned = ivfAssignIndex(spark, sfDir)
     val queries = n.filter(col("vec_id") >= 8 && col("vec_id") < 28)
-      .withColumn("best", array_min(centStructs(cents)))
+      .withColumn("best",
+        graft.functions.CentroidBest.centroid_negcos_best(cents, col("v")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("best.c_id").as("cluster"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -421,7 +454,8 @@ object Similarity {
     * a per-query window over O(queries × lists) candidates. Same
     * narrow-argmax / pruned-probe-scan / broadcast-join legs as q30
     * (see its scaladoc); the only delta is the probe side keeping
-    * its [[NProbe]] best cells via array_sort + slice. */
+    * its [[NProbe]] best cells via array_min + best-excluded
+    * array_min (the q143 form; selection ≡ the sorted prefix). */
   def q132(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = trainedCentroids(spark, sfDir)
     val n = cvecs(spark, sfDir)
@@ -429,18 +463,16 @@ object Similarity {
     // queries keep their nprobe nearest centroids — the only change
     // from q30, and it multiplies the query side alone
     val queries = n.filter(col("vec_id") >= 8 && col("vec_id") < 28)
-      // top-2 via array_min + best-excluded array_min (the q143 form),
-      // not array_sort + slice: struct ordering is interpreted per
-      // comparison, so the full sort is O(nlist log nlist) interpreted
-      // work per probe row where only the 2 best cells are needed.
-      // Selection identical: (negcos, c_id) struct order ≡ sorted[0],
+      // top-2 via the fused in-loop selection (CentroidBest best2),
+      // never array_sort + slice: the full sort is O(nlist log nlist)
+      // struct comparisons per probe row where only the 2 best cells
+      // are needed (measured 3.84 → 0.66 s serve at sf1's nlist=313).
+      // Selection identical: (negcos, c_id) order ≡ sorted[0],
       // sorted[1] ≡ the oracle's row_number ranks 1 and 2.
-      .withColumn("sc", centStructs(cents))
-      .withColumn("b1", array_min(col("sc")))
-      .withColumn("b2", array_min(filter(col("sc"),
-        s => s("c_id") =!= col("b1")("c_id"))))
+      .withColumn("b2",
+        graft.functions.CentroidBest.centroid_negcos_best2(cents, col("v")))
       .select(col("vec_id").as("q_id"), col("v").as("qv2"),
-        explode(array(col("b1.c_id"), col("b2.c_id"))).as("cluster"))
+        explode(col("b2.c_id")).as("cluster"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(queries), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1504,19 +1536,19 @@ object Similarity {
     // HotSpot's 8000-byte huge-method limit (the r11 q30 cliff, found
     // again by the r12 sf1 gate's ratio table — ×24.6) and ran
     // interpreted; the loop form emits bit-identical (dist, c_id)
-    // structs at constant bytecode size. And only the TOP-2 are
-    // needed, so: array_min for the nearest, array_min over the
-    // best-cell-excluded remainder for the second-nearest — O(nlist)
-    // struct comparisons per row instead of array_sort's
-    // O(nlist log nlist) (struct ordering is interpreted per
-    // comparison; at nlist = 313 the full sort was the residual
-    // cost). Tie behavior identical: struct ordering (dist, c_id) ≡
-    // the sorted form's [0] and [1] ≡ the oracle's row_number order.
-    n.withColumn("sc", graft.functions.CentroidScores.centroid_l2(cents, col("v")))
-      .withColumn("best", array_min(col("sc")))
-      .select(col("best.c_id").as("cluster"), col("best.dist").as("a"),
-        array_min(filter(col("sc"),
-          s => s("c_id") =!= col("best")("c_id")))("dist").as("b"))
+    // scores at constant bytecode size. And only the TOP-2 are
+    // needed, so the selection is fused in-loop (CentroidBest best2,
+    // r12) — O(nlist) comparisons and ONE 2-struct allocation per row
+    // instead of array_sort's O(nlist log nlist) comparisons over a
+    // materialized k-struct array (at nlist = 313 the full sort was
+    // the residual cost). Tie behavior identical: (dist, c_id)
+    // ordering ≡ the sorted form's [0] and [1] ≡ the oracle's
+    // row_number order; a 1-cell codebook yields el[1] = NULL exactly
+    // like the previous empty-filter array_min.
+    n.withColumn("t2",
+        graft.functions.CentroidBest.centroid_l2_best2(cents, col("v")))
+      .select(col("t2")(0)("c_id").as("cluster"), col("t2")(0)("dist").as("a"),
+        col("t2")(1)("dist").as("b"))
       .withColumn("s", when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
         .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
       .groupBy("cluster")
@@ -2022,8 +2054,10 @@ object Similarity {
     // flops (measured core-count-invariant: 2.38 s at local[32] vs
     // 2.43 s at local[8] solo). The loop expression carries the
     // codebook in the references array, scores bit-identical by the
-    // shared sequential-accumulation contract (same as assignL2).
-    array_min(graft.functions.CentroidScores.centroid_l2(cent, v))
+    // shared sequential-accumulation contract (same as assignL2), and
+    // (r12 follow-up) the argmin is fused in-loop (CentroidBest) so no
+    // per-row k-struct array is ever allocated.
+    graft.functions.CentroidBest.centroid_l2_best(cent, v)
 
   private def pqBest(cent: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
     pqBestOn(col("v"), cent)
@@ -2105,24 +2139,35 @@ object Similarity {
           m -> rows.map(r => (r.getLong(1), r.getSeq[Double](2).toSeq))
             .sortBy(_._1).toSeq
         }
-    val tr = sl.filter(
+    // Sample persisted beyond the cap, same rationale as [[lloydTrain]]:
+    // the loop must scan TrainCap·M sliced rows per iteration, never
+    // re-filter the corpus-sized sliced stream.
+    val sample = sl.filter(
       expr(graft.functions.HashBucket.bucketExpr("vec_id", TrainBucketMod)) *
         lit(cnt) < lit(TrainCap * TrainBucketMod))
-    for (_ <- 1 to KmeansIters) {
-      val means = pqAssign(tr, cents)
-        .select(col("subspace"), col("code"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("subspace", "code", "pos")
-        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-          count(lit(1))).as("m"))
-        .collect()
-      cents = means.groupBy(_.getLong(0).toInt).map { case (m, rows) =>
-        m -> rows.groupBy(_.getLong(1)).map { case (cId, rs) =>
-          (cId, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
-        }.toSeq.sortBy(_._1)
+    val sampled = cnt > TrainCap
+    val tr = if (sampled) {
+      val t = sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    } else sample
+    try {
+      for (_ <- 1 to KmeansIters) {
+        val means = pqAssign(tr, cents)
+          .select(col("subspace"), col("code"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("subspace", "code", "pos")
+          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("m"))
+          .collect()
+        cents = means.groupBy(_.getLong(0).toInt).map { case (m, rows) =>
+          m -> rows.groupBy(_.getLong(1)).map { case (cId, rs) =>
+            (cId, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }.toSeq.sortBy(_._1)
+        }
       }
-    }
-    cents
+      cents
+    } finally if (sampled) { tr.unpersist(false); () }
   }
 
   /** q158 — product-quantization codebook training + distortion

@@ -113,14 +113,15 @@ object VectorStreams {
   def nearDupPairStream(vecs: DataFrame, cents: Seq[(Long, Seq[Double])],
       delayMs: Long = 10L * 60 * 1000): Dataset[NearDupPair] = {
     import graft.functions.DotProduct.dot_product
-    import graft.operators.Similarity.{bandSigs, centStructs, Dim, NearDupCos}
+    import graft.operators.Similarity.{bandSigs, Dim, NearDupCos}
     val sigs = bandSigs(
       vecs.filter(size(col("embedding")) === Dim)
         .select(col("vec_id"), col("ts"),
           col("embedding").cast("array<double>").as("v"))
         .filter(dot_product(col("v"), col("v")) > 0.0)
         .withColumn("cluster",
-          array_min(centStructs(cents)).getField("c_id").cast("long")),
+          graft.functions.CentroidBest.centroid_negcos_best(cents, col("v"))
+            .getField("c_id").cast("long")),
       Seq("vec_id", "ts", "v", "cluster"))
       .withWatermark("ts", s"$delayMs milliseconds")
       .as[VecArrival]

@@ -1676,6 +1676,105 @@ class OperatorSpec extends AnyFunSuite {
     assert(keptIds(40000L).subsetOf(at20k), "samples must nest as N grows")
   }
 
+  test("CentroidBest parity: fused best/best2 ≡ array_min / sorted-slice of the CentroidScores array, both metrics, codegen and interpreted") {
+    // r12: the hot paths select the nearest (or two nearest) centroids
+    // with the fused in-loop CentroidBest expression instead of
+    // materializing the k-struct score array and reducing it with
+    // array_min / array_sort. This pins the selection contract the
+    // swap relies on — bitwise-identical structs on real embeddings
+    // PLUS the adversarial cases: exact score ties broken by c_id
+    // (duplicate centroids), -0.0 vs 0.0 double ordering (orthogonal
+    // vectors under negcos), NULL vector / ragged length / NULL
+    // element → NULL, and a 1-centroid codebook where best2's second
+    // slot must read NULL like array_min over an empty filter.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import graft.functions.{CentroidBest, CentroidScores}
+    val sf = "/root/testdata/sf0.001"
+    val real = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size(col("embedding")) === 4 || size(col("embedding")) === 64)
+      .select(col("embedding").cast("array<double>").as("v"))
+    // 4-dim crafted rows: ties, orthogonality, null/ragged/null-element
+    val crafted = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Seq(1.0, 2.0, 3.0, 4.0)),
+        Row(Seq(0.0, 0.0, 1.0, 0.0)),   // orthogonal to c10/c11 → -0.0 negcos tie
+        Row(Seq(-1.0, 1.0, 0.0, 0.0)),  // equidistant L2 tie to duplicate centroids
+        Row(null),                       // NULL vector
+        Row(Seq(1.0, 2.0, 3.0)),         // ragged length
+        Row(Seq(1.0, null, 3.0, 4.0)),   // NULL element
+        Row(Seq(-0.5, 7.25, 1e9, -3e-7)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)))))
+    // duplicated centroid vector under two ids pins the c_id tiebreak;
+    // non-contiguous ids pin that selection follows ids, not positions
+    val cents4 = Seq(
+      10L -> Seq(1.0, 0.0, 0.0, 0.0),
+      11L -> Seq(1.0, 0.0, 0.0, 0.0),
+      13L -> Seq(0.0, 1.0, 0.0, 0.0),
+      7L -> Seq(0.25, -1.5, 2.0, 8.0))
+    val cents1 = Seq(42L -> Seq(0.5, 0.5, 0.5, 0.5))
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    def cmpStruct(label: String, a: Row, b: Row): Unit =
+      if (a == null || b == null) assert((a == null) === (b == null), s"$label null mismatch")
+      else {
+        assert(bits(a.getDouble(0)) === bits(b.getDouble(0)), s"$label score bits")
+        assert(a.getLong(1) === b.getLong(1), s"$label c_id")
+      }
+    def check(df: org.apache.spark.sql.DataFrame,
+        cents: Seq[(Long, Seq[Double])]): Unit = {
+      val scoresL2 = CentroidScores.centroid_l2(cents, col("v"))
+      val scoresNc = CentroidScores.centroid_negcos(cents, col("v"))
+      val rows = df.select(
+        CentroidBest.centroid_l2_best(cents, col("v")).as("fb_l2"),
+        array_min(scoresL2).as("ref_l2"),
+        CentroidBest.centroid_negcos_best(cents, col("v")).as("fb_nc"),
+        array_min(scoresNc).as("ref_nc"),
+        CentroidBest.centroid_l2_best2(cents, col("v")).as("f2_l2"),
+        slice(array_sort(scoresL2), 1, 2).as("r2_l2"),
+        CentroidBest.centroid_negcos_best2(cents, col("v")).as("f2_nc"),
+        slice(array_sort(scoresNc), 1, 2).as("r2_nc")).collect()
+      rows.foreach { r =>
+        cmpStruct("l2 best", r.getAs[Row]("fb_l2"), r.getAs[Row]("ref_l2"))
+        cmpStruct("negcos best", r.getAs[Row]("fb_nc"), r.getAs[Row]("ref_nc"))
+        for ((f, g) <- Seq(("f2_l2", "r2_l2"), ("f2_nc", "r2_nc"))) {
+          val fused = r.getAs[scala.collection.Seq[Row]](f)
+          val ref = r.getAs[scala.collection.Seq[Row]](g)
+          if (fused == null || ref == null)
+            assert((fused == null) === (ref == null), s"$f null mismatch")
+          else {
+            assert(fused.size === ref.size, s"$f arity (k<2 must emit 1 entry)")
+            fused.zip(ref).zipWithIndex.foreach { case ((a, b), i) =>
+              cmpStruct(s"$f[$i]", a, b)
+            }
+          }
+        }
+      }
+      assert(rows.nonEmpty)
+    }
+    val data4 = crafted
+    val data64 = real.limit(200)
+    val cents64 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+      .select(col("embedding").cast("array<double>").as("e")).limit(6)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i * 3 + 1).toLong -> r.getSeq[Double](0).toSeq
+      }.toSeq
+    val combos = Seq((data4, cents4), (data4, cents1), (data64, cents64))
+    // both engines: whole-stage codegen (default) and forced
+    // interpreted expression evaluation
+    val factory = "spark.sql.codegen.factoryMode"
+    val wsc = "spark.sql.codegen.wholeStage"
+    val (f0, w0) = (spark.conf.get(factory, "FALLBACK"), spark.conf.get(wsc, "true"))
+    try {
+      combos.foreach { case (d, c) => check(d, c) }
+      spark.conf.set(factory, "NO_CODEGEN"); spark.conf.set(wsc, "false")
+      combos.foreach { case (d, c) => check(d, c) }
+    } finally { spark.conf.set(factory, f0); spark.conf.set(wsc, w0) }
+  }
+
   test("q160 ADC k-NN matches an exact local PQ replay (encode + LUT lookups) and recalls L2 truth") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import org.apache.spark.sql.functions._

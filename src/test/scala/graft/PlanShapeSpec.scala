@@ -304,12 +304,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 1 distinct embeddings scan, got $scans:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"no map-side partial cell aggregation:\n$p")
-    // r12: the per-codeword argmin is the LOOP-form centroid_l2_scores
-    // expression (codebooks ride the references array), not k unrolled
-    // l2_distance(literal) structs — the unrolled tree made every
-    // pqTrain iteration re-plan and re-codegen a ~30x larger expression
-    // (measured core-count-invariant 2.4 s solo; loop form 1.5 s).
-    assert(p.contains("centroid_l2_scores"),
+    // r12: the per-codeword argmin is the LOOP-form fused
+    // centroid_l2_best expression (codebooks ride the references
+    // array), not k unrolled l2_distance(literal) structs — the
+    // unrolled tree made every pqTrain iteration re-plan and
+    // re-codegen a ~30x larger expression (measured
+    // core-count-invariant 2.4 s solo; loop form 1.5 s).
+    assert(p.contains("centroid_l2_best"),
       s"PQ assignment lost the loop-form centroid expression:\n$p")
   }
 
@@ -530,7 +531,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // is a corpus re-assignment.
     val fmt = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     val idx = graft.operators.Similarity.ivfAssignIndex(spark, sf)
-    def sites(p: String) = "centroid_negcos_scores".r.findAllIn(p).size
+    def sites(p: String) = "centroid_negcos_best".r.findAllIn(p).size
     val base = sites(idx.queryExecution.explainString(fmt))
     val p133 = plan("q133_semdedup")
     assert(p133.contains("InMemoryTableScan"),
