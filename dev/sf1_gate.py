@@ -144,13 +144,21 @@ def main():
     oom = [f.split()[1].rstrip(":") for f in failures
            if "Out of Memory" in f or "bad allocation" in f]
     if oom:
-        # DOWN, not up: DuckDB's unaccounted list allocations scale
-        # with the cap, so a lower cap spills earlier and survives
-        # (measured: q172/q176/q177 die at 48-100GB, pass at 20GB).
-        print(f"[sf1_gate] retrying {len(oom)} OOM cells at 12GB ...",
-              flush=True)
+        # DOWN first, then UP: DuckDB's unaccounted list allocations
+        # scale with the cap, so a lower cap spills earlier and
+        # survives the list-heavy cells (measured: q172/q176/q177 die
+        # at 48-100GB, pass at 20GB) — but PIN-heavy cells (q163's
+        # 6.3M-row ranked window genuinely needs the working set) OOM
+        # at ANY lower cap and only pass with more memory (measured
+        # r12 resumed session: q163 OOM at 24 and 12, PASS at 48GB).
+        # One retry in each direction covers both failure modes.
+        print(f"[sf1_gate] retrying {len(oom)} OOM cells at 12GB, "
+              "then 48GB ...", flush=True)
         for name in oom:
             got, fl = replay([name], env={"GRAFT_DUCK_MEM": "12GB"})
+            if got.get(name) == "FAIL" and any(
+                    "Out of Memory" in f or "bad allocation" in f for f in fl):
+                got, fl = replay([name], env={"GRAFT_DUCK_MEM": "48GB"})
             # The retry's result supersedes the first attempt either
             # way: drop the stale 24GB failure lines for this cell so
             # the artifact never carries two contradictory diagnoses.
