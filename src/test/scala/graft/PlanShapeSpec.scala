@@ -159,6 +159,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"triangle enumeration degenerated to a cartesian product:\n$p")
+    // r12: all three report legs (nodes, edge count, triangles) read
+    // the ONE cached ≤n(n+1)/2-row pair relation — the corpus must be
+    // scanned only inside that cached subtree, never by a consumer.
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"report legs no longer served by the cached pair relation:\n$p")
+    // Single corpus exchange: the ok-repartition satisfies both the
+    // distinct and the self-join (subset rule), so the cached subtree
+    // has exactly one shuffle of corpus-sized rows (by ok) plus the
+    // tiny distinct-pairs exchange; the join's second side must be a
+    // ReusedExchange of the first.
+    assert(p.contains("ReusedExchange"),
+      s"self-join sides no longer share the ok exchange:\n$p")
   }
 
   test("q76: bloom probe side has NO join — the filter arrives as a subquery") {
