@@ -409,39 +409,36 @@ object TextAnalysis {
   def q178(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.floorRound
     import graft.functions.CacheScope.Ops
-    // scopedCache: `bk` is referenced three times below (both pair
-    // sides + the membership join) — without the persist the
-    // corpus-sized sketch build runs three times (seen in the plan as
-    // three full scan→Generate→ObjectHashAggregate subtrees). The
-    // cached relation is S·k rows — sketch-sized, never corpus bytes.
-    val bk = kmvSketches(Tables.documents(spark, sfDir))
-      .select(col("source"), explode(col("sketch")).as("e"))
-      .select(col("source"), col("e.h").as("h"), col("e.gram").as("gram"))
-      .scopedCache
-    val srcs = bk.select("source").distinct()
-    val pairs = srcs.as("a").join(srcs.as("b"),
-        col("a.source") < col("b.source"))
-      .select(col("a.source").as("sa"), col("b.source").as("sb"))
-    // Two equi-joins (hash-joinable), not one OR-predicate join: the
-    // OR form has no extractable key, so Spark plans a nested loop —
-    // every pair × every sketch row is S³·k work where the estimator
-    // needs only S²·k. Each side hash-joins on its own key and the
-    // union is exactly the pair-membership relation.
-    val u = pairs.join(bk, col("source") === col("sa"))
-      .unionByName(pairs.join(bk, col("source") === col("sb")))
-      .groupBy("sa", "sb", "gram", "h")
-      .agg(max(when(col("source") === col("sa"), 1).otherwise(0)).as("in_a"),
-        max(when(col("source") === col("sb"), 1).otherwise(0)).as("in_b"))
-    u.withColumn("rk", row_number().over(
-        Window.partitionBy("sa", "sb").orderBy("h", "gram")))
-      .filter(col("rk") <= KmvK)
-      .groupBy("sa", "sb")
-      .agg(count(lit(1)).as("union_k"),
-        sum(col("in_a") * col("in_b")).cast("long").as("shared_k"))
-      .select(col("sa").as("source_a"), col("sb").as("source_b"),
-        col("union_k"), col("shared_k"),
-        floorRound(col("shared_k").cast("double") / col("union_k"), 6)
-          .as("kmv_jaccard"))
+    // scopedCache: the sketch table is referenced by BOTH sides of the
+    // pair self-join below — without the persist the corpus-sized
+    // sketch build runs twice (the broadcast side cannot reuse the
+    // stream side's exchange). The cached relation is S rows of
+    // k-member arrays — sketch-sized, never corpus bytes.
+    val sk = kmvSketches(Tables.documents(spark, sfDir)).scopedCache
+    sk.count() // eager: the join sides must read the cache, not re-aggregate the corpus
+    // KMV union/intersection is a k-bounded ARRAY operation, so the
+    // estimator runs as per-pair expressions over the two sketch
+    // arrays instead of exploding S·k member rows through two hash
+    // joins + a (sa,sb,gram,h) aggregate + a rank window (the r12
+    // probe measured that row-form machinery at ~0.6-1.0 s of pure
+    // small-stage overhead at sf0.1 — 4 exchanges for kilobytes).
+    // Equivalence to the row form (and the oracle's rank-window CTE):
+    // array_union dedupes by (h, gram) struct equality ≡ the GROUP BY,
+    // array_sort orders structs field-by-field ≡ ORDER BY h, gram,
+    // slice(·, 1, k) ≡ rk <= k, and membership via array_intersect
+    // against each source's own sketch ≡ max(in_a)/max(in_b). The
+    // sketches stay bounded (≤ k members), so each pair is O(k log k)
+    // work and the pair stage shuffles NOTHING corpus-derived.
+    val pr = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        col("a.sketch").as("ska"), col("b.sketch").as("skb"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(ska, skb)), 1, $KmvK)"))
+    pr.select(col("sa").as("source_a"), col("sb").as("source_b"),
+        size(col("u")).cast("long").as("union_k"),
+        size(expr("array_intersect(array_intersect(u, ska), skb)"))
+          .cast("long").as("shared_k"))
+      .withColumn("kmv_jaccard",
+        floorRound(col("shared_k").cast("double") / col("union_k"), 6))
       .orderBy("source_a", "source_b")
   }
 

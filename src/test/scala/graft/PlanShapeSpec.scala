@@ -669,13 +669,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"an exchange carries document text:\n${exchangeInputs.mkString("\n")}")
   }
 
-  test("q178: ONE corpus scan feeds the cached sketches; the udaf aggregates map-side; pair joins hash, never loop") {
+  test("q178: ONE corpus scan feeds the cached sketches; the udaf aggregates map-side; pairs are array exprs, no membership join") {
     try {
       val p = plan("q178_kmv_source_overlap")
-      // bk is consumed three times (both pair sides + membership) — the
-      // scopedCache must collapse that to one materialized sketch build
-      // over one documents scan; three distinct scan ids = the triple
-      // corpus read this pin exists to prevent.
+      // The sketch table feeds both pair-join sides — the scopedCache
+      // must collapse that to one materialized sketch build over one
+      // documents scan; two distinct scan ids = the double corpus
+      // read this pin exists to prevent.
       val scans = "Scan parquet\\s+\\((\\d+)\\)".r
         .findAllMatchIn(p).map(_.group(1)).toSet
       assert(scans.size == 1, s"expected 1 distinct documents scan, got $scans:\n$p")
@@ -686,15 +686,18 @@ class PlanShapeSpec extends AnyFunSuite {
       // map task, enforced by ObjectHashAggregate partial functions).
       assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
         s"KMV aggregation not map-side combined:\n$p")
-      // The pair-membership join is two equi-joins (BroadcastHashJoin),
-      // not an OR-predicate nested loop (S³·k comparisons at many
-      // sources); only the sa < sb pair ENUMERATION may nest — S-row
-      // inputs, once per union branch. Count detail headers (one per
-      // node; the tree renders each node a second time).
-      assert(p.contains("BroadcastHashJoin"),
-        s"membership join is not a hash join:\n$p")
+      // r12: the estimator is per-pair ARRAY expressions over the two
+      // k-bounded sketch arrays — the only join left is the single
+      // sa < sb pair enumeration (S-row sides, broadcast nested loop
+      // by construction); the old row form's membership hash joins,
+      // (sa,sb,gram,h) aggregate and rank window must stay gone (each
+      // was a full small-stage round-trip for kilobytes of data).
       val loops = "(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
-      assert(loops <= 2, s"expected only the pair enumerations to nest, got $loops:\n$p")
+      assert(loops == 1, s"expected exactly the pair enumeration to nest, got $loops:\n$p")
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"a membership join reappeared — the array form needs none:\n$p")
+      assert(!p.contains("Window"),
+        s"a rank window reappeared — slice(array_sort(...)) replaces it:\n$p")
     } finally {
       graft.functions.CacheScope.drain()
       spark.catalog.clearCache()
