@@ -355,6 +355,38 @@ case class CentroidBest(child: Expression,
 }
 
 object CentroidBest {
+  /** Driver-side twin of the l2 argmin: index of the best centroid
+    * under (dist ASC, c_id ASC), scores by the IDENTICAL sequential
+    * Σd² + one-sqrt loop and ties by the IDENTICAL
+    * java.lang.Double.compare rule as [[CentroidBest.nullSafeEval]] /
+    * its generated code. Used by the bounded in-driver Lloyd trainer
+    * ([[graft.operators.Similarity]]); CentroidBestParitySpec pins
+    * this helper against the expression over adversarial inputs so
+    * the two can never drift. */
+  def bestL2Index(cmat: Array[Array[Double]], cids: Array[Long], v: Array[Double]): Int = {
+    var bi = 0
+    var b1 = 0.0
+    var c = 0
+    while (c < cmat.length) {
+      val cv = cmat(c)
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val d = cv(i) - v(i)
+        acc += d * d
+        i += 1
+      }
+      val s = math.sqrt(acc)
+      if (c == 0) { b1 = s; bi = 0 }
+      else {
+        val cmp = java.lang.Double.compare(s, b1)
+        if (cmp < 0 || (cmp == 0 && cids(c) < cids(bi))) { b1 = s; bi = c }
+      }
+      c += 1
+    }
+    bi
+  }
+
   /** One (score, c_id) struct — eval/codegen shared packing. */
   def pack1(s: Double, id: Long): InternalRow = InternalRow(s, id)
 

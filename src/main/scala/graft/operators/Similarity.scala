@@ -196,73 +196,90 @@ object Similarity {
         col("best.c_id").as("cluster"), col("best.dist").as("dist"))
   }
 
-  /** Lloyd's k-means training loop, shared by q77 (the training
-    * query) and the IVF index family (q30/q132 serve the trained
-    * cells). `n` must be the [[vecs]] relation, pre-persisted by the
-    * caller (the loop scans it [[KmeansIters]] times). Per iteration:
-    * one broadcast of k×d centroid literals, one corpus scan for the
-    * narrow argmin assignment, one (cluster, dim)-keyed partial+final
-    * aggregate for the means — only O(k·d) bytes ever reach the
-    * driver (the MLlib collect shape).
+  /** One in-driver Lloyd step over the bounded training sample —
+    * assign every sample vector to its nearest centroid and return
+    * the per-cluster per-dimension means of the member vectors,
+    * clusters with no members dropped, sorted by cluster id. Shared
+    * by [[lloydTrain]] and [[pqTrain]] (one subspace = one call).
     *
-    * Determinism discipline: centroid means sum element values in
-    * DECIMAL(28,12) (order-independent; the q72 precedent pins the
-    * cross-engine double→DECIMAL cast agreement) and divide as
-    * doubles, so every iteration's centroids — and therefore every
+    * Bit-exactness contract (the reason this is safe to run on the
+    * driver at all — the oracle CTEs recompute every step):
+    *  - assignment = [[graft.functions.CentroidBest.bestL2Index]],
+    *    the expression's own sequential Σd²+sqrt loop and
+    *    (Double.compare, c_id) tie rule (parity-spec-pinned);
+    *  - each member value enters the mean as Spark's
+    *    CAST(x AS DECIMAL(28,12)) — java BigDecimal.valueOf (the
+    *    canonical Double.toString decimal, exactly Scala's
+    *    BigDecimal(d) inside Spark's Cast) setScale(12, HALF_UP);
+    *  - sums are exact BigDecimal adds (associative, so iteration
+    *    order cannot matter — the property the distributed DECIMAL
+    *    aggregate already relied on), the final
+    *    CAST(sum AS DOUBLE) / count is BigDecimal.doubleValue over
+    *    a double division — step for step the old
+    *    sum(x::DECIMAL(28,12))::DOUBLE / count(*) job.
+    * TrainCapSpec asserts this step ≡ the distributed DECIMAL means
+    * job bit-for-bit on real fixtures. */
+  private def lloydStepLocal(rows: Array[Array[Double]],
+      cent: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val cmat = cent.map(_._2.toArray).toArray
+    val cids = cent.map(_._1).toArray
+    val k = cmat.length
+    val d = if (rows.isEmpty) 0 else rows(0).length
+    val sums = Array.fill(k, d)(java.math.BigDecimal.ZERO)
+    val cnts = new Array[Long](k)
+    var r = 0
+    while (r < rows.length) {
+      val v = rows(r)
+      val c = graft.functions.CentroidBest.bestL2Index(cmat, cids, v)
+      cnts(c) += 1
+      var i = 0
+      while (i < d) {
+        sums(c)(i) = sums(c)(i).add(java.math.BigDecimal.valueOf(v(i))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        i += 1
+      }
+      r += 1
+    }
+    (0 until k).filter(cnts(_) > 0L).map { c =>
+      (cids(c), (0 until d).map(i => sums(c)(i).doubleValue() / cnts(c).toDouble): Seq[Double])
+    }.sortBy(_._1)
+  }
+
+  /** Lloyd's k-means training, shared by q77 (the training query) and
+    * the IVF index family (q30/q132 serve the trained cells). Two
+    * Spark jobs — the seed collect (vec_id < k, a pruned filter) and
+    * ONE collect of the bounded [[TrainCap]] hash sample — then the
+    * whole iteration loop runs in the driver over that sample
+    * ([[lloydStepLocal]]). The sample is ≤ TrainCap×[[Dim]] doubles
+    * (≤ 4 MB) FOREVER — scale-independent by construction, the same
+    * bounded-driver-state class as the O(k·d) centroids themselves —
+    * so no per-iteration cluster job exists at ANY corpus size
+    * (r12: each distributed means round cost ~0.3 s of posexplode +
+    * 2048-group DECIMAL aggregate + collect machinery at sf0.1 to
+    * average 2 000 vectors, ×3 iterations ×every trainer; at 100 TB
+    * the same rounds would be cluster-wide job launches to average
+    * 8 192 rows).
+    *
+    * Determinism discipline: [[lloydStepLocal]] mirrors the
+    * distributed DECIMAL(28,12) means job bit for bit (see its
+    * contract), so every iteration's centroids — and therefore every
     * assignment — are bit-identical in Spark and the unrolled-CTE
-    * DuckDB twin ([[kmeansCtesSql]]). */
-  private def lloydTrain(n: DataFrame): Seq[(Long, Seq[Double])] = {
-    // Scale-aware cell count ([[ivfNlist]]): the count hits the
-    // caller's cache (every caller pre-persists and eagerly counts n).
-    val cnt = n.count()
+    * DuckDB twin ([[kmeansCtesSql]]), exactly as before. `cnt` is the
+    * caller's corpus count (callers already need it for [[ivfNlist]]
+    * / the sample rule, and passing it avoids a redundant count job). */
+  private def lloydTrain(n: DataFrame, cnt: Long): Seq[(Long, Seq[Double])] = {
     val k = ivfNlist(cnt)
     var cent: Seq[(Long, Seq[Double])] =
       n.filter(col("vec_id") < k).orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     // Bounded training sample ([[TrainCap]] scaladoc): full set at
-    // fixture scales, expected-TrainCap hash sample beyond — a
-    // narrow filter over the caller's cached relation. Beyond the cap
-    // the sample is persisted in its own right (r12): the loop scans
-    // it [[KmeansIters]] times, and re-applying the filter each
-    // iteration would re-scan the FULL corpus cache per iteration —
-    // 10 corpus passes where training needs one, the difference
-    // between O(N) and O(N + iters·TrainCap) total training reads at
-    // 100 TB. At N ≤ TrainCap the filter keeps everything, so the
-    // sample IS the caller's cache and a second persist would only
-    // double the storage.
-    val sample = n.filter(
-      expr(graft.functions.HashBucket.bucketExpr("vec_id", TrainBucketMod)) *
-        lit(cnt) < lit(TrainCap * TrainBucketMod))
-    val sampled = cnt > TrainCap
-    val tr = if (sampled) {
-      // coalesce before persisting: the sample is ≤ TrainCap rows
-      // FOREVER (scale-independent), but it inherits the corpus
-      // cache's partitioning — at sf1 that meant every iteration's
-      // means aggregate ran 32 map tasks over ~256 rows each and
-      // shipped ~tasks × k·d partial rows (640k partials for 524k raw
-      // values). 8 partitions keep the assign parallel while the
-      // partial layer actually combines.
-      val t = sample.coalesce(8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      t.count() // eager: iteration 1 must read the bounded sample, not re-filter
-      t
-    } else sample
-    try {
-      for (_ <- 1 to KmeansIters) {
-        // new centroid = per-dimension mean of members; k·d rows reach
-        // the driver (512 doubles), never corpus data.
-        val means = assignL2(tr, cent)
-          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cluster", "pos")
-          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-            count(lit(1))).as("m"))
-          .collect()
-        cent = means.groupBy(_.getLong(0)).map { case (cId, rows) =>
-          (cId, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        }.toSeq.sortBy(_._1)
-      }
-      cent
-    } finally if (sampled) { tr.unpersist(false); () }
+    // fixture scales, expected-TrainCap hash sample beyond.
+    val rows: Array[Array[Double]] = n.filter(
+        expr(graft.functions.HashBucket.bucketExpr("vec_id", TrainBucketMod)) *
+          lit(cnt) < lit(TrainCap * TrainBucketMod))
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to KmeansIters) cent = lloydStepLocal(rows, cent)
+    cent
   }
 
   /** Trained-centroid memo, keyed by canonical fixture dir: an ANN
@@ -283,10 +300,12 @@ object Similarity {
   private[graft] def trainedCentroids(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] = {
     val key = graft.sources.Tables.fingerprint(sfDir, Seq("embeddings"))
     centroidMemo.computeIfAbsent(key, _ => {
+      // No corpus persist (r12): with the in-driver loop the corpus
+      // is read exactly twice (count + sample/seed collects share a
+      // scan each) — nothing re-reads it, so a persist would pin
+      // corpus-scale memory at 100 TB to accelerate nothing.
       val n = vecs(spark, sfDir)
-        .scopedCache
-      n.count() // eager: every iteration reads the cache, not parquet
-      try lloydTrain(n) finally { n.unpersist(false); () }
+      lloydTrain(n, n.count())
     })
   }
 
@@ -1053,10 +1072,13 @@ object Similarity {
     * identical deterministic value. */
   def q77(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.{floorRound, exactSum}
+    // No corpus persist (r12): with the in-driver training loop every
+    // corpus consumer here — the count, the seed/sample collects, the
+    // final assignment scan — reads the relation exactly once, so a
+    // persist is pure materialization cost locally and corpus-pinned
+    // memory at 100 TB (the q68 no-corpus-cache lesson).
     val n = vecs(spark, sfDir)
-      .scopedCache
-    n.count() // eager: iters+1 consumers must not race the cache
-    val cent = lloydTrain(n)
+    val cent = lloydTrain(n, n.count())
     centroidMemo.put(graft.sources.Tables.fingerprint(sfDir, Seq("embeddings")), cent)
     assignL2(n, cent)
       .groupBy("cluster")
@@ -1111,10 +1133,9 @@ object Similarity {
   private[graft] def maintCentroids(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] = {
     val key = graft.sources.Tables.fingerprint(sfDir, Seq("embeddings")) + ":base"
     centroidMemo.computeIfAbsent(key, _ => {
+      // No persist — see [[trainedCentroids]] (r12).
       val n = baseVecs(spark, sfDir)
-        .scopedCache
-      n.count()
-      try lloydTrain(n) finally { n.unpersist(false); () }
+      lloydTrain(n, n.count())
     })
   }
 
@@ -2086,9 +2107,9 @@ object Similarity {
   private def trainedCodebooks(spark: SparkSession, sfDir: String): Map[Int, Seq[(Long, Seq[Double])]] = {
     val key = graft.sources.Tables.fingerprint(sfDir, Seq("embeddings"))
     codebookMemo.computeIfAbsent(key, _ => {
-      val n = vecs(spark, sfDir).scopedCache
-      val cnt = n.count() // eager: every training iteration reads the cache
-      try pqTrain(pqSliced(n), cnt) finally { n.unpersist(false); () }
+      // No persist — see [[trainedCentroids]] (r12).
+      val n = vecs(spark, sfDir)
+      pqTrain(pqSliced(n), n.count())
     })
   }
 
@@ -2139,35 +2160,24 @@ object Similarity {
           m -> rows.map(r => (r.getLong(1), r.getSeq[Double](2).toSeq))
             .sortBy(_._1).toSeq
         }
-    // Sample persisted beyond the cap, same rationale as [[lloydTrain]]:
-    // the loop must scan TrainCap·M sliced rows per iteration, never
-    // re-filter the corpus-sized sliced stream.
-    val sample = sl.filter(
-      expr(graft.functions.HashBucket.bucketExpr("vec_id", TrainBucketMod)) *
-        lit(cnt) < lit(TrainCap * TrainBucketMod))
-    val sampled = cnt > TrainCap
-    val tr = if (sampled) {
-      val t = sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      t.count()
-      t
-    } else sample
-    try {
-      for (_ <- 1 to KmeansIters) {
-        val means = pqAssign(tr, cents)
-          .select(col("subspace"), col("code"),
-            posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("subspace", "code", "pos")
-          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-            count(lit(1))).as("m"))
-          .collect()
-        cents = means.groupBy(_.getLong(0).toInt).map { case (m, rows) =>
-          m -> rows.groupBy(_.getLong(1)).map { case (cId, rs) =>
-            (cId, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
-          }.toSeq.sortBy(_._1)
-        }
+    // ONE collect of the bounded sample's sliced rows (≤ TrainCap·M
+    // subdim-vectors, ≤ 4 MB forever), then the whole loop runs in the
+    // driver — [[lloydTrain]]'s r12 posture; per subspace each step is
+    // exactly [[lloydStepLocal]] on that slice, which is the identical
+    // arithmetic the (subspace, code, pos) distributed DECIMAL job
+    // computed (grouping by subspace only partitioned the rows).
+    val rows: Map[Int, Array[Array[Double]]] = sl.filter(
+        expr(graft.functions.HashBucket.bucketExpr("vec_id", TrainBucketMod)) *
+          lit(cnt) < lit(TrainCap * TrainBucketMod))
+      .collect()
+      .groupBy(_.getLong(0).toInt)
+      .map { case (m, rs) => m -> rs.map(_.getSeq[Double](2).toArray) }
+    for (_ <- 1 to KmeansIters) {
+      cents = cents.map { case (m, cent) =>
+        m -> lloydStepLocal(rows.getOrElse(m, Array.empty), cent)
       }
-      cents
-    } finally if (sampled) { tr.unpersist(false); () }
+    }
+    cents
   }
 
   /** q158 — product-quantization codebook training + distortion
@@ -2200,8 +2210,11 @@ object Similarity {
     * sliced relations. */
   def q158(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.OracleRound.exactSum
-    val n = vecs(spark, sfDir).scopedCache
-    val cnt = n.count() // eager: iters+2 consumers must not race the cache
+    // No corpus persist (r12): with the in-driver trainer every
+    // consumer (count, seed/sample collects, the final distortion
+    // pass) reads the corpus exactly once — see [[q77]].
+    val n = vecs(spark, sfDir)
+    val cnt = n.count()
     val sl = pqSliced(n)
     val cents = pqTrain(sl, cnt)
     // refresh the served index with the identical deterministic value
